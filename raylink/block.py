@@ -1,0 +1,244 @@
+"""Blocking, hot-key tiling, and candidate-pair generation
+(SURVEY.md §2.4 J1/J2 — the scale-critical shuffle).
+
+The reference loops over blocks serially, materializing one dense |A|×|B|
+similarity matrix per block (``R/fuzzylink.R:113-155``,
+``R/get_similarity_matrix.R:38``) and melting it into a long pair table. A
+hot blocking key makes that quadratic in one process.
+
+Here pair generation is a Ray Data shuffle keyed on ``(block, ta, tb)``:
+
+* J1 blocking semi-join — the distinct A-side block keys are broadcast via
+  ``ray.put`` and B rows filtered inside ``map_batches`` (no shuffle;
+  reference: ``inner_join`` at R/fuzzylink.R:78-86).
+* hot-key salting/tiling — each block's distinct A keys are split into
+  ``Ta = ceil(nA / tile_rows)`` tiles by key hash and B keys into ``Tb``
+  tiles; A rows are replicated across the Tb B-tiles and B rows across the
+  Ta A-tiles, so every group holds at most ``2*tile_rows`` keys and emits at
+  most ``tile_rows**2`` pairs. A pathological block becomes Ta×Tb bounded
+  groups instead of one quadratic task; pair-count per tile is bounded by
+  construction, never silently truncated.
+* per-tile similarity — ``groupby(block, ta, tb).map_groups``: the group's
+  A/B embedding FixedSizeList columns are viewed as numpy matrices and
+  multiplied (`A @ B.T`, unit vectors ⇒ cosine), emitting the pair rows
+  ``(block, key_a, key_b, sim)``. The full pair set is never materialized in
+  one place — it streams out of the groupby under backpressure.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from raylink.embed import embeddings_to_numpy
+from raylink.features import pair_features_batch
+
+
+def stable_hash(s: str) -> int:
+    return zlib.crc32(s.encode())
+
+
+def distinct_keys(ds: ray.data.Dataset, by: str) -> ray.data.Dataset:
+    """Distinct ``(key, block)`` rows (SURVEY.md A1/A2 analogue: the unit of
+    embedding and pairing is the distinct string within its block,
+    R/fuzzylink.R:150-151). groupby-based so it scales as a shuffle."""
+    out = (
+        ds.select_columns([by, "block"])
+        .groupby([by, "block"])
+        .aggregate(Count())
+        .select_columns([by, "block"])
+    )
+    if by != "key":
+        out = out.rename_columns({by: "key"})
+    return out
+
+
+def a_side_block_set(keys_a: ray.data.Dataset) -> set[str]:
+    """Distinct A-side block keys, collected to the driver. Block-key
+    cardinality is assumed ≪ row count (it is the blocking design contract);
+    the set is broadcast once via ``ray.put`` for the semi-join."""
+    tbl = keys_a.select_columns(["block"]).groupby("block").aggregate(Count())
+    return set(tbl.to_pandas()["block"].tolist())
+
+
+def semi_join_blocks(
+    ds: ray.data.Dataset, blocks_ref: "ray.ObjectRef"
+) -> ray.data.Dataset:
+    """J1: keep rows whose block key occurs in the broadcast A-side set."""
+
+    class _Filter:
+        def __init__(self):
+            self.blocks: set[str] = ray.get(blocks_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(
+                batch.column("block"), value_set=pa.array(sorted(self.blocks))
+            )
+            return batch.filter(mask)
+
+    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def tile_plan(
+    keys_a: ray.data.Dataset, keys_b: ray.data.Dataset, tile_rows: int
+) -> dict[str, tuple[int, int]]:
+    """Per-block (Ta, Tb) tile counts from per-block distinct-key histograms
+    (two small driver-side aggregates — the explicit skew plan of
+    SURVEY.md §4). Blocks missing on either side are excluded (they can emit
+    no pairs; the reference skips them via the NA sentinel,
+    R/fuzzylink.R:137-141)."""
+    ca = keys_a.groupby("block").aggregate(Count(alias_name="n")).to_pandas()
+    cb = keys_b.groupby("block").aggregate(Count(alias_name="n")).to_pandas()
+    na = dict(zip(ca["block"], ca["n"]))
+    nb = dict(zip(cb["block"], cb["n"]))
+    plan = {}
+    for blk in set(na) & set(nb):
+        ta = -(-int(na[blk]) // tile_rows)
+        tb = -(-int(nb[blk]) // tile_rows)
+        plan[blk] = (ta, tb)
+    return plan
+
+
+def _expand_side(
+    ds: ray.data.Dataset, plan_ref: "ray.ObjectRef", side: str
+) -> ray.data.Dataset:
+    """Tag rows with (side, ta, tb), replicating across the other side's
+    tile axis. Input: distinct (key, block, embedding) rows."""
+
+    class _Expand:
+        def __init__(self):
+            self.plan: dict[str, tuple[int, int]] = ray.get(plan_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("key").to_pylist()
+            blocks = batch.column("block").to_pylist()
+            take_idx: list[int] = []
+            tas: list[int] = []
+            tbs: list[int] = []
+            for i, (k, blk) in enumerate(zip(keys, blocks)):
+                tiles = self.plan.get(blk)
+                if tiles is None:
+                    continue  # block absent on the other side: no pairs
+                ta_n, tb_n = tiles
+                h = stable_hash(k)
+                if side == "a":
+                    ta = h % ta_n
+                    for tb in range(tb_n):
+                        take_idx.append(i)
+                        tas.append(ta)
+                        tbs.append(tb)
+                else:
+                    tb = h % tb_n
+                    for ta in range(ta_n):
+                        take_idx.append(i)
+                        tas.append(ta)
+                        tbs.append(tb)
+            out = batch.take(pa.array(take_idx, type=pa.int64()))
+            out = out.append_column("ta", pa.array(tas, type=pa.int32()))
+            out = out.append_column("tb", pa.array(tbs, type=pa.int32()))
+            out = out.append_column(
+                "side", pa.array([side] * len(take_idx), type=pa.string())
+            )
+            return out
+
+    return ds.map_batches(_Expand, batch_format="pyarrow", concurrency=(1, 4))
+
+
+_PAIR_SCHEMA = pa.schema(
+    [
+        ("block", pa.string()),
+        ("key_a", pa.string()),
+        ("key_b", pa.string()),
+        ("sim", pa.float64()),
+    ]
+)
+
+
+def _empty_pairs() -> pa.Table:
+    return _PAIR_SCHEMA.empty_table()
+
+
+def generate_pairs(
+    keys_emb_a: ray.data.Dataset,
+    keys_emb_b: ray.data.Dataset,
+    dim: int,
+    tile_rows: int,
+    sim_floor: float | None = None,
+) -> ray.data.Dataset:
+    """J2: within-block cross product with cosine similarity, tiled.
+
+    Inputs are the per-side distinct ``(key, block, embedding)`` datasets.
+    Output streams ``(block, key_a, key_b, sim)`` pair rows.
+    """
+    plan = tile_plan(keys_emb_a, keys_emb_b, tile_rows)
+    plan_ref = ray.put(plan)
+
+    ea = _expand_side(keys_emb_a, plan_ref, "a")
+    eb = _expand_side(keys_emb_b, plan_ref, "b")
+    both = ea.union(eb)
+
+    def _pairgen(group: pa.Table) -> pa.Table:
+        side = group.column("side")
+        mask_a = pc.equal(side, "a")
+        ga = group.filter(mask_a)
+        gb = group.filter(pc.invert(mask_a))
+        if len(ga) == 0 or len(gb) == 0:
+            return _empty_pairs()
+        emb_a = embeddings_to_numpy(ga.column("embedding"), dim)
+        emb_b = embeddings_to_numpy(gb.column("embedding"), dim)
+        sims = (emb_a.astype(np.float32) @ emb_b.astype(np.float32).T).astype(
+            np.float64
+        )
+        na, nb = len(ga), len(gb)
+        ai = np.repeat(np.arange(na), nb)
+        bi = np.tile(np.arange(nb), na)
+        simf = sims.reshape(-1)
+        if sim_floor is not None:
+            keep = simf >= sim_floor
+            ai, bi, simf = ai[keep], bi[keep], simf[keep]
+        key_a = ga.column("key").take(pa.array(ai, type=pa.int64()))
+        key_b = gb.column("key").take(pa.array(bi, type=pa.int64()))
+        block = ga.column("block").take(
+            pa.array(np.zeros(len(ai), dtype=np.int64))
+        )
+        return pa.table(
+            {
+                "block": block.combine_chunks() if isinstance(block, pa.ChunkedArray) else block,
+                "key_a": key_a.combine_chunks() if isinstance(key_a, pa.ChunkedArray) else key_a,
+                "key_b": key_b.combine_chunks() if isinstance(key_b, pa.ChunkedArray) else key_b,
+                "sim": pa.array(simf, type=pa.float64()),
+            },
+            schema=_PAIR_SCHEMA,
+        )
+
+    return both.groupby(["block", "ta", "tb"]).map_groups(
+        _pairgen, batch_format="pyarrow"
+    )
+
+
+def add_pair_features(
+    pairs: ray.data.Dataset, full: bool = False
+) -> ray.data.Dataset:
+    """B-FEATURES (M3/M4 + F1-F7): append ``jw`` (and, for the forest
+    learner, the six extra stringdist features, R/fuzzylink.R:179-186) and
+    the canonical ``exact`` flag (A == B on the *original* strings,
+    R/fuzzylink.R:193). Stateless vectorized map_batches; kernels memoize
+    per distinct lowercased pair inside the worker."""
+
+    def _feat(batch: pa.Table) -> pa.Table:
+        ka = np.asarray(batch.column("key_a").to_pylist(), dtype=object)
+        kb = np.asarray(batch.column("key_b").to_pylist(), dtype=object)
+        feats = pair_features_batch(ka, kb, full=full)
+        for name, arr in feats.items():
+            batch = batch.append_column(name, pa.array(arr, type=pa.float64()))
+        exact = pc.equal(batch.column("key_a"), batch.column("key_b"))
+        return batch.append_column("exact", exact)
+
+    return pairs.map_batches(_feat, batch_format="pyarrow")

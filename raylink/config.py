@@ -1,0 +1,66 @@
+"""Configuration for the raylink linkage pipeline.
+
+Mirrors the tunable surface of the reference (``R/fuzzylink.R:32-45``:
+``by``, ``blocking.variables``, ``learner``, ``fmla``, ``max_labels``,
+``embedding_dimensions``, ``return_all_pairs``) plus the scale knobs a
+distributed engine needs (tiling caps, partition counts, driver caps,
+checkpointing) that the single-process reference has no analogue for.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class LinkConfig:
+    # ---- semantics (reference parity; R/fuzzylink.R:32-45) ----
+    by: str = "key"
+    blocking: list[str] | None = None
+    record_type: str = "entity"  # prompt passthrough (R/fuzzylink.R:35)
+    instructions: str | None = None  # prompt passthrough (R/fuzzylink.R:36)
+    learner: str = "glm"  # 'glm' | 'forest'  (R/fuzzylink.R:41)
+    feature_cols: list[str] = field(default_factory=lambda: ["sim", "jw"])
+    # fmla match ~ sim + jw (R/fuzzylink.R:42)
+    max_labels: int = 10_000  # label budget (R/fuzzylink.R:43)
+    return_all_pairs: bool = False  # (R/fuzzylink.R:17)
+
+    # ---- active learning constants (R/fuzzylink.R:201-259) ----
+    n_initial: int = 500  # n_t, initial labels (R/fuzzylink.R:203)
+    al_batch_size: int = 100  # labels per iteration (R/fuzzylink.R:256)
+    kernel_sd: float = 0.2  # uncertainty kernel sd on logit scale (R/fuzzylink.R:255)
+    stop_threshold: float = 0.01  # glm gradient threshold (R/fuzzylink.R:254)
+    stop_threshold_forest: float = 0.1  # ranger threshold (R/fuzzylink.R:259)
+    window_size: int = 5  # rolling gradient window (R/fuzzylink.R:252)
+
+    # ---- embedding (R/fuzzylink.R:39, R/get_embeddings.R) ----
+    embedding_dim: int = 256
+    embed_batch_size: int = 4096
+    embed_concurrency: int = 4  # actor-pool size for the embedder stage
+
+    # ---- scale knobs (no reference analogue; SURVEY.md §4) ----
+    # Pair-gen tiling: split each block's A/B distinct-key sets into tiles of
+    # at most `tile_rows` keys so no map_groups group emits more than
+    # tile_rows^2 pairs (bounds group memory; hot-block salting).
+    tile_rows: int = 2048
+    # Hash-join partition count for Dataset.join stages; None = scaled to
+    # the cluster CPU count (util.default_join_partitions).
+    join_partitions: int | None = None
+    # Driver caps: the slim pair table (key_a, key_b, sim, jw, block) is
+    # materialized to the driver for the faithful active-learning / recall
+    # loops only when its row count is below this cap; the reference holds it
+    # in memory unconditionally (R/fuzzylink.R:165-199).
+    driver_pair_cap: int = 5_000_000
+    # Similarity floor applied at pair-gen when not None: pairs below it are
+    # never emitted (scale escape hatch; None = reference parity, all
+    # within-block pairs survive as in reshape2::melt, R/fuzzylink.R:165).
+    sim_floor: float | None = None
+
+    # ---- determinism ----
+    seed: int = 42
+
+    # ---- checkpointing ----
+    checkpoint_dir: str | None = None
+
+    def blocking_cols(self) -> list[str]:
+        return list(self.blocking) if self.blocking else []

@@ -1,0 +1,273 @@
+"""Lexical string-similarity kernels (SURVEY.md §2.8, F1-F8).
+
+Pure-Python/numpy reimplementations of the `stringdist` kernels the reference
+uses as model features (``R/fuzzylink.R:174-186``):
+
+* ``jw``      — Jaro-Winkler *similarity*, p=0.1 (stringsim, :174-175)
+* ``osa``     — restricted Damerau-Levenshtein distance (:180)
+* ``cosine``  — q-gram profile cosine distance, q=1 (:181)
+* ``jaccard`` — q-gram set Jaccard distance, q=1 (:182)
+* ``lcs``     — longest-common-subsequence edit distance (:183)
+* ``qgram``   — q-gram count (L1) distance, q=1 (:184)
+* ``soundex`` — soundex-code inequality 0/1 (:185)
+* ``dot``     — vector dot product (``R/dot.R:11-13``)
+
+stringdist applies the Winkler prefix boost unconditionally (boost threshold
+0); DuckDB's ``jaro_winkler_similarity`` boosts only when jaro > 0.7 — the
+``boost_threshold`` parameter covers both so kernels can be oracle-checked
+against DuckDB.
+
+All kernels operate on already-lowercased inputs in the pipeline (the
+reference lowercases at the call sites, ``R/fuzzylink.R:174,180-185``).
+Hot-path usage goes through :func:`pair_features_batch`, which memoizes per
+distinct (a, b) pair within a batch.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Jaro-Winkler
+
+
+def _jaro(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    match_a = [False] * la
+    match_b = [False] * lb
+    m = 0
+    for i, ca in enumerate(a):
+        lo = i - window if i - window > 0 else 0
+        hi = i + window + 1 if i + window + 1 < lb else lb
+        for j in range(lo, hi):
+            if not match_b[j] and b[j] == ca:
+                match_a[i] = True
+                match_b[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    # transpositions: compare matched chars in order
+    bs = [b[j] for j in range(lb) if match_b[j]]
+    t = 0
+    k = 0
+    for i in range(la):
+        if match_a[i]:
+            if a[i] != bs[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler_sim(
+    a: str, b: str, p: float = 0.1, boost_threshold: float = 0.0
+) -> float:
+    """Jaro-Winkler similarity with prefix weight ``p``.
+
+    ``boost_threshold=0.0`` reproduces stringdist semantics (boost always
+    applied); ``0.7`` reproduces DuckDB/classic Winkler.
+    """
+    sim_j = _jaro(a, b)
+    if sim_j <= boost_threshold:
+        return sim_j
+    l = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca != cb:
+            break
+        l += 1
+    return sim_j + l * p * (1.0 - sim_j)
+
+
+# --------------------------------------------------------------------------
+# OSA (restricted Damerau-Levenshtein)
+
+
+def osa_distance(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            best = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                prev2 is not None
+                and i > 1
+                and j > 1
+                and ca == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                best = min(best, prev2[j - 2] + cost)
+            cur[j] = best
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+# --------------------------------------------------------------------------
+# q-gram kernels (q=1, the stringdist default used by the reference)
+
+
+def _qgram_profile(s: str, q: int = 1) -> dict[str, int]:
+    if q == 1:
+        prof: dict[str, int] = {}
+        for ch in s:
+            prof[ch] = prof.get(ch, 0) + 1
+        return prof
+    prof = {}
+    for i in range(len(s) - q + 1):
+        g = s[i : i + q]
+        prof[g] = prof.get(g, 0) + 1
+    return prof
+
+
+def qgram_cosine_distance(a: str, b: str, q: int = 1) -> float:
+    pa, pb = _qgram_profile(a, q), _qgram_profile(b, q)
+    if not pa or not pb:
+        # stringdist returns 0 when both empty, 1 when exactly one empty
+        return 0.0 if not pa and not pb else 1.0
+    dotp = sum(v * pb.get(k, 0) for k, v in pa.items())
+    na = np.sqrt(sum(v * v for v in pa.values()))
+    nb = np.sqrt(sum(v * v for v in pb.values()))
+    return float(1.0 - dotp / (na * nb))
+
+
+def qgram_jaccard_distance(a: str, b: str, q: int = 1) -> float:
+    sa, sb = set(_qgram_profile(a, q)), set(_qgram_profile(b, q))
+    if not sa and not sb:
+        return 0.0
+    union = len(sa | sb)
+    return 1.0 - len(sa & sb) / union
+
+
+def qgram_count_distance(a: str, b: str, q: int = 1) -> int:
+    pa, pb = _qgram_profile(a, q), _qgram_profile(b, q)
+    keys = set(pa) | set(pb)
+    return sum(abs(pa.get(k, 0) - pb.get(k, 0)) for k in keys)
+
+
+# --------------------------------------------------------------------------
+# LCS distance
+
+
+def lcs_distance(a: str, b: str) -> int:
+    """Insert/delete-only edit distance: |a| + |b| - 2*LCS(a, b)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la + lb
+    prev = [0] * (lb + 1)
+    for i in range(1, la + 1):
+        cur = [0] * (lb + 1)
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            if ca == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = cur[j - 1] if cur[j - 1] >= prev[j] else prev[j]
+        prev = cur
+    return la + lb - 2 * prev[lb]
+
+
+# --------------------------------------------------------------------------
+# Soundex
+
+_SOUNDEX_CODES = {
+    **dict.fromkeys("bfpv", "1"),
+    **dict.fromkeys("cgjkqsxz", "2"),
+    **dict.fromkeys("dt", "3"),
+    "l": "4",
+    **dict.fromkeys("mn", "5"),
+    "r": "6",
+}
+
+
+def soundex(s: str) -> str:
+    """US-census soundex of the first word-like token (lowercase input)."""
+    letters = [c for c in s.lower() if "a" <= c <= "z"]
+    if not letters:
+        return "0000"
+    first = letters[0]
+    code = first.upper()
+    prev = _SOUNDEX_CODES.get(first, "")
+    for c in letters[1:]:
+        d = _SOUNDEX_CODES.get(c, "")
+        if d and d != prev:
+            code += d
+            if len(code) == 4:
+                break
+        if c not in "hw":
+            prev = d
+    return (code + "000")[:4]
+
+
+def soundex_distance(a: str, b: str) -> int:
+    return 0 if soundex(a) == soundex(b) else 1
+
+
+# --------------------------------------------------------------------------
+# dot product (R/dot.R:11-13)
+
+
+def dot(x, y) -> float:
+    return float(np.dot(np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)))
+
+
+# --------------------------------------------------------------------------
+# Batch interface for map_batches hot path
+
+_RANGER_FEATS = ("osa", "cosine", "jaccard", "lcs", "qgram", "soundex")
+
+
+@lru_cache(maxsize=262_144)
+def _pair_feats_cached(a: str, b: str, full: bool) -> tuple:
+    """Per distinct lowercased pair; lru-cached inside the worker process."""
+    jw = jaro_winkler_sim(a, b)
+    if not full:
+        return (jw,)
+    return (
+        jw,
+        float(osa_distance(a, b)),
+        qgram_cosine_distance(a, b),
+        qgram_jaccard_distance(a, b),
+        float(lcs_distance(a, b)),
+        float(qgram_count_distance(a, b)),
+        float(soundex_distance(a, b)),
+    )
+
+
+def pair_features_batch(
+    keys_a: np.ndarray, keys_b: np.ndarray, full: bool = False
+) -> dict[str, np.ndarray]:
+    """Vector of lexical features for aligned key arrays (lowercasing applied
+    here, mirroring ``tolower`` at R/fuzzylink.R:174,180-185)."""
+    n = len(keys_a)
+    jw = np.empty(n, dtype=np.float64)
+    extras = (
+        {name: np.empty(n, dtype=np.float64) for name in _RANGER_FEATS}
+        if full
+        else {}
+    )
+    for i in range(n):
+        feats = _pair_feats_cached(str(keys_a[i]).lower(), str(keys_b[i]).lower(), full)
+        jw[i] = feats[0]
+        if full:
+            for j, name in enumerate(_RANGER_FEATS):
+                extras[name][i] = feats[j + 1]
+    out = {"jw": jw}
+    out.update(extras)
+    return out

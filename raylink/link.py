@@ -1,0 +1,155 @@
+"""Distributed scoring, acceptance filter and payload join-back
+(SURVEY.md §2.2 M8/M9, §2.4 J7; reference ``R/fuzzylink.R:378-391,461-481``).
+
+The learner's exported state (glm coefficients) and the oracle-label dict
+(bounded by ``max_labels``) are broadcast once via ``ray.put`` and applied in
+stateless vectorized ``map_batches`` over the streamed pair set — the full
+pair stream is scored and filtered without ever materializing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from raylink.learner import predict_from_state
+
+
+def score_pairs(
+    pairs: ray.data.Dataset,
+    model_state_ref: "ray.ObjectRef",
+    labels_ref: "ray.ObjectRef",
+    feature_cols: list[str],
+) -> ray.data.Dataset:
+    """Append ``match`` (broadcast oracle labels; exact pairs forced 'Yes',
+    R/fuzzylink.R:193-199) and ``match_probability`` (model scores; exact
+    pairs forced 1.0, R/fuzzylink.R:391)."""
+
+    class _Score:
+        def __init__(self):
+            self.state = ray.get(model_state_ref)
+            self.labels: dict[tuple[str, str], str] = ray.get(labels_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            X = np.column_stack(
+                [
+                    batch.column(c).to_numpy(zero_copy_only=False)
+                    for c in feature_cols
+                ]
+            )
+            probs = predict_from_state(self.state, X)
+            ka = batch.column("key_a").to_pylist()
+            kb = batch.column("key_b").to_pylist()
+            match = [None] * n
+            for i in range(n):
+                if ka[i] == kb[i]:
+                    match[i] = "Yes"
+                    probs[i] = 1.0
+                else:
+                    match[i] = self.labels.get((ka[i], kb[i]))
+            batch = batch.append_column("match", pa.array(match, type=pa.string()))
+            return batch.append_column(
+                "match_probability", pa.array(probs, type=pa.float64())
+            )
+
+    return pairs.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def accept_filter(scored: ray.data.Dataset, cutoff: float) -> ray.data.Dataset:
+    """M9 (R/fuzzylink.R:471-474): keep pairs labeled 'Yes', or unlabeled
+    with probability above the cutoff."""
+
+    def _acc(batch: pa.Table) -> pa.Table:
+        match = batch.column("match")
+        prob = batch.column("match_probability")
+        is_yes = pc.equal(match, "Yes")
+        is_yes = pc.fill_null(is_yes, False)
+        unl_hi = pc.and_(pc.is_null(match), pc.greater(prob, cutoff))
+        return batch.filter(pc.or_(is_yes, unl_hi))
+
+    return scored.map_batches(_acc, batch_format="pyarrow")
+
+
+def join_payloads(
+    accepted_df: "pd.DataFrame",
+    ds_a: ray.data.Dataset,
+    ds_b: ray.data.Dataset,
+    by: str,
+    a_cols: list[str],
+    b_cols: list[str],
+) -> ray.data.Dataset:
+    """J7 (R/fuzzylink.R:475-480): ``right_join(dfA)`` then
+    ``left_join(dfB)``, both many-to-many — expressed as two *broadcast*
+    map-side joins keyed on the accepted pair set, streaming over dfA:
+
+    1. the slim accepted pairs (post-filter, bounded by the label budget's
+       reach) are broadcast via ``ray.put`` and pandas-merged into each dfA
+       batch (left merge ⇒ every dfA row survives, NA-padded — the
+       reference's ``right_join`` semantics);
+    2. only the dfB rows actually referenced by an accepted pair are needed
+       — a broadcast semi-join filters dfB down to that small subset, which
+       is collected and merged in as the B payload (suffix ``_b`` on
+       collisions).
+
+    No shuffle touches the big tables. (``Dataset.join`` is avoided
+    deliberately: Ray 2.49's hash join crashes on sparse sides — see
+    ``util.hash_join``.)
+
+    ``ds_a`` / ``ds_b`` must already carry their ``block`` column.
+    """
+    import pandas as pd
+
+    pair_cols = list(accepted_df.columns)
+    clash = (set(pair_cols) - {"block"}) & set(a_cols)
+    if clash:
+        raise ValueError(f"dfA column(s) {sorted(clash)} collide with pair columns")
+
+    acc_ref = ray.put(accepted_df)
+
+    # -- 2a. semi-join filter of dfB to referenced (key_b, block) ----------
+    needed_b = set(zip(accepted_df["key_b"], accepted_df["block"]))
+
+    def _b_filter(batch: pa.Table) -> pa.Table:
+        keys = batch.column(by).to_pylist()
+        blks = batch.column("block").to_pylist()
+        mask = [(k, blk) in needed_b for k, blk in zip(keys, blks)]
+        return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    b_subset = ds_b.map_batches(_b_filter, batch_format="pyarrow").to_pandas()
+    b_subset = b_subset.drop_duplicates()
+    rename = {c: f"{c}_b" for c in b_subset.columns if c not in (by, "block") and c in b_cols}
+    b_subset = b_subset.rename(columns=rename)
+    b_ref = ray.put(b_subset)
+
+    class _Attach:
+        def __init__(self):
+            self.acc: pd.DataFrame = ray.get(acc_ref)
+            self.bpay: pd.DataFrame = ray.get(b_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.merge(
+                self.acc,
+                how="left",
+                left_on=[by, "block"],
+                right_on=["key_a", "block"],
+            )
+            if "key_a" in out.columns:
+                out = out.drop(columns=["key_a"])
+            out = out.merge(
+                self.bpay,
+                how="left",
+                left_on=["key_b", "block"],
+                right_on=[by, "block"],
+                suffixes=("", "_bk"),
+            )
+            dup = [c for c in out.columns if c.endswith("_bk")]
+            if dup:
+                out = out.drop(columns=dup)
+            return out
+
+    return ds_a.map_batches(_Attach, batch_format="pandas", concurrency=(1, 4))

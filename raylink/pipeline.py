@@ -1,0 +1,181 @@
+"""The flagship linkage pipeline: Ray-Data-native ``fuzzylink``
+(SURVEY.md §3.1; reference ``R/fuzzylink.R:32-493``).
+
+Two *wide* streaming phases — (1) normalize → embed distinct keys (actor
+pool) → tiled block-shuffle pair-gen → lexical features, and (2) broadcast
+scoring → acceptance filter → payload hash-joins → clustering — around a
+*narrow* driver-coordinated labeling phase (initial top-k labels, IRLS fit,
+active-learning + recall-search loops) that touches at most ``max_labels``
+oracle labels, exactly the control structure of the reference.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+import ray
+import ray.data
+
+from raylink.active import run_linkage_loops
+from raylink.block import (
+    a_side_block_set,
+    add_pair_features,
+    distinct_keys,
+    generate_pairs,
+    semi_join_blocks,
+)
+from raylink.cluster import cluster_union_find
+from raylink.config import LinkConfig
+from raylink.embed import HashedNgramEmbedder
+from raylink.link import accept_filter, join_payloads, score_pairs
+from raylink.oracle import Oracle
+from raylink.schema import add_block_key, drop_missing, validate_by
+
+_FULL_FEATS = ["sim", "jw", "osa", "cosine", "jaccard", "lcs", "qgram", "soundex"]
+
+
+@dataclass
+class LinkResult:
+    linked: "ray.data.Dataset | None"  # dfA-complete joined output (None when return_all_pairs)
+    scored_pairs: "ray.data.Dataset"  # every within-block pair with sim/jw/match/prob
+    accepted: "ray.data.Dataset"  # pairs surviving the acceptance filter
+    clusters: pd.DataFrame  # (block, key, entity_id) transitive closure
+    train: pd.DataFrame
+    model_state: dict
+    cutoff: float
+    metrics: dict = field(default_factory=dict)
+
+
+def fuzzylink(
+    ds_a: "ray.data.Dataset",
+    ds_b: "ray.data.Dataset",
+    oracle: Oracle,
+    cfg: LinkConfig | None = None,
+    embedder_cls: type = HashedNgramEmbedder,
+    embedder_kwargs: dict | None = None,
+) -> LinkResult:
+    cfg = cfg or LinkConfig()
+    by = cfg.by
+    t0 = time.perf_counter()
+    metrics: dict = {}
+
+    # ---- Step 0: validate / drop nulls / blocking (R/fuzzylink.R:48-90) --
+    validate_by(ds_a, by, "dfA")
+    validate_by(ds_b, by, "dfB")
+    a_cols = list(ds_a.schema().names) + ["block"]
+    b_cols = list(ds_b.schema().names) + ["block"]
+    need = [by] + cfg.blocking_cols()
+    ds_a = add_block_key(drop_missing(ds_a, need), cfg.blocking)
+    ds_b = add_block_key(drop_missing(ds_b, need), cfg.blocking)
+
+    # Distinct-key tables are the small, reused intermediates (one row per
+    # distinct (key, block) — orders of magnitude below row count) — pin
+    # them so the driver-side histograms/joins don't re-execute the corpus
+    # scan lineage.
+    keys_a = distinct_keys(ds_a, by).materialize()
+    if cfg.blocking:
+        blocks_set = a_side_block_set(keys_a)
+        blocks_ref = ray.put(blocks_set)
+        ds_b = semi_join_blocks(ds_b, blocks_ref)
+    keys_b = distinct_keys(ds_b, by).materialize()
+    if keys_b.count() == 0:
+        raise ValueError(
+            "There are no exact matches in dfB on the blocking variables specified."
+        )
+
+    # ---- Step 1: embeddings over distinct key strings (A2 + T1) ----------
+    # Embed each side's distinct (key, block) rows through the actor pool.
+    # The unit of embedding is the distinct string (R/fuzzylink.R:93); the
+    # embedder actors memoize per string, so keys shared across sides/blocks
+    # cost one encode per actor rather than a cross-side dedup + hash join
+    # (Ray 2.49's Dataset.join is unusable on sparse sides — util.hash_join).
+    ekw = {"dim": cfg.embedding_dim, "text_col": "key"}
+    if embedder_kwargs:
+        ekw.update(embedder_kwargs)
+
+    def _embed(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        return ds.map_batches(
+            embedder_cls,
+            fn_constructor_kwargs=dict(ekw),
+            batch_size=cfg.embed_batch_size,
+            batch_format="pyarrow",
+            concurrency=(1, cfg.embed_concurrency),
+        )
+
+    kea = _embed(keys_a).materialize()
+    keb = _embed(keys_b).materialize()
+
+    # ---- Step 2: tiled pair generation + features (J2, F1-F7) ------------
+    full_feats = cfg.learner in ("forest", "ranger")
+    pairs = generate_pairs(
+        kea, keb, cfg.embedding_dim, cfg.tile_rows, sim_floor=cfg.sim_floor
+    )
+    pairs = add_pair_features(pairs, full=full_feats)
+
+    # The labeling loops need the slim pair table on the driver (the
+    # reference's `df`, R/fuzzylink.R:165). Materialize once (object store,
+    # spillable) and reuse the same blocks for the final scoring pass.
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    metrics["n_candidate_pairs"] = n_pairs
+    if n_pairs > cfg.driver_pair_cap:
+        raise NotImplementedError(
+            f"{n_pairs} candidate pairs exceed driver_pair_cap="
+            f"{cfg.driver_pair_cap}; raise the cap, set cfg.sim_floor to "
+            "prune the stream, or use the histogram/streaming loop mode."
+        )
+
+    slim_cols = ["block", "key_a", "key_b", "sim", "jw"] + (
+        ["osa", "cosine", "jaccard", "lcs", "qgram", "soundex"] if full_feats else []
+    )
+    slim = pairs.select_columns(slim_cols + ["exact"]).to_pandas()
+    t1 = time.perf_counter()
+    metrics["sec_pair_gen"] = t1 - t0
+
+    # ---- Steps 3-6: driver labeling loops --------------------------------
+    loops = run_linkage_loops(slim, oracle, cfg)
+    metrics.update(loops.metrics)
+    t2 = time.perf_counter()
+    metrics["sec_loops"] = t2 - t1
+
+    # ---- Step 7: distributed scoring, filter, joins, clusters ------------
+    feature_cols = _FULL_FEATS if full_feats else list(cfg.feature_cols)
+    state_ref = ray.put(loops.model_state)
+    labels_ref = ray.put(loops.labels)
+    scored = score_pairs(pairs, state_ref, labels_ref, feature_cols)
+
+    accepted = accept_filter(scored, loops.cutoff)
+
+    # Slim accepted pair table to the driver once (post-filter, bounded);
+    # reused for the broadcast payload join and the entity clustering.
+    pair_out_cols = slim_cols + ["match", "match_probability"]
+    accepted_df = accepted.select_columns(pair_out_cols).to_pandas()
+    if len(accepted_df) == 0:
+        accepted_df = pd.DataFrame(columns=pair_out_cols)
+
+    linked = None
+    if not cfg.return_all_pairs:
+        linked = join_payloads(
+            accepted_df, ds_a, ds_b, by, a_cols=a_cols, b_cols=b_cols
+        )
+
+    # entity clusters over accepted edges (post-filter: label-budget-shaped)
+    edges = accepted_df[["block", "key_a", "key_b"]]
+    clusters = cluster_union_find(edges)
+    metrics["n_accepted_pairs"] = len(edges)
+    metrics["n_entities"] = clusters["entity_id"].nunique() if len(clusters) else 0
+    metrics["sec_total"] = time.perf_counter() - t0
+
+    return LinkResult(
+        linked=linked,
+        scored_pairs=scored,
+        accepted=accepted,
+        clusters=clusters,
+        train=loops.train,
+        model_state=loops.model_state,
+        cutoff=loops.cutoff,
+        metrics=metrics,
+    )
