@@ -73,17 +73,14 @@ def semi_join_blocks(
 ) -> ray.data.Dataset:
     """J1: keep rows whose block key occurs in the broadcast A-side set."""
 
-    class _Filter:
-        def __init__(self):
-            self.blocks: set[str] = ray.get(blocks_ref)
+    # Stateless task (not an actor pool): elastic, no pinned CPU slot.
+    # ray.get on the broadcast ref is a zero-copy plasma read per task.
+    def _filter(batch: pa.Table) -> pa.Table:
+        blocks: set[str] = ray.get(blocks_ref)
+        mask = pc.is_in(batch.column("block"), value_set=pa.array(sorted(blocks)))
+        return batch.filter(mask)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(
-                batch.column("block"), value_set=pa.array(sorted(self.blocks))
-            )
-            return batch.filter(mask)
-
-    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(_filter, batch_format="pyarrow")
 
 
 def tile_plan(
@@ -112,43 +109,41 @@ def _expand_side(
     """Tag rows with (side, ta, tb), replicating across the other side's
     tile axis. Input: distinct (key, block, embedding) rows."""
 
-    class _Expand:
-        def __init__(self):
-            self.plan: dict[str, tuple[int, int]] = ray.get(plan_ref)
+    # Stateless task stage; the tile plan is a broadcast zero-copy read.
+    def _expand(batch: pa.Table) -> pa.Table:
+        plan: dict[str, tuple[int, int]] = ray.get(plan_ref)
+        keys = batch.column("key").to_pylist()
+        blocks = batch.column("block").to_pylist()
+        take_idx: list[int] = []
+        tas: list[int] = []
+        tbs: list[int] = []
+        for i, (k, blk) in enumerate(zip(keys, blocks)):
+            tiles = plan.get(blk)
+            if tiles is None:
+                continue  # block absent on the other side: no pairs
+            ta_n, tb_n = tiles
+            h = stable_hash(k)
+            if side == "a":
+                ta = h % ta_n
+                for tb in range(tb_n):
+                    take_idx.append(i)
+                    tas.append(ta)
+                    tbs.append(tb)
+            else:
+                tb = h % tb_n
+                for ta in range(ta_n):
+                    take_idx.append(i)
+                    tas.append(ta)
+                    tbs.append(tb)
+        out = batch.take(pa.array(take_idx, type=pa.int64()))
+        out = out.append_column("ta", pa.array(tas, type=pa.int32()))
+        out = out.append_column("tb", pa.array(tbs, type=pa.int32()))
+        out = out.append_column(
+            "side", pa.array([side] * len(take_idx), type=pa.string())
+        )
+        return out
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("key").to_pylist()
-            blocks = batch.column("block").to_pylist()
-            take_idx: list[int] = []
-            tas: list[int] = []
-            tbs: list[int] = []
-            for i, (k, blk) in enumerate(zip(keys, blocks)):
-                tiles = self.plan.get(blk)
-                if tiles is None:
-                    continue  # block absent on the other side: no pairs
-                ta_n, tb_n = tiles
-                h = stable_hash(k)
-                if side == "a":
-                    ta = h % ta_n
-                    for tb in range(tb_n):
-                        take_idx.append(i)
-                        tas.append(ta)
-                        tbs.append(tb)
-                else:
-                    tb = h % tb_n
-                    for ta in range(ta_n):
-                        take_idx.append(i)
-                        tas.append(ta)
-                        tbs.append(tb)
-            out = batch.take(pa.array(take_idx, type=pa.int64()))
-            out = out.append_column("ta", pa.array(tas, type=pa.int32()))
-            out = out.append_column("tb", pa.array(tbs, type=pa.int32()))
-            out = out.append_column(
-                "side", pa.array([side] * len(take_idx), type=pa.string())
-            )
-            return out
-
-    return ds.map_batches(_Expand, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(_expand, batch_format="pyarrow")
 
 
 _PAIR_SCHEMA = pa.schema(

@@ -109,31 +109,28 @@ def cluster_label_propagation(
         }
         lab_ref = ray.put(lab_map)
 
-        class _Messages:
-            def __init__(self):
-                self.lab = ray.get(lab_ref)
+        def _messages(batch: pa.Table) -> pa.Table:
+            lab = ray.get(lab_ref)
+            blks = batch.column("block").to_pylist()
+            kas = batch.column("key_a").to_pylist()
+            kbs = batch.column("key_b").to_pylist()
+            out_blk, out_key, out_lab = [], [], []
+            for b, ka, kb in zip(blks, kas, kbs):
+                la = lab.get((b, ka), ka)
+                lb = lab.get((b, kb), kb)
+                m = la if la < lb else lb
+                out_blk += [b, b]
+                out_key += [ka, kb]
+                out_lab += [m, m]
+            return pa.table(
+                {
+                    "block": pa.array(out_blk, type=pa.string()),
+                    "key": pa.array(out_key, type=pa.string()),
+                    "label": pa.array(out_lab, type=pa.string()),
+                }
+            )
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                blks = batch.column("block").to_pylist()
-                kas = batch.column("key_a").to_pylist()
-                kbs = batch.column("key_b").to_pylist()
-                out_blk, out_key, out_lab = [], [], []
-                for b, ka, kb in zip(blks, kas, kbs):
-                    la = self.lab.get((b, ka), ka)
-                    lb = self.lab.get((b, kb), kb)
-                    m = la if la < lb else lb
-                    out_blk += [b, b]
-                    out_key += [ka, kb]
-                    out_lab += [m, m]
-                return pa.table(
-                    {
-                        "block": pa.array(out_blk, type=pa.string()),
-                        "key": pa.array(out_key, type=pa.string()),
-                        "label": pa.array(out_lab, type=pa.string()),
-                    }
-                )
-
-        proposals = edges.map_batches(_Messages, batch_format="pyarrow").union(labels)
+        proposals = edges.map_batches(_messages, batch_format="pyarrow").union(labels)
         labels = (
             proposals.groupby(["block", "key"])
             .aggregate(Min("label", alias_name="label"))

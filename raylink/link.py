@@ -29,35 +29,31 @@ def score_pairs(
     R/fuzzylink.R:193-199) and ``match_probability`` (model scores; exact
     pairs forced 1.0, R/fuzzylink.R:391)."""
 
-    class _Score:
-        def __init__(self):
-            self.state = ray.get(model_state_ref)
-            self.labels: dict[tuple[str, str], str] = ray.get(labels_ref)
+    # Stateless task stage: model coefficients + label dict are broadcast
+    # refs, read zero-copy from the object store per task.
+    def _score(batch: pa.Table) -> pa.Table:
+        state = ray.get(model_state_ref)
+        labels: dict[tuple[str, str], str] = ray.get(labels_ref)
+        n = len(batch)
+        X = np.column_stack(
+            [batch.column(c).to_numpy(zero_copy_only=False) for c in feature_cols]
+        )
+        probs = predict_from_state(state, X)
+        ka = batch.column("key_a").to_pylist()
+        kb = batch.column("key_b").to_pylist()
+        match = [None] * n
+        for i in range(n):
+            if ka[i] == kb[i]:
+                match[i] = "Yes"
+                probs[i] = 1.0
+            else:
+                match[i] = labels.get((ka[i], kb[i]))
+        batch = batch.append_column("match", pa.array(match, type=pa.string()))
+        return batch.append_column(
+            "match_probability", pa.array(probs, type=pa.float64())
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            n = len(batch)
-            X = np.column_stack(
-                [
-                    batch.column(c).to_numpy(zero_copy_only=False)
-                    for c in feature_cols
-                ]
-            )
-            probs = predict_from_state(self.state, X)
-            ka = batch.column("key_a").to_pylist()
-            kb = batch.column("key_b").to_pylist()
-            match = [None] * n
-            for i in range(n):
-                if ka[i] == kb[i]:
-                    match[i] = "Yes"
-                    probs[i] = 1.0
-                else:
-                    match[i] = self.labels.get((ka[i], kb[i]))
-            batch = batch.append_column("match", pa.array(match, type=pa.string()))
-            return batch.append_column(
-                "match_probability", pa.array(probs, type=pa.float64())
-            )
-
-    return pairs.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 8))
+    return pairs.map_batches(_score, batch_format="pyarrow")
 
 
 def accept_filter(scored: ray.data.Dataset, cutoff: float) -> ray.data.Dataset:
@@ -126,30 +122,24 @@ def join_payloads(
     b_subset = b_subset.rename(columns=rename)
     b_ref = ray.put(b_subset)
 
-    class _Attach:
-        def __init__(self):
-            self.acc: pd.DataFrame = ray.get(acc_ref)
-            self.bpay: pd.DataFrame = ray.get(b_ref)
+    def _attach(batch: pd.DataFrame) -> pd.DataFrame:
+        acc: pd.DataFrame = ray.get(acc_ref)
+        bpay: pd.DataFrame = ray.get(b_ref)
+        out = batch.merge(
+            acc, how="left", left_on=[by, "block"], right_on=["key_a", "block"]
+        )
+        if "key_a" in out.columns:
+            out = out.drop(columns=["key_a"])
+        out = out.merge(
+            bpay,
+            how="left",
+            left_on=["key_b", "block"],
+            right_on=[by, "block"],
+            suffixes=("", "_bk"),
+        )
+        dup = [c for c in out.columns if c.endswith("_bk")]
+        if dup:
+            out = out.drop(columns=dup)
+        return out
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch.merge(
-                self.acc,
-                how="left",
-                left_on=[by, "block"],
-                right_on=["key_a", "block"],
-            )
-            if "key_a" in out.columns:
-                out = out.drop(columns=["key_a"])
-            out = out.merge(
-                self.bpay,
-                how="left",
-                left_on=["key_b", "block"],
-                right_on=[by, "block"],
-                suffixes=("", "_bk"),
-            )
-            dup = [c for c in out.columns if c.endswith("_bk")]
-            if dup:
-                out = out.drop(columns=dup)
-            return out
-
-    return ds_a.map_batches(_Attach, batch_format="pandas", concurrency=(1, 4))
+    return ds_a.map_batches(_attach, batch_format="pandas")

@@ -1,0 +1,179 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, surface statistics, quality scoring, language ID
+(n-gram/stopword heuristic), and rolling-hash document fingerprinting.
+
+All stateless vectorized ``map_batches`` stages over a ``text`` column;
+regexes are compiled once per worker via a callable class.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+def set_column(batch: pa.Table, name: str, arr: pa.Array) -> pa.Table:
+    """Append-or-replace, so derived stats don't collide with pre-existing
+    columns of the same name (e.g. documents.n_chars in the test tables)."""
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, arr)
+    return batch.append_column(name, arr)
+
+
+_WORD_RE = re.compile(r"\w+")
+_DIGIT_RE = re.compile(r"[0-9]")
+# a BPE-ish pretokenizer: words, numbers, or single non-space symbols
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it", "with", "was", "on", "as"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von", "auf", "den"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "un", "une", "des", "pour", "dans", "que"},
+    "es": {"el", "la", "los", "las", "y", "es", "no", "un", "una", "para", "en", "que", "por"},
+}
+
+
+class TextStats:
+    """Append integer surface statistics: n_chars, n_words (\\w+ runs),
+    n_digits, n_spaces. Integer outputs so a SQL oracle can reproduce them
+    bit-exactly."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        n_chars = np.empty(n, dtype=np.int64)
+        n_words = np.empty(n, dtype=np.int64)
+        n_digits = np.empty(n, dtype=np.int64)
+        n_spaces = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            n_chars[i] = len(t)
+            n_words[i] = len(_WORD_RE.findall(t))
+            n_digits[i] = len(_DIGIT_RE.findall(t))
+            n_spaces[i] = t.count(" ")
+        for name, arr in (
+            ("n_chars", n_chars),
+            ("n_words", n_words),
+            ("n_digits", n_digits),
+            ("n_spaces", n_spaces),
+        ):
+            batch = set_column(batch, name, pa.array(arr, type=pa.int64()))
+        return batch
+
+
+class TokenCount:
+    """Whitespace token count plus a BPE-ish pretokenizer count."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ws = pa.array([len(t.split()) for t in texts], type=pa.int64())
+        bpe = pa.array([len(_BPE_RE.findall(t)) for t in texts], type=pa.int64())
+        batch = set_column(batch, "n_ws_tokens", ws)
+        return set_column(batch, "n_bpe_tokens", bpe)
+
+
+class QualityScore:
+    """Heuristic document-quality features (length / punctuation / stopword
+    ratios) and a composite score in [0, 1]."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.punct = re.compile(r"[^\w\s]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        punct_ratio = np.empty(n)
+        stop_ratio = np.empty(n)
+        mean_word_len = np.empty(n)
+        score = np.empty(n)
+        stops = _STOPWORDS["en"]
+        for i, t in enumerate(texts):
+            words = t.lower().split()
+            nw = max(1, len(words))
+            punct_ratio[i] = len(self.punct.findall(t)) / max(1, len(t))
+            stop_ratio[i] = sum(w in stops for w in words) / nw
+            mean_word_len[i] = sum(len(w) for w in words) / nw
+            len_ok = 1.0 if 50 <= len(t) <= 20_000 else 0.3
+            wl_ok = 1.0 if 2.0 <= mean_word_len[i] <= 12.0 else 0.3
+            score[i] = len_ok * wl_ok * (1.0 - min(punct_ratio[i] * 2, 0.8))
+        for name, arr in (
+            ("punct_ratio", punct_ratio),
+            ("stop_ratio", stop_ratio),
+            ("mean_word_len", mean_word_len),
+            ("quality_score", score),
+        ):
+            batch = set_column(batch, name, pa.array(arr, type=pa.float64()))
+        return batch
+
+
+class LangId:
+    """Stopword-vote language heuristic over {en, de, fr, es}; 'und'
+    (undetermined) when no stopword hits."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        langs = []
+        for t in texts:
+            words = set(t.lower().split())
+            best, best_n = "und", 0
+            for lang, stops in _STOPWORDS.items():
+                k = len(words & stops)
+                if k > best_n:
+                    best, best_n = lang, k
+            langs.append(best)
+        return set_column(batch, "lang_pred", pa.array(langs, type=pa.string()))
+
+
+_FP_BASE = 1_000_003
+_FP_MOD = (1 << 61) - 1
+
+
+def _rolling_fingerprint(t: str) -> int:
+    h = 0
+    for ch in t:
+        h = (h * _FP_BASE + ord(ch)) % _FP_MOD
+    return h
+
+
+class Fingerprint:
+    """Deterministic rolling-hash document fingerprint (61-bit)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        fps = pa.array([_rolling_fingerprint(t) for t in texts], type=pa.int64())
+        return set_column(batch, "fingerprint", fps)
+
+
+def text_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(TextStats(text_col=text_col), batch_format="pyarrow")
+
+
+def token_counts(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(TokenCount(text_col=text_col), batch_format="pyarrow")
+
+
+def quality_scores(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(QualityScore(text_col=text_col), batch_format="pyarrow")
+
+
+def lang_id(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(LangId(text_col=text_col), batch_format="pyarrow")
+
+
+def fingerprints(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(Fingerprint(text_col=text_col), batch_format="pyarrow")

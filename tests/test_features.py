@@ -1,0 +1,106 @@
+"""Kernel unit tests (SURVEY.md §2.8 F1-F8) — hand-computed values and
+cross-checks against DuckDB's implementations where they exist."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from raylink.features import (
+    dot,
+    jaro_winkler_sim,
+    lcs_distance,
+    osa_distance,
+    pair_features_batch,
+    qgram_cosine_distance,
+    qgram_count_distance,
+    qgram_jaccard_distance,
+    soundex,
+    soundex_distance,
+)
+
+JW_CASES = [
+    ("martha", "marhta"),
+    ("dwayne", "duane"),
+    ("dixon", "dicksonx"),
+    ("joe biden", "joseph robinette biden"),
+    ("string_utils", "str_utils"),
+    ("abc", "abc"),
+    ("abc", "xyz"),
+]
+
+
+@pytest.mark.parametrize("a,b", JW_CASES)
+def test_jw_matches_duckdb_above_boost_threshold(a, b):
+    """With boost_threshold=0.7 our JW is bit-equal to DuckDB's."""
+    expected = duckdb.sql(
+        f"select jaro_winkler_similarity('{a}', '{b}')"
+    ).fetchone()[0]
+    assert jaro_winkler_sim(a, b, boost_threshold=0.7) == pytest.approx(
+        expected, abs=1e-12
+    )
+
+
+def test_jw_stringdist_semantics_unconditional_boost():
+    # jaro = 0.4444, prefix 1: stringdist applies the boost regardless
+    assert jaro_winkler_sim("aXXXXX", "aYYYYY") == pytest.approx(
+        0.4444444444444444 + 0.1 * 1 * (1 - 0.4444444444444444)
+    )
+    # equal strings
+    assert jaro_winkler_sim("abc", "abc") == 1.0
+    assert jaro_winkler_sim("", "") == 1.0
+    assert jaro_winkler_sim("a", "") == 0.0
+
+
+def test_osa():
+    assert osa_distance("ca", "abc") == 3  # classic restricted-DL example
+    assert osa_distance("abcd", "acbd") == 1  # one transposition
+    assert osa_distance("kitten", "sitting") == 3
+    assert osa_distance("", "abc") == 3
+    assert osa_distance("abc", "abc") == 0
+
+
+def test_lcs():
+    # stringdist lcs = insert/delete-only edit distance
+    assert lcs_distance("abc", "abc") == 0
+    assert lcs_distance("abc", "axc") == 2  # drop b, add x
+    assert lcs_distance("leia", "leela") == 3  # LCS('leia','leela') = 'lea'? -> lel? compute: LCS=3 ('lea'), 4+5-6=3
+    assert lcs_distance("", "ab") == 2
+
+
+def test_qgram_kernels():
+    # q=1 profiles: 'ab' vs 'ab'
+    assert qgram_count_distance("ab", "ab") == 0
+    assert qgram_count_distance("aab", "ab") == 1
+    assert qgram_jaccard_distance("abc", "bcd") == pytest.approx(1 - 2 / 4)
+    # cosine: 'aa' vs 'a' profiles are parallel -> distance 0
+    assert qgram_cosine_distance("aa", "a") == pytest.approx(0.0)
+    assert qgram_cosine_distance("ab", "cd") == pytest.approx(1.0)
+
+
+def test_soundex():
+    assert soundex("robert") == "R163"
+    assert soundex("rupert") == "R163"
+    assert soundex("ashcraft") == "A261"  # h/w skip rule
+    assert soundex("tymczak") == "T522"
+    assert soundex("pfister") == "P236"
+    assert soundex_distance("robert", "rupert") == 0
+    assert soundex_distance("robert", "smith") == 1
+
+
+def test_dot():
+    assert dot([0, 1], [1, 0]) == 0.0
+    assert dot([1, 2, 3], [4, 5, 6]) == 32.0
+
+
+def test_pair_features_batch():
+    out = pair_features_batch(
+        np.array(["Martha", "abc"], dtype=object),
+        np.array(["MARHTA", "abc"], dtype=object),
+        full=True,
+    )
+    # lowercased before kernels (R/fuzzylink.R:174)
+    assert out["jw"][0] == pytest.approx(jaro_winkler_sim("martha", "marhta"))
+    assert out["jw"][1] == 1.0
+    assert out["osa"][1] == 0.0
+    assert out["soundex"][0] == 0.0
+    assert set(out) == {"jw", "osa", "cosine", "jaccard", "lcs", "qgram", "soundex"}

@@ -1,0 +1,102 @@
+"""Pair generation: tiling must emit exactly the within-block cross product
+of distinct keys — once — regardless of tile size (hot-key salting path)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raylink.block import add_pair_features, distinct_keys, generate_pairs, tile_plan
+from raylink.embed import HashedNgramEmbedder
+from raylink.schema import add_block_key
+
+
+def _keyed(rows, blocking):
+    ds = rd.from_arrow(pa.table(rows))
+    ds = add_block_key(ds, blocking)
+    return distinct_keys(ds, "key")
+
+
+def _embed(ds, dim=32):
+    return ds.map_batches(
+        HashedNgramEmbedder,
+        fn_constructor_kwargs={"dim": dim, "text_col": "key"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),  # autoscaling pool: min 1 actor so a 4-CPU test
+        # session running two embed pools + sort + map tasks can't starve
+    )
+
+
+@pytest.mark.parametrize("tile_rows", [2, 3, 1024])
+def test_pairs_complete_and_unique(tile_rows):
+    rows_a = {
+        "key": ["a1", "a2", "a3", "a4", "x"],
+        "lang": ["py", "py", "py", "c", "go"],
+    }
+    rows_b = {
+        "key": ["b1", "b2", "b3", "x", "y"],
+        "lang": ["py", "py", "c", "c", "rb"],
+    }
+    ka = _keyed(rows_a, ["lang"])
+    kb = _keyed(rows_b, ["lang"])
+    pairs = generate_pairs(_embed(ka), _embed(kb), 32, tile_rows).to_pandas()
+
+    expected = set()
+    for i, (k, l) in enumerate(zip(rows_a["key"], rows_a["lang"])):
+        for j, (k2, l2) in enumerate(zip(rows_b["key"], rows_b["lang"])):
+            if l == l2:
+                expected.add((l, k, k2))
+    got = set(zip(pairs["block"], pairs["key_a"], pairs["key_b"]))
+    assert got == expected
+    assert len(pairs) == len(got)  # no duplicates
+
+
+def test_pair_sim_is_cosine():
+    ka = _keyed({"key": ["string_utils"], "lang": ["py"]}, ["lang"])
+    kb = _keyed({"key": ["str_utils", "zebra"], "lang": ["py", "py"]}, ["lang"])
+    pairs = generate_pairs(_embed(ka), _embed(kb), 32, 1024).to_pandas()
+    emb = HashedNgramEmbedder(dim=32)
+    for _, r in pairs.iterrows():
+        expect = float(
+            emb.encode_one(r["key_a"]).astype(np.float32)
+            @ emb.encode_one(r["key_b"]).astype(np.float32)
+        )
+        assert r["sim"] == pytest.approx(expect, abs=1e-5)
+
+
+def test_tile_plan_skips_single_sided_blocks():
+    ka = _keyed({"key": ["a"], "lang": ["py"]}, ["lang"])
+    kb = _keyed({"key": ["b"], "lang": ["c"]}, ["lang"])
+    plan = tile_plan(ka, kb, 1024)
+    assert plan == {}
+
+
+def test_tile_plan_splits_hot_block():
+    n = 50
+    ka = _keyed({"key": [f"a{i}" for i in range(n)], "lang": ["py"] * n}, ["lang"])
+    kb = _keyed({"key": [f"b{i}" for i in range(n)], "lang": ["py"] * n}, ["lang"])
+    plan = tile_plan(ka, kb, 10)
+    assert plan["py"] == (5, 5)
+
+
+def test_sim_floor_prunes():
+    ka = _keyed({"key": ["string_utils"], "lang": ["py"]}, ["lang"])
+    kb = _keyed(
+        {"key": ["string_utils", "qqwwzz"], "lang": ["py", "py"]}, ["lang"]
+    )
+    pairs = generate_pairs(_embed(ka), _embed(kb), 32, 1024, sim_floor=0.9).to_pandas()
+    assert list(pairs["key_b"]) == ["string_utils"]
+
+
+def test_add_pair_features_columns():
+    ka = _keyed({"key": ["abc"], "lang": ["py"]}, ["lang"])
+    kb = _keyed({"key": ["abc", "abd"], "lang": ["py", "py"]}, ["lang"])
+    pairs = add_pair_features(
+        generate_pairs(_embed(ka), _embed(kb), 32, 1024), full=True
+    ).to_pandas()
+    assert {"jw", "osa", "cosine", "jaccard", "lcs", "qgram", "soundex", "exact"} <= set(
+        pairs.columns
+    )
+    exact_row = pairs[pairs["key_b"] == "abc"].iloc[0]
+    assert bool(exact_row["exact"]) and exact_row["jw"] == 1.0
