@@ -1,16 +1,18 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the raylink engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship linkage pipeline on a corpus deterministically
+derived from ``/root/testdata/sf0.001/documents.parquet``; ``queries()``
+exposes one callable per implemented operator/pipeline (SURVEY.md §2), and
+``oracle_sql()`` the DuckDB-equivalent SQL for every SQL-expressible one
+(linkage/active-learning, sketch-based dedup and hash fingerprints are
+rows-only by nature).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the caller BEFORE this module is imported; nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
+
+Float-safety convention for oracle-checked queries: money/price sums travel
+as integer cents (``*_cents``), similarity scores as ``*_e6`` integers, so
+cross-engine double rounding can never flip a value hash.
 """
 
 from __future__ import annotations
@@ -18,27 +20,462 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# flagship linkage (memoized per sf_dir so multiple queries share one run)
+
+_LINK_CACHE: dict[str, Any] = {}
+
+
+def _run_linkage(sf_dir: str):
+    if sf_dir in _LINK_CACHE:
+        return _LINK_CACHE[sf_dir]
+    import raylink
+    from raylink.schema import prepare_corpus
+    from raylink.synth import corpus_from_documents, truth_label_dict
+    from raylink.util import from_arrow_blocks
+
+    ca, cb, truth = corpus_from_documents(sf_dir, seed=42)
+    oracle = raylink.DeterministicOracle(truth_label_dict(truth))
+    cfg = raylink.LinkConfig(by="key", blocking=["lang"], seed=42)
+    res = raylink.fuzzylink(
+        prepare_corpus(from_arrow_blocks(ca)),
+        prepare_corpus(from_arrow_blocks(cb)),
+        oracle,
+        cfg,
+    )
+    _LINK_CACHE[sf_dir] = (res, truth)
+    return _LINK_CACHE[sf_dir]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: corpus linkage at sf0.001 → linked (dfA-complete) table."""
+    res, _ = _run_linkage("/root/testdata/sf0.001")
+    return res.linked
+
+
+# --------------------------------------------------------------------------
+# queries
+
+
+def _q_q1_agg(sf_dir: str):
+    from raylink.ops.relational import preagg_sum_count
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t.column("l_quantity"), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": qty,
+                "price_cents": cents,
+            }
+        )
+
+    pre = li.map_batches(_cents, batch_format="pyarrow")
+    out = preagg_sum_count(
+        pre, ["l_returnflag", "l_linestatus"], {"qty": "sum_qty", "price_cents": "sum_price_cents"}
+    )
+    df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    df["sum_qty"] = df["sum_qty"].astype("int64")
+    df["sum_price_cents"] = df["sum_price_cents"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def _q_lower_distinct(sf_dir: str):
+    from raylink.ops.relational import lower_distinct
+
+    return lower_distinct(_read(sf_dir, "part", columns=["p_type"]), "p_type")
+
+
+def _q_union_distinct(sf_dir: str):
+    from raylink.ops.relational import union_distinct
+
+    return union_distinct(
+        _read(sf_dir, "customer", columns=["c_name"]), "c_name",
+        _read(sf_dir, "supplier", columns=["s_name"]), "s_name",
+        out_col="name",
+    )
+
+
+def _q_semi_join(sf_dir: str):
+    from raylink.ops.relational import semi_join
+    from raylink.ops.relational import preagg_sum_count
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).to_pandas()
+    rich = set(cust.loc[cust["c_acctbal"] > 5000.0, "c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    filt = semi_join(orders, "o_custkey", rich)
+
+    def _one(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderpriority": t.column("o_orderpriority"),
+             "one": pa.array(np.ones(len(t), dtype=np.int64))}
+        )
+
+    out = preagg_sum_count(
+        filt.map_batches(_one, batch_format="pyarrow"), ["o_orderpriority"], {"one": "n_orders"}
+    ).select_columns(["o_orderpriority", "n_orders"])
+    df = out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df
+
+
+def _q_payload_join(sf_dir: str):
+    from raylink.ops.relational import broadcast_left_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    out = broadcast_left_join(cust, nat, ["c_nationkey"], ["n_nationkey"])
+    df = out.to_pandas()[["c_custkey", "c_name", "n_name"]]
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+def _q_grouped_topk(sf_dir: str):
+    from raylink.ops.relational import grouped_topk
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"])
+    out = grouped_topk(li, "l_returnflag", "l_extendedprice", 2)
+    df = out.to_pandas()
+    df["price_cents"] = np.round(df["l_extendedprice"] * 100).astype("int64")
+    df = df[["l_returnflag", "l_orderkey", "l_linenumber", "price_cents"]]
+    return df.sort_values(["l_returnflag", "l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+def _q_sort_limit(sf_dir: str):
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    top = orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    df = top.to_pandas()
+    df["total_cents"] = np.round(df["o_totalprice"] * 100).astype("int64")
+    return df[["o_orderkey", "total_cents"]]
+
+
+def _q_events_rank(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["event_id", "user_id", "rn"]]
+
+    out = ev.groupby("user_id").map_groups(_rank, batch_format="pandas")
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def _q_dedup_exact(sf_dir: str):
+    from raylink.ops.dedup import dedup_exact
+
+    out = dedup_exact(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_text_stats(sf_dir: str):
+    from raylink.ops.text import text_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text_stats(docs).select_columns(
+        ["doc_id", "n_chars", "n_words", "n_digits", "n_spaces"]
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_token_counts(sf_dir: str):
+    from raylink.ops.text import token_counts
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = token_counts(docs).select_columns(["doc_id", "n_ws_tokens"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_jw(sf_dir: str):
+    """F1 kernel over a broadcast cross product, DuckDB-checkable."""
+    from raylink.features import jaro_winkler_sim
+
+    import ray
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    ref = ray.put(list(zip(supp["s_suppkey"], supp["s_name"])))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def _cross(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        sup = _ray.get(ref)
+        ck = batch.column("c_custkey").to_pylist()
+        cn = batch.column("c_name").to_pylist()
+        out_c, out_s, out_j = [], [], []
+        for c_id, c_name in zip(ck, cn):
+            cl = c_name.lower()
+            for s_id, s_name in sup:
+                jw = jaro_winkler_sim(cl, s_name.lower(), boost_threshold=0.7)
+                out_c.append(c_id)
+                out_s.append(s_id)
+                out_j.append(int(round(jw * 1_000_000)))
+        return pa.table(
+            {
+                "c_custkey": pa.array(out_c, type=pa.int64()),
+                "s_suppkey": pa.array(out_s, type=pa.int64()),
+                "jw_e6": pa.array(out_j, type=pa.int64()),
+            }
+        )
+
+    out = cust.map_batches(_cross, batch_format="pyarrow")
+    return out.to_pandas().sort_values(["c_custkey", "s_suppkey"]).reset_index(drop=True)
+
+
+def _q_ann_topk(sf_dir: str):
+    from raylink.ops.ann import knn_brute_force
+
+    embs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = None
+    for row in embs.iter_rows():
+        if row["vec_id"] == 0:
+            q = np.asarray(row["embedding"], dtype=np.float64)
+            break
+    res = knn_brute_force(embs, q, k=5, exclude_ids={0})
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(res[0]) + 1, dtype=np.int64),
+            "vec_id": [i for _, i in res[0]],
+        }
+    )
+
+
+# ---- rows-only (non-SQL-expressible) queries -----------------------------
+
+
+def _q_fuzzylink_linked(sf_dir: str):
+    res, _ = _run_linkage(sf_dir)
+    return res.linked
+
+
+def _q_fuzzylink_accepted(sf_dir: str):
+    res, _ = _run_linkage(sf_dir)
+    return res.accepted.select_columns(
+        ["block", "key_a", "key_b", "sim", "jw", "match", "match_probability"]
+    )
+
+
+def _q_entity_clusters(sf_dir: str):
+    res, _ = _run_linkage(sf_dir)
+    return res.clusters
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from raylink.ops.dedup import minhash_lsh_candidates, verify_jaccard
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = minhash_lsh_candidates(docs, num_perm=32, bands=8)
+    out = verify_jaccard(cands, docs, threshold=0.5)
+    df = out.to_pandas()
+    df["jaccard_e6"] = np.round(df["jaccard"] * 1e6).astype("int64")
+    return df[["id_a", "id_b", "jaccard_e6"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_simhash_dedup(sf_dir: str):
+    from raylink.ops.dedup import simhash_near_dups
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dups(docs, max_hamming=6).to_pandas().sort_values(
+        ["id_a", "id_b"]
+    ).reset_index(drop=True)
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    from raylink.ops.dedup import embedding_near_dups
+
+    embs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = embedding_near_dups(embs, threshold=0.8, id_col="vec_id").to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                           "id_b": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    df["cosine_e6"] = np.round(df["cosine"] * 1e6).astype("int64")
+    return df[["id_a", "id_b", "cosine_e6"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_lang_id(sf_dir: str):
+    from raylink.ops.text import lang_id
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return lang_id(docs).select_columns(["doc_id", "lang_pred"]).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def _q_quality(sf_dir: str):
+    from raylink.ops.text import quality_scores
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = quality_scores(docs).select_columns(["doc_id", "quality_score"]).to_pandas()
+    df["quality_e6"] = np.round(df["quality_score"] * 1e6).astype("int64")
+    return df[["doc_id", "quality_e6"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_fingerprint(sf_dir: str):
+    from raylink.ops.text import fingerprints
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return fingerprints(docs).select_columns(["doc_id", "fingerprint"]).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def _q_knn_ivf(sf_dir: str):
+    from raylink.ops.ann import build_ivf_index, knn_ivf
+
+    embs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = None
+    for row in embs.iter_rows():
+        if row["vec_id"] == 0:
+            q = np.asarray(row["embedding"], dtype=np.float64)
+            break
+    cent, bucketed = build_ivf_index(embs, num_centroids=8)
+    res = knn_ivf(bucketed, cent, q, k=6, nprobe=3)
+    hits = [i for _, i in res[0] if i != 0][:5]
+    return pd.DataFrame({"rank": np.arange(1, len(hits) + 1, dtype=np.int64), "vec_id": hits})
+
+
+def _q_multimodal_decode(sf_dir: str):
+    from raylink.ops.multimodal import decode_images, fake_media_table
+
+    rd = _rd()
+    media = rd.from_arrow(fake_media_table(64, seed=42))
+    out = decode_images(media, dim=8, fake=True)
+    df = out.to_pandas()
+    df["feat0_e6"] = [int(round(float(f[0]) * 1e6)) for f in df["feat"]]
+    return df[["media_id", "kind", "feat0_e6"]].sort_values("media_id").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-checked (operator inventory: aggregation, maps, joins, sorts)
+        "q1_agg": _q_q1_agg,
+        "lower_distinct": _q_lower_distinct,
+        "union_distinct": _q_union_distinct,
+        "semi_join": _q_semi_join,
+        "payload_join": _q_payload_join,
+        "grouped_topk": _q_grouped_topk,
+        "sort_limit": _q_sort_limit,
+        "events_rank": _q_events_rank,
+        "dedup_exact": _q_dedup_exact,
+        "text_stats": _q_text_stats,
+        "token_counts": _q_token_counts,
+        "jw_kernel": _q_jw,
+        "ann_topk": _q_ann_topk,
+        # rows-only (iterative / model-driven / sketch-based)
+        "fuzzylink_linked": _q_fuzzylink_linked,
+        "fuzzylink_accepted": _q_fuzzylink_accepted,
+        "entity_clusters": _q_entity_clusters,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "lang_id": _q_lang_id,
+        "quality_scores": _q_quality,
+        "fingerprint": _q_fingerprint,
+        "knn_ivf": _q_knn_ivf,
+        "multimodal_decode": _q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "lower_distinct": """
+            SELECT DISTINCT lower(p_type) AS p_type FROM part ORDER BY p_type
+        """,
+        "union_distinct": """
+            SELECT DISTINCT name FROM (
+                SELECT c_name AS name FROM customer
+                UNION SELECT s_name AS name FROM supplier
+            ) ORDER BY name
+        """,
+        "semi_join": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "payload_join": """
+            SELECT c_custkey, c_name, n_name
+            FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY c_custkey
+        """,
+        "grouped_topk": """
+            SELECT l_returnflag, l_orderkey, l_linenumber,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+            FROM lineitem
+            QUALIFY RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) <= 2
+            ORDER BY l_returnflag, l_orderkey, l_linenumber
+        """,
+        "sort_limit": """
+            SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "events_rank": """
+            SELECT event_id, user_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+            FROM events ORDER BY event_id
+        """,
+        "dedup_exact": """
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_words,
+                   CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+                   CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+            FROM documents ORDER BY doc_id
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "jw_kernel": """
+            SELECT c_custkey, s_suppkey,
+                   CAST(ROUND(jaro_winkler_similarity(lower(c_name), lower(s_name)) * 1000000) AS BIGINT) AS jw_e6
+            FROM customer CROSS JOIN supplier
+            ORDER BY c_custkey, s_suppkey
+        """,
+        "ann_topk": """
+            SELECT CAST(RANK() OVER (ORDER BY list_cosine_similarity(e2.embedding, e1.embedding) DESC, e2.vec_id) AS BIGINT) AS rank,
+                   e2.vec_id
+            FROM embeddings e1 CROSS JOIN embeddings e2
+            WHERE e1.vec_id = 0 AND e2.vec_id <> 0
+            QUALIFY rank <= 5
+            ORDER BY rank
+        """,
+    }

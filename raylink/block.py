@@ -83,24 +83,67 @@ def semi_join_blocks(
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
-def tile_plan(
-    keys_a: ray.data.Dataset, keys_b: ray.data.Dataset, tile_rows: int
+def block_histograms(
+    keys_a: ray.data.Dataset, keys_b: ray.data.Dataset
+) -> tuple[dict[str, int], dict[str, int]]:
+    """Per-block distinct-key counts for both sides — the single pair of
+    small driver-side aggregates everything else (tile plan, exact pair
+    count, skew report) derives from."""
+    ca = keys_a.groupby("block").aggregate(Count(alias_name="n")).to_pandas()
+    cb = keys_b.groupby("block").aggregate(Count(alias_name="n")).to_pandas()
+    na = {b: int(n) for b, n in zip(ca["block"], ca["n"])}
+    nb = {b: int(n) for b, n in zip(cb["block"], cb["n"])}
+    return na, nb
+
+
+def tile_plan_from_hist(
+    na: dict[str, int], nb: dict[str, int], tile_rows: int
 ) -> dict[str, tuple[int, int]]:
-    """Per-block (Ta, Tb) tile counts from per-block distinct-key histograms
-    (two small driver-side aggregates — the explicit skew plan of
+    """Per-block (Ta, Tb) tile counts (the explicit skew plan of
     SURVEY.md §4). Blocks missing on either side are excluded (they can emit
     no pairs; the reference skips them via the NA sentinel,
     R/fuzzylink.R:137-141)."""
-    ca = keys_a.groupby("block").aggregate(Count(alias_name="n")).to_pandas()
-    cb = keys_b.groupby("block").aggregate(Count(alias_name="n")).to_pandas()
-    na = dict(zip(ca["block"], ca["n"]))
-    nb = dict(zip(cb["block"], cb["n"]))
     plan = {}
     for blk in set(na) & set(nb):
-        ta = -(-int(na[blk]) // tile_rows)
-        tb = -(-int(nb[blk]) // tile_rows)
+        ta = -(-na[blk] // tile_rows)
+        tb = -(-nb[blk] // tile_rows)
         plan[blk] = (ta, tb)
     return plan
+
+
+def pair_count_from_hist(na: dict[str, int], nb: dict[str, int]) -> int:
+    """Exact candidate-pair count Σ_block |A_b|·|B_b| (no materialization)."""
+    return int(sum(na[b] * nb[b] for b in set(na) & set(nb)))
+
+
+def tile_plan(
+    keys_a: ray.data.Dataset, keys_b: ray.data.Dataset, tile_rows: int
+) -> dict[str, tuple[int, int]]:
+    na, nb = block_histograms(keys_a, keys_b)
+    return tile_plan_from_hist(na, nb, tile_rows)
+
+
+def _spread_blocks(both: ray.data.Dataset, plan: dict) -> ray.data.Dataset:
+    """Ensure the expanded key rows reach the groupby sort in enough blocks.
+
+    The sort shuffle behind groupby sizes its output partitioning from the
+    input block count; a distinct-key table arriving in 1-2 blocks would
+    serialize the fused pairgen→features→scoring chain. The repartition
+    (an extra barrier) is only inserted when the input really is
+    under-partitioned."""
+    try:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n_cpus = 8
+    total_groups = sum(ta * tb for ta, tb in plan.values()) or 1
+    want = min(max(2 * n_cpus, 8), max(total_groups, 8))
+    try:
+        have = both.num_blocks()
+    except Exception:
+        have = 0
+    if have >= want:
+        return both
+    return both.repartition(want)
 
 
 def _expand_side(
@@ -166,18 +209,20 @@ def generate_pairs(
     dim: int,
     tile_rows: int,
     sim_floor: float | None = None,
+    plan: dict | None = None,
 ) -> ray.data.Dataset:
     """J2: within-block cross product with cosine similarity, tiled.
 
     Inputs are the per-side distinct ``(key, block, embedding)`` datasets.
     Output streams ``(block, key_a, key_b, sim)`` pair rows.
     """
-    plan = tile_plan(keys_emb_a, keys_emb_b, tile_rows)
+    if plan is None:
+        plan = tile_plan(keys_emb_a, keys_emb_b, tile_rows)
     plan_ref = ray.put(plan)
 
     ea = _expand_side(keys_emb_a, plan_ref, "a")
     eb = _expand_side(keys_emb_b, plan_ref, "b")
-    both = ea.union(eb)
+    both = _spread_blocks(ea.union(eb), plan)
 
     def _pairgen(group: pa.Table) -> pa.Table:
         side = group.column("side")
@@ -218,6 +263,130 @@ def generate_pairs(
     )
 
 
+def generate_scored_pairs(
+    keys_emb_a: ray.data.Dataset,
+    keys_emb_b: ray.data.Dataset,
+    dim: int,
+    tile_rows: int,
+    model_state: dict,
+    cutoff: float,
+    labels: dict | None = None,
+    emit: str = "accepted",
+    plan: dict | None = None,
+    embed_in_tile: bool = False,
+) -> ray.data.Dataset:
+    """Fused tile stage: pair-gen + lexical features + scoring + acceptance
+    in ONE ``map_groups`` task per tile.
+
+    This is the production wide path: at 10¹²-file scale the intermediate
+    pair stream (≈70 B/pair) must never hit the object store between
+    stages — each tile computes its cosine matmul, index-expanded
+    Jaro-Winkler (``jw_cross``: each side encoded once per tile), the
+    broadcast-model probability and the acceptance predicate in-core, and
+    emits only the surviving rows (``emit='accepted'``) or the full scored
+    tile (``emit='all'``, reference ``return_all_pairs`` semantics).
+    The unfused ``generate_pairs`` → ``add_pair_features`` →
+    ``score_pairs`` composition remains for the label-loop phase, which
+    needs the whole slim pair table anyway.
+    """
+    from raylink.features import jw_cross
+    from raylink.learner import predict_from_state
+
+    if plan is None:
+        plan = tile_plan(keys_emb_a, keys_emb_b, tile_rows)
+    plan_ref = ray.put(plan)
+    state_ref = ray.put(model_state)
+    labels_ref = ray.put(labels or {})
+
+    ea = _expand_side(keys_emb_a, plan_ref, "a")
+    eb = _expand_side(keys_emb_b, plan_ref, "b")
+    both = _spread_blocks(ea.union(eb), plan)
+
+    out_schema = pa.schema(
+        [
+            ("block", pa.string()),
+            ("key_a", pa.string()),
+            ("key_b", pa.string()),
+            ("sim", pa.float64()),
+            ("jw", pa.float64()),
+            ("exact", pa.bool_()),
+            ("match", pa.string()),
+            ("match_probability", pa.float64()),
+        ]
+    )
+
+    def _fused(group: pa.Table) -> pa.Table:
+        side = group.column("side")
+        mask_a = pc.equal(side, "a")
+        ga = group.filter(mask_a)
+        gb = group.filter(pc.invert(mask_a))
+        if len(ga) == 0 or len(gb) == 0:
+            return out_schema.empty_table()
+        state = ray.get(state_ref)
+        label_map: dict = ray.get(labels_ref)
+        keys_a = ga.column("key").to_pylist()
+        keys_b = gb.column("key").to_pylist()
+        if embed_in_tile:
+            from raylink.embed import worker_embedder
+
+            we = worker_embedder(dim)
+            emb_a = we.encode_many(keys_a)
+            emb_b = we.encode_many(keys_b)
+        else:
+            emb_a = embeddings_to_numpy(ga.column("embedding"), dim)
+            emb_b = embeddings_to_numpy(gb.column("embedding"), dim)
+        sims = (emb_a @ emb_b.T).astype(np.float64)
+        na, nb = len(ga), len(gb)
+        ai = np.repeat(np.arange(na), nb)
+        bi = np.tile(np.arange(nb), na)
+        simf = sims.reshape(-1)
+        low_a = [k.lower() for k in keys_a]
+        low_b = [k.lower() for k in keys_b]
+        jw = jw_cross(low_a, low_b, ai, bi)
+        X = np.column_stack([simf, jw])
+        probs = predict_from_state(state, X)
+        arr_a = np.asarray(keys_a, dtype=object)
+        arr_b = np.asarray(keys_b, dtype=object)
+        exact = arr_a[ai] == arr_b[bi]
+        probs = np.where(exact, 1.0, probs)
+        if label_map:
+            match = np.asarray(
+                [
+                    "Yes" if e else label_map.get((a, b))
+                    for a, b, e in zip(arr_a[ai], arr_b[bi], exact)
+                ],
+                dtype=object,
+            )
+            labeled_yes = match == "Yes"
+            unlabeled = np.asarray([m is None for m in match])
+        else:
+            match = np.where(exact, "Yes", None)
+            labeled_yes = exact
+            unlabeled = ~exact
+        if emit == "accepted":
+            keep = labeled_yes | (unlabeled & (probs > cutoff))
+        else:
+            keep = np.ones(len(ai), dtype=bool)
+        ai, bi = ai[keep], bi[keep]
+        return pa.table(
+            {
+                "block": ga.column("block").take(pa.array(np.zeros(len(ai), dtype=np.int64))),
+                "key_a": pa.array(arr_a[ai], type=pa.string()),
+                "key_b": pa.array(arr_b[bi], type=pa.string()),
+                "sim": pa.array(simf[keep]),
+                "jw": pa.array(jw[keep]),
+                "exact": pa.array(exact[keep]),
+                "match": pa.array(match[keep], type=pa.string()),
+                "match_probability": pa.array(probs[keep]),
+            },
+            schema=out_schema,
+        )
+
+    return both.groupby(["block", "ta", "tb"]).map_groups(
+        _fused, batch_format="pyarrow"
+    )
+
+
 def add_pair_features(
     pairs: ray.data.Dataset, full: bool = False
 ) -> ray.data.Dataset:
@@ -236,4 +405,6 @@ def add_pair_features(
         exact = pc.equal(batch.column("key_a"), batch.column("key_b"))
         return batch.append_column("exact", exact)
 
-    return pairs.map_batches(_feat, batch_format="pyarrow")
+    # big batches: the vectorized jw kernel amortizes its per-op numpy
+    # overhead over ~16k pairs at a time
+    return pairs.map_batches(_feat, batch_format="pyarrow", batch_size=16384)

@@ -46,6 +46,13 @@ class LinkConfig:
     # Hash-join partition count for Dataset.join stages; None = scaled to
     # the cluster CPU count (util.default_join_partitions).
     join_partitions: int | None = None
+    # Target Ray Data block size (bytes) while the pair stream is live.
+    # The sort-based groupby behind pair-gen coalesces output to
+    # target_max_block_size; at the default 128 MiB a few-hundred-MB pair
+    # stream lands in a handful of blocks and the downstream feature /
+    # scoring stages lose their parallelism. 16 MiB keeps block count ≈
+    # a small multiple of cluster CPUs. None = leave the global default.
+    pair_block_bytes: int | None = 16 * 1024 * 1024
     # Driver caps: the slim pair table (key_a, key_b, sim, jw, block) is
     # materialized to the driver for the faithful active-learning / recall
     # loops only when its row count is below this cap; the reference holds it

@@ -124,6 +124,29 @@ def embeddings_to_numpy(col: pa.ChunkedArray | pa.Array, dim: int) -> np.ndarray
 
 
 # --------------------------------------------------------------------------
+# Worker-cached embedder for in-tile encoding
+
+_WORKER_EMBEDDERS: dict[tuple, HashedNgramEmbedder] = {}
+
+
+def worker_embedder(dim: int = 256, ngrams: tuple[int, ...] = (2, 3)) -> HashedNgramEmbedder:
+    """Process-global embedder instance (per Ray worker), string-memoized.
+
+    Lets stateless tile tasks encode their keys locally instead of shipping
+    a 1 KB embedding per replicated row through the pair-gen shuffle —
+    correct whenever the encoder is deterministic and cheap (the hashed
+    n-gram default). Expensive model encoders should use the shuffle-borne
+    embedding column path instead (``generate_pairs`` on pre-embedded
+    inputs)."""
+    key = (dim, ngrams)
+    emb = _WORKER_EMBEDDERS.get(key)
+    if emb is None:
+        emb = HashedNgramEmbedder(dim=dim, ngrams=ngrams)
+        _WORKER_EMBEDDERS[key] = emb
+    return emb
+
+
+# --------------------------------------------------------------------------
 # Standalone API parity with the reference exports
 
 

@@ -228,6 +228,169 @@ def dot(x, y) -> float:
 
 
 # --------------------------------------------------------------------------
+# Vectorized Jaro-Winkler (the hot-path kernel)
+
+_JW_CAP = 64  # strings longer than this (or with NUL/surrogates) take the scalar path
+
+
+def _encode_strings(strings: list[str], L: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Strings → ((n, L) uint16 code-unit matrix, lengths, ok-mask).
+    Rows that exceed L, contain NUL, or use surrogate pairs get ok=False
+    (callers route those through the scalar kernel)."""
+    n = len(strings)
+    enc = [s.encode("utf-16-le") for s in strings]
+    ln = np.fromiter((len(e) >> 1 for e in enc), dtype=np.int64, count=n)
+    ok = ln <= L
+    M = np.zeros((n, L), dtype=np.uint16)
+    for i in range(n):
+        if ok[i] and ln[i]:
+            M[i, : ln[i]] = np.frombuffer(enc[i], dtype=np.uint16)
+    bad = ((M >= 0xD800) & (M < 0xE000)).any(axis=1)
+    ok &= ~bad
+    return M, ln, ok
+
+
+def jw_batch(
+    list_a: list[str],
+    list_b: list[str],
+    p: float = 0.1,
+    boost_threshold: float = 0.0,
+) -> np.ndarray:
+    """Numpy-vectorized Jaro-Winkler similarity over aligned string lists.
+
+    Chars are compared as UTF-16 code units ((n, L) uint16 matrices); the
+    greedy match scan runs as ~L×(2w+1) vectorized steps over all pairs at
+    once instead of a per-pair python loop (~10× the scalar kernel).
+    Exactly matches :func:`jaro_winkler_sim` (validated in tests); rare rows
+    (len > 64, NUL, astral plane) fall back to the scalar kernel.
+    """
+    n = len(list_a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    A, la, ok_a = _encode_strings(list_a, _JW_CAP)
+    B, lb, ok_b = _encode_strings(list_b, _JW_CAP)
+    L = max(int(max(la.max(initial=0), lb.max(initial=0))), 1)
+    L = min(L, _JW_CAP)
+    A, B = A[:, :L], B[:, :L]
+    ok = ok_a & ok_b
+    out = np.zeros(n, dtype=np.float64)
+    for i, (sa, sb) in enumerate(zip(list_a, list_b)):
+        if not ok[i]:
+            out[i] = jaro_winkler_sim(sa, sb, p, boost_threshold)
+    if not ok.any():
+        return out
+
+    out[ok] = _jw_core(A, B, la, lb, ok, p, boost_threshold)[ok]
+    return out
+
+
+def _jw_core(
+    A: np.ndarray,
+    B: np.ndarray,
+    la: np.ndarray,
+    lb: np.ndarray,
+    ok: np.ndarray,
+    p: float,
+    boost_threshold: float,
+) -> np.ndarray:
+    """Vectorized JW over pre-encoded (n, L) uint16 matrices; values are
+    only meaningful where ``ok``."""
+    n, L = A.shape
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    wmax = int(w[ok].max())
+    Lmax = int(la[ok].max())
+
+    # column-major layout + precomputed masks keep the (i, d) scan to a few
+    # contiguous vector ops per step
+    AT = np.ascontiguousarray(A.T)  # (L, n)
+    BT = np.ascontiguousarray(B.T)
+    ma_T = np.zeros((L, n), dtype=bool)
+    mb_T = np.zeros((L, n), dtype=bool)
+    j_in_b = np.arange(L)[:, None] < lb[None, :]  # (L, n)
+    dmask = [dd <= w for dd in range(wmax + 1)]
+    for i in range(Lmax):
+        active = ok & (i < la)
+        if not active.any():
+            break
+        ai = AT[i]
+        found = ~active
+        for d in range(-wmax, wmax + 1):
+            j = i + d
+            if j < 0 or j >= L:
+                continue
+            hit = (BT[j] == ai) & ~found & dmask[abs(d)] & j_in_b[j] & ~mb_T[j]
+            if hit.any():
+                ma_T[i] |= hit
+                mb_T[j] |= hit
+                found |= hit
+    matched_a = ma_T.T
+    matched_b = mb_T.T
+
+    m = matched_a.sum(axis=1)
+
+    # transpositions: matched chars of A in i-order vs matched chars of B in
+    # j-order, scattered into aligned (n, L) sequence buffers
+    seq_a = np.zeros((n, L), dtype=np.uint16)
+    seq_b = np.zeros((n, L), dtype=np.uint16)
+    rows, cols = np.nonzero(matched_a)
+    pos = (np.cumsum(matched_a, axis=1) - 1)[rows, cols]
+    seq_a[rows, pos] = A[rows, cols]
+    rows, cols = np.nonzero(matched_b)
+    pos = (np.cumsum(matched_b, axis=1) - 1)[rows, cols]
+    seq_b[rows, pos] = B[rows, cols]
+    valid = np.arange(L)[None, :] < m[:, None]
+    t = (((seq_a != seq_b) & valid).sum(axis=1) // 2).astype(np.float64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mf = m.astype(np.float64)
+        jaro = (mf / la + mf / lb + (mf - t) / mf) / 3.0
+    jaro = np.where(m == 0, 0.0, jaro)
+    jaro = np.where((la == 0) & (lb == 0), 1.0, jaro)
+    jaro = np.where(((la == 0) ^ (lb == 0)), 0.0, jaro)
+
+    # winkler prefix boost (up to 4 chars)
+    k4 = min(4, L)
+    pref_eq = (A[:, :k4] == B[:, :k4]) & (
+        np.arange(k4)[None, :] < np.minimum(la, lb)[:, None]
+    )
+    l = np.cumprod(pref_eq, axis=1).sum(axis=1)
+    boosted = jaro + l * p * (1.0 - jaro)
+    return np.where(jaro > boost_threshold, boosted, jaro)
+
+
+def jw_cross(
+    keys_a: list[str],
+    keys_b: list[str],
+    ai: np.ndarray,
+    bi: np.ndarray,
+    p: float = 0.1,
+    boost_threshold: float = 0.0,
+) -> np.ndarray:
+    """JW for an index-expanded cross product: each side is encoded ONCE
+    (na + nb encodes instead of na·nb), then the (n_pairs, L) matrices are
+    gathered by ``ai``/``bi`` — the kernel the fused tile stage uses."""
+    if len(ai) == 0:
+        return np.zeros(0, dtype=np.float64)
+    EA, la_s, ok_a = _encode_strings(keys_a, _JW_CAP)
+    EB, lb_s, ok_b = _encode_strings(keys_b, _JW_CAP)
+    L = max(int(max(la_s.max(initial=0), lb_s.max(initial=0))), 1)
+    L = min(L, _JW_CAP)
+    A = EA[ai][:, :L]
+    B = EB[bi][:, :L]
+    la, lb = la_s[ai], lb_s[bi]
+    ok = ok_a[ai] & ok_b[bi]
+    out = np.zeros(len(ai), dtype=np.float64)
+    if not ok.all():
+        for idx in np.nonzero(~ok)[0]:
+            out[idx] = jaro_winkler_sim(
+                keys_a[ai[idx]], keys_b[bi[idx]], p, boost_threshold
+            )
+    if ok.any():
+        out[ok] = _jw_core(A, B, la, lb, ok, p, boost_threshold)[ok]
+    return out
+
+
+# --------------------------------------------------------------------------
 # Batch interface for map_batches hot path
 
 _RANGER_FEATS = ("osa", "cosine", "jaccard", "lcs", "qgram", "soundex")
@@ -254,20 +417,20 @@ def pair_features_batch(
     keys_a: np.ndarray, keys_b: np.ndarray, full: bool = False
 ) -> dict[str, np.ndarray]:
     """Vector of lexical features for aligned key arrays (lowercasing applied
-    here, mirroring ``tolower`` at R/fuzzylink.R:174,180-185)."""
+    here, mirroring ``tolower`` at R/fuzzylink.R:174,180-185).
+
+    ``jw`` goes through the vectorized :func:`jw_batch`; the six extra
+    forest features (non-default learner) use the scalar kernels with a
+    per-worker pair cache."""
     n = len(keys_a)
-    jw = np.empty(n, dtype=np.float64)
-    extras = (
-        {name: np.empty(n, dtype=np.float64) for name in _RANGER_FEATS}
-        if full
-        else {}
-    )
-    for i in range(n):
-        feats = _pair_feats_cached(str(keys_a[i]).lower(), str(keys_b[i]).lower(), full)
-        jw[i] = feats[0]
-        if full:
+    low_a = [str(s).lower() for s in keys_a]
+    low_b = [str(s).lower() for s in keys_b]
+    out = {"jw": jw_batch(low_a, low_b)}
+    if full:
+        extras = {name: np.empty(n, dtype=np.float64) for name in _RANGER_FEATS}
+        for i in range(n):
+            feats = _pair_feats_cached(low_a[i], low_b[i], True)
             for j, name in enumerate(_RANGER_FEATS):
                 extras[name][i] = feats[j + 1]
-    out = {"jw": jw}
-    out.update(extras)
+        out.update(extras)
     return out

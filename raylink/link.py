@@ -39,21 +39,26 @@ def score_pairs(
             [batch.column(c).to_numpy(zero_copy_only=False) for c in feature_cols]
         )
         probs = predict_from_state(state, X)
-        ka = batch.column("key_a").to_pylist()
-        kb = batch.column("key_b").to_pylist()
-        match = [None] * n
-        for i in range(n):
-            if ka[i] == kb[i]:
-                match[i] = "Yes"
-                probs[i] = 1.0
-            else:
-                match[i] = labels.get((ka[i], kb[i]))
-        batch = batch.append_column("match", pa.array(match, type=pa.string()))
+        exact = pc.equal(batch.column("key_a"), batch.column("key_b"))
+        exact_np = exact.to_numpy(zero_copy_only=False)
+        probs = np.where(exact_np, 1.0, probs)
+        if labels:
+            ka = batch.column("key_a").to_pylist()
+            kb = batch.column("key_b").to_pylist()
+            match = [
+                "Yes" if e else labels.get((a, b))
+                for a, b, e in zip(ka, kb, exact_np)
+            ]
+            match_arr = pa.array(match, type=pa.string())
+        else:
+            # vectorized fast path: only exact pairs carry a label
+            match_arr = pc.if_else(exact, pa.scalar("Yes"), pa.scalar(None, pa.string()))
+        batch = batch.append_column("match", match_arr)
         return batch.append_column(
             "match_probability", pa.array(probs, type=pa.float64())
         )
 
-    return pairs.map_batches(_score, batch_format="pyarrow")
+    return pairs.map_batches(_score, batch_format="pyarrow", batch_size=16384)
 
 
 def accept_filter(scored: ray.data.Dataset, cutoff: float) -> ray.data.Dataset:

@@ -20,8 +20,46 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
+
+
+def _pairs_in_hot_buckets(
+    exploded: ray.data.Dataset,
+    bucket_cols: list[str],
+    pair_fn,
+) -> ray.data.Dataset:
+    """Run a per-bucket pair generator only over buckets holding ≥2 rows.
+
+    ``map_groups`` costs ~1ms per group; an LSH explosion has one bucket per
+    (doc, band) — almost all singletons. A cheap ``groupby().count()``
+    aggregate finds the hot buckets (their number ≈ number of duplicate
+    groups, broadcast as a set), singletons are filtered out map-side, and
+    the expensive per-group python only touches real candidates."""
+
+    exploded = exploded.materialize()  # reused by counts + survivor filter
+    counts = exploded.groupby(bucket_cols).aggregate(Count(alias_name="_n"))
+    hot_df = counts.filter(expr="_n >= 2").to_pandas()
+    hot = set(zip(*(hot_df[c] for c in bucket_cols))) if len(hot_df) else set()
+    if not hot:
+        cols = exploded.schema().names
+        empty = pair_fn(pd.DataFrame({c: [] for c in cols}))
+        return ray.data.from_pandas(empty)
+    ref = ray.put(hot)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        hotset = ray.get(ref)
+        cols = [batch.column(c).to_pylist() for c in bucket_cols]
+        mask = [t in hotset for t in zip(*cols)]
+        return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    survivors = exploded.map_batches(_filter, batch_format="pyarrow")
+    # pandas per-group conversion costs ~1ms/group; with thousands of hot
+    # buckets the pair fn must be arrow-native (pair_fn takes pa.Table when
+    # arrow=True via attribute convention)
+    fmt = getattr(pair_fn, "batch_format", "pandas")
+    return survivors.groupby(bucket_cols).map_groups(pair_fn, batch_format=fmt)
 
 
 def _sha1_int(data: bytes) -> int:
@@ -57,40 +95,58 @@ def dedup_exact(
 # --------------------------------------------------------------------------
 # MinHash + LSH
 
-_MERSENNE = (1 << 61) - 1
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized on uint64 (wrapping arithmetic)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _shingle_codes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct k-gram hash codes of the whitespace-normalized lowercased
+    text, fully vectorized: byte windows → polynomial code → mix64 → unique."""
+    t = " ".join(text.lower().split())
+    raw = t.encode("utf-8", errors="ignore")
+    if len(raw) < k:
+        if not raw:
+            return np.empty(0, dtype=np.uint64)
+        pad = raw + b"\x00" * (k - len(raw))
+        arr = np.frombuffer(pad, dtype=np.uint8).astype(np.uint64)
+    else:
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+    n = max(len(arr) - k + 1, 1)
+    powers = np.uint64(257) ** np.arange(k, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(arr, min(k, len(arr)))[:n]
+    codes = (win * powers[: win.shape[1]]).sum(axis=1, dtype=np.uint64)
+    return np.unique(_mix64(codes))
 
 
 def _shingles(text: str, k: int = 5) -> set[int]:
-    t = " ".join(text.lower().split())
-    if len(t) < k:
-        return {_sha1_int(t.encode())} if t else set()
-    return {_sha1_int(t[i : i + k].encode()) for i in range(len(t) - k + 1)}
+    """Set view of the shingle codes (used by the exact-Jaccard verifier)."""
+    return set(_shingle_codes(text, k).tolist())
 
 
 class MinHasher:
-    """Per-batch minhash signatures: universal-hash family
-    h_i(x) = (a_i * x + b_i) mod p, seeded."""
+    """Per-batch minhash signatures: h_i(x) = mix64(x ^ seed_i), min over
+    the document's shingle codes — a seeded xor-mix universal family,
+    computed as one (num_perm × n_shingles) vectorized broadcast."""
 
     def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 42,
                  text_col: str = "text", id_col: str = "doc_id"):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+        self.seeds = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.k = k
         self.text_col = text_col
         self.id_col = id_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k)
-        if not sh:
-            return np.full(self.num_perm, _MERSENNE - 1, dtype=np.int64)
-        x = np.fromiter(sh, dtype=np.int64, count=len(sh)).astype(object)
-        # (num_perm, n_shingles) via broadcasting on object ints (exact mod)
-        sig = np.empty(self.num_perm, dtype=np.int64)
-        for i in range(self.num_perm):
-            sig[i] = int(min((self.a[i] * xi + self.b[i]) % _MERSENNE for xi in x))
-        return sig
+        codes = _shingle_codes(text, self.k)
+        if len(codes) == 0:
+            return np.full(self.num_perm, (1 << 63) - 1, dtype=np.int64)
+        sig = _mix64(codes[None, :] ^ self.seeds[:, None]).min(axis=1)
+        return (sig & np.uint64((1 << 63) - 1)).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
@@ -149,20 +205,17 @@ def minhash_lsh_candidates(
 
     exploded = sigs.map_batches(_bands, batch_format="pyarrow")
 
-    def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+    def _bucket_pairs(group) -> pa.Table:
+        ids = np.sort(np.asarray(group[id_col] if isinstance(group, pd.DataFrame) else group.column(id_col).to_numpy(zero_copy_only=False)))
+        k = len(ids)
+        if k < 2:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        ii, jj = np.triu_indices(k, k=1)
+        return pa.table({"id_a": pa.array(ids[ii]), "id_b": pa.array(ids[jj])})
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
+    _bucket_pairs.batch_format = "pyarrow"
+    pairs = _pairs_in_hot_buckets(exploded, ["band", "band_hash"], _bucket_pairs)
     # dedup pairs surfacing from multiple bands
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("id_a", alias_name="_m")).select_columns(["id_a", "id_b"])
 
@@ -288,23 +341,32 @@ def simhash_near_dups(
             }
         )
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(group[id_col], group["simhash"]))
-        a, b, d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                ham = bin(rows[i][1] ^ rows[j][1]).count("1")
-                if ham <= max_hamming:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    d.append(ham)
-        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
+    def _pairs(group) -> pa.Table:
+        if isinstance(group, pd.DataFrame):
+            ids = group[id_col].to_numpy()
+            sh = group["simhash"].to_numpy()
+        else:
+            ids = group.column(id_col).to_numpy(zero_copy_only=False)
+            sh = group.column("simhash").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, sh = ids[order], sh[order].astype(np.uint64)
+        k = len(ids)
+        if k < 2:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        ii, jj = np.triu_indices(k, k=1)
+        x = sh[ii] ^ sh[jj]
+        # vectorized popcount via uint8 view + lookup table
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pa.table({"id_a": pa.array(ids[ii[keep]].astype(np.int64)),
+                         "id_b": pa.array(ids[jj[keep]].astype(np.int64)),
+                         "hamming": pa.array(ham[keep].astype(np.int64))})
 
-    pairs = (
-        sigs.map_batches(_bands, batch_format="pyarrow")
-        .groupby(["band", "band_val"])
-        .map_groups(_pairs, batch_format="pandas")
-    )
+    _pairs.batch_format = "pyarrow"
+    exploded = sigs.map_batches(_bands, batch_format="pyarrow")
+    pairs = _pairs_in_hot_buckets(exploded, ["band", "band_val"], _pairs)
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming")
     )

@@ -23,7 +23,9 @@ def set_column(batch: pa.Table, name: str, arr: pa.Array) -> pa.Table:
     return batch.append_column(name, arr)
 
 
-_WORD_RE = re.compile(r"\w+")
+# ASCII \w to match RE2 (DuckDB regexp_extract_all) semantics, so the SQL
+# oracle reproduces n_words bit-exactly on unicode text
+_WORD_RE = re.compile(r"\w+", re.ASCII)
 _DIGIT_RE = re.compile(r"[0-9]")
 # a BPE-ish pretokenizer: words, numbers, or single non-space symbols
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")

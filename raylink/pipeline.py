@@ -62,6 +62,11 @@ def fuzzylink(
     t0 = time.perf_counter()
     metrics: dict = {}
 
+    if cfg.pair_block_bytes is not None:
+        from ray.data import DataContext
+
+        DataContext.get_current().target_max_block_size = cfg.pair_block_bytes
+
     # ---- Step 0: validate / drop nulls / blocking (R/fuzzylink.R:48-90) --
     validate_by(ds_a, by, "dfA")
     validate_by(ds_b, by, "dfB")
@@ -71,27 +76,15 @@ def fuzzylink(
     ds_a = add_block_key(drop_missing(ds_a, need), cfg.blocking)
     ds_b = add_block_key(drop_missing(ds_b, need), cfg.blocking)
 
-    # Distinct-key tables are the small, reused intermediates (one row per
-    # distinct (key, block) — orders of magnitude below row count) — pin
-    # them so the driver-side histograms/joins don't re-execute the corpus
-    # scan lineage.
-    keys_a = distinct_keys(ds_a, by).materialize()
-    if cfg.blocking:
-        blocks_set = a_side_block_set(keys_a)
-        blocks_ref = ray.put(blocks_set)
-        ds_b = semi_join_blocks(ds_b, blocks_ref)
-    keys_b = distinct_keys(ds_b, by).materialize()
-    if keys_b.count() == 0:
-        raise ValueError(
-            "There are no exact matches in dfB on the blocking variables specified."
-        )
-
-    # ---- Step 1: embeddings over distinct key strings (A2 + T1) ----------
-    # Embed each side's distinct (key, block) rows through the actor pool.
-    # The unit of embedding is the distinct string (R/fuzzylink.R:93); the
-    # embedder actors memoize per string, so keys shared across sides/blocks
-    # cost one encode per actor rather than a cross-side dedup + hash join
-    # (Ray 2.49's Dataset.join is unusable on sparse sides — util.hash_join).
+    # ---- Steps 0b-1: distinct keys + embeddings, one execution per side --
+    # The unit of embedding is the distinct (key, block) row
+    # (R/fuzzylink.R:93,150-151); distinct→embed run as a single fused
+    # lineage per side and the (small) result is pinned — it feeds the tile
+    # plan, the semi-join block set and pair-gen without re-scanning the
+    # corpus. The embedder actors memoize per string, so keys shared across
+    # sides/blocks cost one encode per actor rather than a cross-side dedup
+    # + hash join (Ray 2.49's Dataset.join is unusable on sparse sides —
+    # util.hash_join).
     ekw = {"dim": cfg.embedding_dim, "text_col": "key"}
     if embedder_kwargs:
         ekw.update(embedder_kwargs)
@@ -105,8 +98,16 @@ def fuzzylink(
             concurrency=(1, cfg.embed_concurrency),
         )
 
-    kea = _embed(keys_a).materialize()
-    keb = _embed(keys_b).materialize()
+    kea = _embed(distinct_keys(ds_a, by)).materialize()
+    if cfg.blocking:
+        blocks_set = a_side_block_set(kea)
+        blocks_ref = ray.put(blocks_set)
+        ds_b = semi_join_blocks(ds_b, blocks_ref)
+    keb = _embed(distinct_keys(ds_b, by)).materialize()
+    if keb.count() == 0:
+        raise ValueError(
+            "There are no exact matches in dfB on the blocking variables specified."
+        )
 
     # ---- Step 2: tiled pair generation + features (J2, F1-F7) ------------
     full_feats = cfg.learner in ("forest", "ranger")

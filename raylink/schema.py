@@ -54,10 +54,13 @@ def _stem_from_path(path: str) -> str:
 
 def add_key_from_path(batch: pa.Table) -> pa.Table:
     """Derived fuzzy key = filename stem of ``path`` (the configurable
-    projection named in SURVEY.md §1.3 for the corpus schema)."""
-    paths = batch.column("path").to_pylist()
-    keys = pa.array([_stem_from_path(p) for p in paths], type=pa.string())
-    return batch.append_column("key", keys)
+    projection named in SURVEY.md §1.3 for the corpus schema). Vectorized
+    regex kernels (strip directory, strip final extension)."""
+    base = pc.replace_substring_regex(batch.column("path"), r"^.*/", "")
+    stem = pc.replace_substring_regex(base, r"\.[^./]*$", "")
+    # keep dotfiles ('.gitignore' → '.gitignore', not '') like the scalar rule
+    stem = pc.if_else(pc.equal(stem, ""), base, stem)
+    return batch.append_column("key", pc.cast(stem, pa.string()))
 
 
 def add_content_sha256(batch: pa.Table) -> pa.Table:

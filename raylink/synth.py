@@ -284,6 +284,117 @@ def truth_label_dict(truth: pa.Table) -> dict[tuple[str, str], str]:
     return out
 
 
+def corpus_from_documents(
+    sf_dir: str,
+    seed: int = 42,
+    both_sides_frac: float = 0.7,
+    replicate: int = 1,
+) -> tuple[pa.Table, pa.Table, pa.Table]:
+    """Build the input_hint corpus from the driver-provided ``documents``
+    table: one ground-truth entity per document, ``lang`` as the blocking
+    key, document text as the (never-mutated) ``content``, seeded fuzzy-key
+    variants on the B side. Deterministic given (sf_dir contents, seed).
+
+    ``replicate=r`` emits r copies of every document, copy k in blocking key
+    ``{lang}{k}`` — scaling the corpus (and candidate-pair count) linearly
+    in r with r× more blocks, the shape a bigger shard of a 10¹²-file corpus
+    would have. Used by bench.py to make compute dominate fixed overheads.
+
+    Returns (corpus_a, corpus_b, truth_pairs) with the same shapes as
+    :func:`make_corpus`.
+    """
+    import pyarrow.parquet as pq
+
+    docs0 = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    if replicate > 1:
+        n0 = len(docs0)
+        docs = pa.table(
+            {
+                "doc_id": pa.array(
+                    [k * n0 + d for k in range(replicate) for d in docs0.column("doc_id").to_pylist()],
+                    type=pa.int64(),
+                ),
+                "text": pa.array(docs0.column("text").to_pylist() * replicate),
+                "lang": pa.array(
+                    [f"{l}{k}" for k in range(replicate) for l in docs0.column("lang").to_pylist()]
+                ),
+                "source": pa.array(docs0.column("source").to_pylist() * replicate),
+            }
+        )
+    else:
+        docs = docs0
+    n2 = len(_NOUN)
+    n3 = len(_ADJ) * n2
+    suffixes = ["core", "base", "lib", "main", "x", "io", "net", "sys", "api",
+                "fs", "db", "ui", "rt", "cli", "srv", "hub", "kit", "lab",
+                "pro", "dev"]
+
+    rows_a: dict[str, list] = {k: [] for k in ("repo", "path", "commit", "lang", "content")}
+    rows_b: dict[str, list] = {k: [] for k in rows_a}
+    keymap_a: dict[tuple[str, str], set[int]] = {}
+    keymap_b: dict[tuple[str, str], set[int]] = {}
+
+    for doc_id, text, lang, source in zip(
+        docs.column("doc_id").to_pylist(),
+        docs.column("text").to_pylist(),
+        docs.column("lang").to_pylist(),
+        docs.column("source").to_pylist(),
+    ):
+        crng = np.random.default_rng(seed * 1_000_003 + doc_id)
+        c = doc_id % n3
+        stem = f"{_ADJ[c // n2]}_{_NOUN[c % n2]}"
+        ver = doc_id // n3
+        if ver > 0:
+            stem = f"{stem}_{suffixes[ver % len(suffixes)]}"
+        repo = f"{source}/{stem.replace('_', '-')}"
+        r = crng.random()
+        n_a = 1
+        n_b = 0 if r > both_sides_frac else int(crng.integers(1, 3))
+        for side, n, rows, keymap in (
+            ("a", n_a, rows_a, keymap_a),
+            ("b", n_b, rows_b, keymap_b),
+        ):
+            for m in range(n):
+                key = stem if side == "a" else _variant(crng, stem)
+                path = f"src/{key}.txt"
+                rows["repo"].append(repo)
+                rows["path"].append(path)
+                rows["commit"].append(_commit_hex(repo, path, seed + m))
+                rows["lang"].append(lang)
+                rows["content"].append(text if m == 0 else text + f"\n<!-- {side}{m} -->")
+                keymap.setdefault((lang, key), set()).add(doc_id)
+
+    tp: dict[str, list] = {"key_a": [], "key_b": [], "lang": [], "label": []}
+    by_lang_b: dict[str, list[tuple[str, frozenset]]] = {}
+    for (lang, key), eids in keymap_b.items():
+        by_lang_b.setdefault(lang, []).append((key, frozenset(eids)))
+    for (lang, key_a), eids_a in sorted(keymap_a.items()):
+        b_keys = by_lang_b.get(lang, [])
+        pos = sorted(
+            kb for kb, eb in b_keys if eb & eids_a
+        )
+        for key_b in pos:
+            tp["key_a"].append(key_a)
+            tp["key_b"].append(key_b)
+            tp["lang"].append(lang)
+            tp["label"].append("Yes")
+
+    schema = pa.schema(
+        [("repo", pa.string()), ("path", pa.string()), ("commit", pa.string()),
+         ("lang", pa.string()), ("content", pa.string())]
+    )
+    return (
+        pa.table(rows_a, schema=schema),
+        pa.table(rows_b, schema=schema),
+        pa.table(tp, schema=pa.schema(
+            [("key_a", pa.string()), ("key_b", pa.string()),
+             ("lang", pa.string()), ("label", pa.string())]
+        )),
+    )
+
+
 # --------------------------------------------------------------------------
 # F3: presidents golden example (verbatim from /root/reference/README.md)
 

@@ -2,8 +2,40 @@
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 import ray
 import ray.data
+
+
+def from_arrow_blocks(table, n_blocks: int | None = None) -> ray.data.Dataset:
+    """``ray.data.from_arrow`` with the table pre-split into ``n_blocks``
+    slices. A single arrow table otherwise becomes ONE Ray Data block, which
+    serializes every downstream map stage until the first shuffle."""
+    import pyarrow as pa
+
+    if n_blocks is None:
+        try:
+            n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            n_blocks = 16
+    n = table.num_rows
+    if n == 0 or n_blocks <= 1:
+        return ray.data.from_arrow(table)
+    step = -(-n // n_blocks)
+    slices = [table.slice(i, step) for i in range(0, n, step)]
+    return ray.data.from_arrow(slices)
+
+
+def materialize_concurrently(*datasets: ray.data.Dataset) -> list[ray.data.Dataset]:
+    """Materialize several independent datasets in one scheduling wave.
+
+    ``Dataset.materialize()`` blocks the driver; two small side-pipelines
+    (e.g. the A- and B-side distinct-key+embed lineages) would otherwise
+    serialize their fixed scheduling/actor-ramp latency. Driver threads just
+    overlap the waits — execution itself stays in Ray."""
+    with ThreadPoolExecutor(max_workers=len(datasets)) as pool:
+        return list(pool.map(lambda d: d.materialize(), datasets))
 
 
 def default_join_partitions(requested: int | None = None) -> int:
