@@ -56,8 +56,12 @@ class LinkConfig:
     # Driver caps: the slim pair table (key_a, key_b, sim, jw, block) is
     # materialized to the driver for the faithful active-learning / recall
     # loops only when its row count is below this cap; the reference holds it
-    # in memory unconditionally (R/fuzzylink.R:165-199).
+    # in memory unconditionally (R/fuzzylink.R:165-199). Above the cap the
+    # loops switch to the distributed primitives (active_streaming.py).
     driver_pair_cap: int = 5_000_000
+    # 'auto' (driver loops under driver_pair_cap, streaming above),
+    # 'driver', or 'streaming'.
+    loop_mode: str = "auto"
     # Similarity floor applied at pair-gen when not None: pairs below it are
     # never emitted (scale escape hatch; None = reference parity, all
     # within-block pairs survive as in reshape2::melt, R/fuzzylink.R:165).

@@ -27,6 +27,7 @@ from raylink.block import (
     generate_pairs,
     semi_join_blocks,
 )
+from raylink.checkpoint import CheckpointManager
 from raylink.cluster import cluster_union_find
 from raylink.config import LinkConfig
 from raylink.embed import HashedNgramEmbedder
@@ -35,6 +36,40 @@ from raylink.oracle import Oracle
 from raylink.schema import add_block_key, drop_missing, validate_by
 
 _FULL_FEATS = ["sim", "jw", "osa", "cosine", "jaccard", "lcs", "qgram", "soundex"]
+
+
+def _journal_path(checkpoint_dir: str) -> str:
+    import os
+
+    return os.path.join(checkpoint_dir, "oracle_journal.json")
+
+
+def _load_oracle_journal(oracle, checkpoint_dir: str) -> None:
+    import json
+    import os
+
+    path = _journal_path(checkpoint_dir)
+    journal = getattr(oracle, "journal", None)
+    if journal is None or not os.path.exists(path):
+        return
+    with open(path) as f:
+        for k, v in json.load(f).items():
+            a, _, b = k.partition("\x1f")
+            journal.setdefault((a, b), v)
+
+
+def _save_oracle_journal(oracle, checkpoint_dir: str) -> None:
+    import json
+    import os
+
+    journal = getattr(oracle, "journal", None)
+    if journal is None:
+        return
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = _journal_path(checkpoint_dir)
+    with open(path + ".tmp", "w") as f:
+        json.dump({f"{a}\x1f{b}": v for (a, b), v in journal.items()}, f)
+    os.replace(path + ".tmp", path)
 
 
 @dataclass
@@ -110,35 +145,88 @@ def fuzzylink(
         )
 
     # ---- Step 2: tiled pair generation + features (J2, F1-F7) ------------
-    full_feats = cfg.learner in ("forest", "ranger")
-    pairs = generate_pairs(
-        kea, keb, cfg.embedding_dim, cfg.tile_rows, sim_floor=cfg.sim_floor
-    )
-    pairs = add_pair_features(pairs, full=full_feats)
+    from raylink.block import block_histograms, pair_count_from_hist, tile_plan_from_hist
 
-    # The labeling loops need the slim pair table on the driver (the
-    # reference's `df`, R/fuzzylink.R:165). Materialize once (object store,
-    # spillable) and reuse the same blocks for the final scoring pass.
-    pairs = pairs.materialize()
+    na, nb = block_histograms(kea, keb)
+    plan = tile_plan_from_hist(na, nb, cfg.tile_rows)
+    metrics["n_blocks"] = len(plan)
+    metrics["expected_pairs"] = pair_count_from_hist(na, nb)
+    if plan:
+        hot = max(plan, key=lambda b: na.get(b, 0) * nb.get(b, 0))
+        metrics["hot_block"] = {
+            "block": hot,
+            "pairs": na.get(hot, 0) * nb.get(hot, 0),
+            "tiles": list(plan[hot]),
+        }
+
+    full_feats = cfg.learner in ("forest", "ranger")
+
+    ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    input_fp = {
+        "by": by, "blocking": cfg.blocking_cols(), "dim": cfg.embedding_dim,
+        "tile_rows": cfg.tile_rows, "sim_floor": cfg.sim_floor,
+        "full_feats": full_feats, "hist_a": sorted(na.items()),
+        "hist_b": sorted(nb.items()),
+    }
+
+    def _build_pairs():
+        p = generate_pairs(
+            kea, keb, cfg.embedding_dim, cfg.tile_rows,
+            sim_floor=cfg.sim_floor, plan=plan,
+        )
+        return add_pair_features(p, full=full_feats)
+
+    if ckpt:
+        pairs, pairs_fp = ckpt.stage("pairs_featured", input_fp, _build_pairs)
+        # restore the oracle's label journal so a resumed run never
+        # re-spends label budget (idempotent oracle calls, SURVEY.md §4)
+        _load_oracle_journal(oracle, cfg.checkpoint_dir)
+    else:
+        # The labeling loops need the slim pair table on the driver (the
+        # reference's `df`, R/fuzzylink.R:165). Materialize once (object
+        # store, spillable) and reuse the blocks for the final scoring pass.
+        pairs = _build_pairs().materialize()
     n_pairs = pairs.count()
     metrics["n_candidate_pairs"] = n_pairs
-    if n_pairs > cfg.driver_pair_cap:
-        raise NotImplementedError(
-            f"{n_pairs} candidate pairs exceed driver_pair_cap="
-            f"{cfg.driver_pair_cap}; raise the cap, set cfg.sim_floor to "
-            "prune the stream, or use the histogram/streaming loop mode."
-        )
+    use_streaming = cfg.loop_mode == "streaming" or (
+        cfg.loop_mode == "auto" and n_pairs > cfg.driver_pair_cap
+    )
+    metrics["loop_mode"] = "streaming" if use_streaming else "driver"
 
     slim_cols = ["block", "key_a", "key_b", "sim", "jw"] + (
         ["osa", "cosine", "jaccard", "lcs", "qgram", "soundex"] if full_feats else []
     )
-    slim = pairs.select_columns(slim_cols + ["exact"]).to_pandas()
     t1 = time.perf_counter()
     metrics["sec_pair_gen"] = t1 - t0
 
-    # ---- Steps 3-6: driver labeling loops --------------------------------
-    loops = run_linkage_loops(slim, oracle, cfg)
+    # ---- Steps 3-6: labeling loops ---------------------------------------
+    if use_streaming:
+        from raylink.active import LoopResult
+        from raylink.active_streaming import run_linkage_loops_streaming
+
+        s_labels, s_state, s_cutoff, s_metrics = run_linkage_loops_streaming(
+            pairs, oracle, cfg
+        )
+        lab_df = pd.DataFrame(
+            [(a, b, m) for (a, b), m in s_labels.items()],
+            columns=["key_a", "key_b", "match"],
+        )
+        loops = LoopResult(
+            labels=s_labels,
+            model_state=s_state,
+            cutoff=s_cutoff,
+            train=lab_df,
+            pairs=pd.DataFrame(),
+            metrics=s_metrics,
+        )
+    else:
+        # the reference's in-memory loops over the slim pair table
+        slim = pairs.select_columns(slim_cols + ["exact"]).to_pandas()
+        loops = run_linkage_loops(slim, oracle, cfg)
     metrics.update(loops.metrics)
+    if ckpt:
+        _save_oracle_journal(oracle, cfg.checkpoint_dir)
+        metrics["checkpoint"] = ckpt.run_manifest()["events"]
     t2 = time.perf_counter()
     metrics["sec_loops"] = t2 - t1
 

@@ -1,0 +1,186 @@
+"""Correctness tests for the training-data ops (dedup / ANN / text /
+relational / multimodal plumbing)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raylink.ops.ann import build_ivf_index, knn_brute_force, knn_ivf
+from raylink.ops.dedup import (
+    _shingles,
+    dedup_exact,
+    embedding_near_dups,
+    minhash_lsh_candidates,
+    simhash_near_dups,
+    verify_jaccard,
+)
+from raylink.ops.multimodal import decode_images, fake_media_table, sample_frames
+from raylink.ops.relational import grouped_topk, preagg_sum_count, semi_join
+from raylink.ops.text import TextStats, lang_id, fingerprints
+
+
+def _docs():
+    base = "the quick brown fox jumps over the lazy dog and keeps running all day"
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    base,
+                    base,  # exact dup of 1
+                    base.replace("dog", "cat"),  # near dup
+                    "completely different content about databases and queries",
+                    "another unrelated piece of text mentioning airplanes",
+                ],
+            }
+        )
+    )
+
+
+def test_dedup_exact_min_id_survivor():
+    out = dedup_exact(_docs()).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [1, 3, 4, 5]  # doc 2 collapsed into 1
+
+
+def test_minhash_lsh_finds_near_dups():
+    docs = _docs()
+    cands = minhash_lsh_candidates(docs, num_perm=64, bands=16)
+    verified = verify_jaccard(cands, docs, threshold=0.6).to_pandas()
+    got = set(zip(verified["id_a"], verified["id_b"]))
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert not any(4 in p or 5 in p for p in got)
+    # jaccard of the exact dup is 1
+    exact = verified[(verified["id_a"] == 1) & (verified["id_b"] == 2)]
+    assert exact["jaccard"].iloc[0] == 1.0
+
+
+def test_simhash_near_dups():
+    out = simhash_near_dups(_docs(), max_hamming=10).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert (1, 2) in got
+    ham12 = out[(out["id_a"] == 1) & (out["id_b"] == 2)]["hamming"].iloc[0]
+    assert ham12 == 0
+
+
+def test_embedding_near_dups():
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(20, 16))
+    vecs[7] = vecs[3] + rng.normal(scale=0.01, size=16)  # near dup of 3
+    ds = rd.from_arrow(
+        pa.table(
+            {"vec_id": list(range(20)), "embedding": [list(map(float, v)) for v in vecs]}
+        )
+    )
+    out = embedding_near_dups(ds, threshold=0.98, id_col="vec_id").to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert (3, 7) in got
+
+
+def test_knn_brute_force_matches_numpy():
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(50, 8))
+    ds = rd.from_arrow(
+        pa.table(
+            {"vec_id": list(range(50)), "embedding": [list(map(float, v)) for v in vecs]}
+        )
+    )
+    q = vecs[0]
+    res = knn_brute_force(ds, q, k=5, exclude_ids={0})
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ (q / np.linalg.norm(q))
+    expect = sorted(
+        [(s, i) for i, s in enumerate(sims) if i != 0], key=lambda t: (-t[0], t[1])
+    )[:5]
+    assert [i for _, i in res[0]] == [i for _, i in expect]
+    for (sg, _), (se, _) in zip(res[0], expect):
+        assert sg == pytest.approx(se)
+
+
+def test_knn_ivf_high_recall_vs_bruteforce():
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(200, 8))
+    ds = rd.from_arrow(
+        pa.table(
+            {"vec_id": list(range(200)), "embedding": [list(map(float, v)) for v in vecs]}
+        )
+    )
+    q = vecs[5]
+    bf = {i for _, i in knn_brute_force(ds, q, k=5)[0]}
+    cent, bucketed = build_ivf_index(ds, num_centroids=8, seed=3)
+    iv = {i for _, i in knn_ivf(bucketed, cent, q, k=5, nprobe=4)[0]}
+    assert len(bf & iv) >= 3  # approximate: most of top-5 recovered
+
+
+def test_text_stats_hand_values():
+    t = TextStats()
+    out = t(pa.table({"text": ["ab c 12!", ""]}))
+    assert out.column("n_chars").to_pylist() == [8, 0]
+    assert out.column("n_words").to_pylist() == [3, 0]
+    assert out.column("n_digits").to_pylist() == [2, 0]
+    assert out.column("n_spaces").to_pylist() == [2, 0]
+
+
+def test_lang_id_english():
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": [1], "text": ["the cat is on the mat and it is happy"]}
+        )
+    )
+    out = lang_id(ds).to_pandas()
+    assert out["lang_pred"].iloc[0] == "en"
+
+
+def test_fingerprint_deterministic():
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2], "text": ["abc", "abc"]}))
+    out = fingerprints(ds).to_pandas()
+    assert out["fingerprint"].iloc[0] == out["fingerprint"].iloc[1]
+
+
+def test_grouped_topk_keeps_ties():
+    ds = rd.from_arrow(
+        pa.table(
+            {"g": ["x"] * 4, "v": [5.0, 4.0, 4.0, 1.0], "id": [1, 2, 3, 4]}
+        )
+    )
+    out = grouped_topk(ds, "g", "v", 2).to_pandas()
+    assert sorted(out["id"]) == [1, 2, 3]  # rank()<=2 keeps both 4.0s
+
+
+def test_preagg_matches_pandas():
+    df = pd.DataFrame(
+        {"g": ["a", "b", "a", "b", "a"], "x": [1.0, 2.0, 3.0, 4.0, 5.0]}
+    )
+    out = (
+        preagg_sum_count(rd.from_pandas(df), ["g"], {"x": "sum_x"})
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    expect = df.groupby("g", as_index=False).agg(sum_x=("x", "sum"), n=("x", "size"))
+    assert out["sum_x"].tolist() == expect["sum_x"].tolist()
+    assert out["n"].tolist() == expect["n"].tolist()
+
+
+def test_semi_join_broadcast():
+    ds = rd.from_arrow(pa.table({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]}))
+    out = semi_join(ds, "k", {2, 4}).to_pandas()
+    assert sorted(out["v"]) == ["b", "d"]
+
+
+def test_multimodal_plumbing():
+    media = rd.from_arrow(fake_media_table(9, seed=1))
+    feats = decode_images(media, dim=8, fake=True).to_pandas()
+    assert len(feats) == 9 and len(feats["feat"].iloc[0]) == 8
+    frames = sample_frames(media, every_ms=500, fake=True).to_pandas()
+    assert (frames["frame_ms"] % 500 == 0).all()
+    with pytest.raises(Exception):
+        decode_images(media, fake=False).take(1)
+
+
+def test_shingles_jaccard_sanity():
+    a = _shingles("hello world program")
+    b = _shingles("hello world programs")
+    j = len(a & b) / len(a | b)
+    assert 0.7 < j < 1.0

@@ -1,0 +1,28 @@
+"""Streaming loop mode reaches the same linkage quality as the driver mode
+(the sampling draws differ; the decisions must not)."""
+
+import ray.data as rd
+
+import raylink
+from raylink.evaluate import pairwise_f1
+from raylink.schema import prepare_corpus
+from raylink.synth import make_corpus, truth_label_dict
+
+
+def test_streaming_mode_f1():
+    ca, cb, truth = make_corpus(n_entities=120, seed=42)
+    oracle = raylink.DeterministicOracle(truth_label_dict(truth))
+    cfg = raylink.LinkConfig(
+        by="key", blocking=["lang"], seed=42, loop_mode="streaming"
+    )
+    res = raylink.fuzzylink(
+        prepare_corpus(rd.from_arrow(ca)),
+        prepare_corpus(rd.from_arrow(cb)),
+        oracle,
+        cfg,
+    )
+    assert res.metrics["loop_mode"] == "streaming"
+    acc = res.accepted.select_columns(["block", "key_a", "key_b"]).to_pandas()
+    scores = pairwise_f1(acc, truth)
+    assert scores["f1"] >= 0.99, scores
+    assert oracle.labels_spent <= cfg.max_labels
