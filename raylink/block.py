@@ -136,7 +136,11 @@ def _spread_blocks(both: ray.data.Dataset, plan: dict) -> ray.data.Dataset:
     except Exception:
         n_cpus = 8
     total_groups = sum(ta * tb for ta, tb in plan.values()) or 1
-    want = min(max(2 * n_cpus, 8), max(total_groups, 8))
+    # The sort behind groupby emits one output partition per input block,
+    # and each partition's groups run serially inside one task — tile-size
+    # skew makes coarse partitions straggle. ~8 blocks/CPU keeps the
+    # longest task a small multiple of the mean tile.
+    want = min(max(8 * n_cpus, 16), max(total_groups, 16))
     try:
         have = both.num_blocks()
     except Exception:
@@ -274,6 +278,7 @@ def generate_scored_pairs(
     emit: str = "accepted",
     plan: dict | None = None,
     embed_in_tile: bool = False,
+    dedup_in_tile: bool = False,
 ) -> ray.data.Dataset:
     """Fused tile stage: pair-gen + lexical features + scoring + acceptance
     in ONE ``map_groups`` task per tile.
@@ -322,6 +327,22 @@ def generate_scored_pairs(
         gb = group.filter(pc.invert(mask_a))
         if len(ga) == 0 or len(gb) == 0:
             return out_schema.empty_table()
+        if dedup_in_tile:
+            # raw (possibly duplicated) corpus rows: tile assignment is by
+            # key hash, so all copies of a (key, block) land here — dedup
+            # locally instead of paying a global distinct shuffle upstream
+            for which in ("a", "b"):
+                g = ga if which == "a" else gb
+                _, first = np.unique(
+                    np.asarray(g.column("key").to_pylist(), dtype=object),
+                    return_index=True,
+                )
+                if len(first) < len(g):
+                    g = g.take(pa.array(np.sort(first)))
+                    if which == "a":
+                        ga = g
+                    else:
+                        gb = g
         state = ray.get(state_ref)
         label_map: dict = ray.get(labels_ref)
         keys_a = ga.column("key").to_pylist()

@@ -263,10 +263,9 @@ def get_cutoff_histogram(
     yes_d = hist_yes[::-1]
     no_d = hist_no[::-1]
     unl_d = c_d - yes_d - no_d
+    del unl_d  # unlabeled rows contribute 0 identified-FP (ifelse(na,1,·) trick)
     efp = np.cumsum(c_d - ps_d)
-    ifp = np.cumsum(no_d + 0.0 * unl_d)  # unlabeled contribute 0 identified fp? no:
-    # reference: identified fp counts unlabeled as 0 contribution via the
-    # (1 - ifelse(na,1,yes)) trick -> labeled-No rows contribute 1
+    ifp = np.cumsum(no_d)  # only labeled-No rows count (R/fuzzylink.R:350)
     etp = np.cumsum(ps_d)
     itp = np.cumsum(yes_d)
     total_yes = float(hist_yes.sum())
