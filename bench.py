@@ -95,7 +95,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # Cached to /tmp parquet keyed by (sf_dir, replicate): the deterministic
     # driver-side fixture build costs ~1s per 10k docs and would otherwise
     # dominate repeated scaling runs.
-    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
+    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "64"))
     import pyarrow.parquet as pq
 
     cache_dir = f"/tmp/raylink_bench_cache/{os.path.basename(sf_dir)}_r{replicate}"
@@ -232,7 +232,7 @@ def main():
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             # larger fixed workload for the scaling measurement so compute
             # dominates scheduling latency (overridable via env)
-            env.setdefault("GRAFT_BENCH_REPLICATE", "64")
+            env.setdefault("GRAFT_BENCH_REPLICATE", "256")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,

@@ -363,11 +363,43 @@ def generate_scored_pairs(
         simf = sims.reshape(-1)
         low_a = [k.lower() for k in keys_a]
         low_b = [k.lower() for k in keys_b]
+        arr_a = np.asarray(keys_a, dtype=object)
+        arr_b = np.asarray(keys_b, dtype=object)
+
+        prune = emit == "accepted" and state.get("kind") == "glm"
+        if prune:
+            # Exact branch-and-bound on the monotone glm: with jw pinned at
+            # its most favorable value, σ(b0 + bs·sim + bj·jw*) is an upper
+            # bound on match_probability. Pairs whose bound is ≤ cutoff can
+            # never be accepted on probability — skip their (dominant)
+            # Jaro-Winkler work entirely. Labeled/exact pairs are exempted
+            # below, so this is lossless for the accepted set.
+            coef = np.asarray(state["coef"], dtype=np.float64)
+            jw_star = 1.0 if coef[2] >= 0 else 0.0
+            bound = coef[0] + coef[1] * simf + coef[2] * jw_star
+            import math
+
+            thr = (
+                math.log(cutoff / (1.0 - cutoff)) if 0.0 < cutoff < 1.0 else -np.inf
+            )
+            candidate = bound > thr
+            exact_all = arr_a[ai] == arr_b[bi]
+            candidate |= exact_all
+            if label_map:
+                # pairs with an oracle label must always be evaluated
+                lab_b_by_a: dict = {}
+                for (a, b) in label_map:
+                    lab_b_by_a.setdefault(a, set()).add(b)
+                a_hit = np.asarray([k in lab_b_by_a for k in keys_a])
+                if a_hit.any():
+                    for i in np.nonzero(a_hit[ai])[0]:
+                        if arr_b[bi[i]] in lab_b_by_a[arr_a[ai[i]]]:
+                            candidate[i] = True
+            ai, bi, simf = ai[candidate], bi[candidate], simf[candidate]
+
         jw = jw_cross(low_a, low_b, ai, bi)
         X = np.column_stack([simf, jw])
         probs = predict_from_state(state, X)
-        arr_a = np.asarray(keys_a, dtype=object)
-        arr_b = np.asarray(keys_b, dtype=object)
         exact = arr_a[ai] == arr_b[bi]
         probs = np.where(exact, 1.0, probs)
         if label_map:
