@@ -193,6 +193,8 @@ def _expand_side(
     return ds.map_batches(_expand, batch_format="pyarrow")
 
 
+_EMPTY: dict = {}
+
 _PAIR_SCHEMA = pa.schema(
     [
         ("block", pa.string()),
@@ -301,7 +303,12 @@ def generate_scored_pairs(
         plan = tile_plan(keys_emb_a, keys_emb_b, tile_rows)
     plan_ref = ray.put(plan)
     state_ref = ray.put(model_state)
-    labels_ref = ray.put(labels or {})
+    # labels pre-grouped by A key: tiles probe their own ~tile_rows keys
+    # instead of scanning the whole label map
+    labels_by_a: dict[str, dict[str, str]] = {}
+    for (a, b), lab in (labels or {}).items():
+        labels_by_a.setdefault(a, {})[b] = lab
+    labels_ref = ray.put(labels_by_a)
 
     ea = _expand_side(keys_emb_a, plan_ref, "a")
     eb = _expand_side(keys_emb_b, plan_ref, "b")
@@ -344,7 +351,7 @@ def generate_scored_pairs(
                     else:
                         gb = g
         state = ray.get(state_ref)
-        label_map: dict = ray.get(labels_ref)
+        label_map: dict[str, dict[str, str]] = ray.get(labels_ref)
         keys_a = ga.column("key").to_pylist()
         keys_b = gb.column("key").to_pylist()
         if embed_in_tile:
@@ -356,11 +363,8 @@ def generate_scored_pairs(
         else:
             emb_a = embeddings_to_numpy(ga.column("embedding"), dim)
             emb_b = embeddings_to_numpy(gb.column("embedding"), dim)
-        sims = (emb_a @ emb_b.T).astype(np.float64)
+        sims = emb_a @ emb_b.T  # float32, (na, nb)
         na, nb = len(ga), len(gb)
-        ai = np.repeat(np.arange(na), nb)
-        bi = np.tile(np.arange(nb), na)
-        simf = sims.reshape(-1)
         low_a = [k.lower() for k in keys_a]
         low_b = [k.lower() for k in keys_b]
         arr_a = np.asarray(keys_a, dtype=object)
@@ -369,33 +373,51 @@ def generate_scored_pairs(
         prune = emit == "accepted" and state.get("kind") == "glm"
         if prune:
             # Exact branch-and-bound on the monotone glm: with jw pinned at
-            # its most favorable value, σ(b0 + bs·sim + bj·jw*) is an upper
-            # bound on match_probability. Pairs whose bound is ≤ cutoff can
-            # never be accepted on probability — skip their (dominant)
-            # Jaro-Winkler work entirely. Labeled/exact pairs are exempted
-            # below, so this is lossless for the accepted set.
-            coef = np.asarray(state["coef"], dtype=np.float64)
-            jw_star = 1.0 if coef[2] >= 0 else 0.0
-            bound = coef[0] + coef[1] * simf + coef[2] * jw_star
+            # its most favorable value, σ(b0 + bs·sim + bj·jw*) upper-bounds
+            # match_probability, which translates to a scalar similarity
+            # threshold — applied directly on the (na, nb) similarity
+            # matrix, so the full cross-product index arrays are never
+            # built. Labeled/exact pairs are force-included, keeping the
+            # accepted set bit-identical to the unpruned path.
             import math
 
+            coef = [float(c) for c in state["coef"]]
+            jw_star = 1.0 if coef[2] >= 0 else 0.0
             thr = (
-                math.log(cutoff / (1.0 - cutoff)) if 0.0 < cutoff < 1.0 else -np.inf
+                math.log(cutoff / (1.0 - cutoff)) if 0.0 < cutoff < 1.0 else -math.inf
             )
-            candidate = bound > thr
-            exact_all = arr_a[ai] == arr_b[bi]
-            candidate |= exact_all
+            if coef[1] > 0:
+                sim_thr = (thr - coef[0] - coef[2] * jw_star) / coef[1]
+                cand = sims > np.float32(sim_thr)
+            elif coef[1] < 0:
+                sim_thr = (thr - coef[0] - coef[2] * jw_star) / coef[1]
+                cand = sims < np.float32(sim_thr)
+            else:
+                cand = np.full(
+                    (na, nb), coef[0] + coef[2] * jw_star > thr, dtype=bool
+                )
+            # exact pairs and labeled pairs must always be evaluated
+            a_index = {k: i for i, k in enumerate(keys_a)}
+            b_index = {k: j for j, k in enumerate(keys_b)}
+            for k, i in a_index.items():
+                j = b_index.get(k)
+                if j is not None:
+                    cand[i, j] = True
             if label_map:
-                # pairs with an oracle label must always be evaluated
-                lab_b_by_a: dict = {}
-                for (a, b) in label_map:
-                    lab_b_by_a.setdefault(a, set()).add(b)
-                a_hit = np.asarray([k in lab_b_by_a for k in keys_a])
-                if a_hit.any():
-                    for i in np.nonzero(a_hit[ai])[0]:
-                        if arr_b[bi[i]] in lab_b_by_a[arr_a[ai[i]]]:
-                            candidate[i] = True
-            ai, bi, simf = ai[candidate], bi[candidate], simf[candidate]
+                for a, i in a_index.items():
+                    bs = label_map.get(a)
+                    if not bs:
+                        continue
+                    for b in bs:
+                        j = b_index.get(b)
+                        if j is not None:
+                            cand[i, j] = True
+            ai, bi = np.nonzero(cand)
+            simf = sims[ai, bi].astype(np.float64)
+        else:
+            ai = np.repeat(np.arange(na), nb)
+            bi = np.tile(np.arange(nb), na)
+            simf = sims.reshape(-1).astype(np.float64)
 
         jw = jw_cross(low_a, low_b, ai, bi)
         X = np.column_stack([simf, jw])
@@ -405,7 +427,7 @@ def generate_scored_pairs(
         if label_map:
             match = np.asarray(
                 [
-                    "Yes" if e else label_map.get((a, b))
+                    "Yes" if e else label_map.get(a, _EMPTY).get(b)
                     for a, b, e in zip(arr_a[ai], arr_b[bi], exact)
                 ],
                 dtype=object,

@@ -250,6 +250,12 @@ def fuzzylink(
         linked = join_payloads(
             accepted_df, ds_a, ds_b, by, a_cols=a_cols, b_cols=b_cols
         )
+        if not cfg.blocking:
+            # reference drops the synthetic block column when not blocking
+            # (R/fuzzylink.R:483)
+            linked = linked.map_batches(
+                lambda df: df.drop(columns=["block"]), batch_format="pandas"
+            )
 
     # entity clusters over accepted edges (post-filter: label-budget-shaped)
     edges = accepted_df[["block", "key_a", "key_b"]]
