@@ -120,9 +120,33 @@ def run_linkage_loops(
     k = max(cfg.n_initial // max(n_uniq_a, 1), 1)
     ranks = train.groupby("key_a")["sim"].rank(method="min", ascending=False)
     pool_idx = train.index[ranks <= k].to_numpy()
-    n_pick = min(cfg.n_initial, len(pool_idx))
+    n_topk = cfg.n_initial // 2 if cfg.stratified_initial else cfg.n_initial
+    n_pick = min(n_topk, len(pool_idx))
     picked = rng.choice(len(pool_idx), size=n_pick, replace=False)
     sel = pool_idx[picked]
+    if cfg.stratified_initial:
+        # spend the other half across similarity deciles so mid-sim
+        # positives reach the oracle (see LinkConfig.stratified_initial)
+        remaining = cfg.n_initial - n_pick
+        chosen = set(sel.tolist())
+        if remaining > 0 and len(train) > len(chosen):
+            qs = np.quantile(train["sim"].to_numpy(), np.linspace(0, 1, 11))
+            per_bin = max(remaining // 10, 1)
+            extra: list[int] = []
+            for lo, hi in zip(qs[:-1], qs[1:]):
+                in_bin = train.index[
+                    (train["sim"] >= lo) & (train["sim"] <= hi)
+                ].to_numpy()
+                in_bin = np.array([i for i in in_bin if i not in chosen])
+                if len(in_bin) == 0:
+                    continue
+                take = min(per_bin, len(in_bin))
+                got_idx = rng.choice(len(in_bin), size=take, replace=False)
+                for i in in_bin[got_idx]:
+                    if len(extra) < remaining:
+                        extra.append(int(i))
+                        chosen.add(int(i))
+            sel = np.concatenate([sel, np.array(extra, dtype=sel.dtype)]) if extra else sel
     got = check_match(
         train.loc[sel, "key_a"].tolist(), train.loc[sel, "key_b"].tolist(), oracle
     )

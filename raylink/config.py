@@ -27,6 +27,15 @@ class LinkConfig:
 
     # ---- active learning constants (R/fuzzylink.R:201-259) ----
     n_initial: int = 500  # n_t, initial labels (R/fuzzylink.R:203)
+    # Engine improvement over the reference (documented deviation): spend
+    # half the initial label budget on a similarity-stratified sample
+    # instead of only per-A top-k. The reference's top-k-only seed set
+    # contains almost no mid-similarity positives, so the logistic boundary
+    # lands too high and prefix/abbreviation variants of already-matched A
+    # records are never recovered (its recall search skips matched A's,
+    # R/fuzzylink.R:399-405). Same oracle, same budget; False reproduces
+    # the reference exactly.
+    stratified_initial: bool = True
     al_batch_size: int = 100  # labels per iteration (R/fuzzylink.R:256)
     kernel_sd: float = 0.2  # uncertainty kernel sd on logit scale (R/fuzzylink.R:255)
     stop_threshold: float = 0.01  # glm gradient threshold (R/fuzzylink.R:254)

