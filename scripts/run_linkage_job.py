@@ -91,8 +91,18 @@ def main() -> int:
     res = raylink.fuzzylink(ds_a, ds_b, oracle, cfg)
 
     os.makedirs(args.out, exist_ok=True)
-    res.linked.write_parquet(os.path.join(args.out, "linked"))
-    res.accepted.write_parquet(os.path.join(args.out, "accepted"))
+    # partitioned by blocking key when blocking: a rerun can skip finished
+    # block directories (resumable output layout)
+    if args.blocking:
+        res.linked.write_parquet(
+            os.path.join(args.out, "linked"), partition_cols=["block"]
+        )
+        res.accepted.write_parquet(
+            os.path.join(args.out, "accepted"), partition_cols=["block"]
+        )
+    else:
+        res.linked.write_parquet(os.path.join(args.out, "linked"))
+        res.accepted.write_parquet(os.path.join(args.out, "accepted"))
     res.clusters.to_parquet(os.path.join(args.out, "clusters.parquet"))
     with open(os.path.join(args.out, "run_manifest.json"), "w") as f:
         json.dump(
