@@ -169,15 +169,34 @@ def weighted_sample_unlabeled(
 
 
 def distributed_gradient(
-    train: ray.data.Dataset, old_state: dict, new_state: dict, feature_cols: list[str]
+    train: ray.data.Dataset,
+    old_state: dict,
+    new_state: dict,
+    feature_cols: list[str],
+    exclude: set | None = None,
 ) -> float:
-    """A7: max |p_new − p_old| over the full train set, one streaming pass."""
+    """A7: max |p_new − p_old| over the train set, one streaming pass.
+
+    ``exclude`` (a broadcast set of labeled (key_a, key_b) pairs, ≤
+    max_labels) restricts the gradient to out-of-sample rows — the
+    reference's forest-learner convergence rule (R/fuzzylink.R:311-318),
+    mirrored by the driver-mode loop in ``active.run_linkage_loops``."""
     o_ref, n_ref = ray.put(old_state), ray.put(new_state)
+    ex_ref = ray.put(exclude) if exclude else None
 
     def _g(batch: pa.Table) -> pa.Table:
         po = _score_batch(ray.get(o_ref), batch, feature_cols)
         pn = _score_batch(ray.get(n_ref), batch, feature_cols)
-        return pa.table({"g": pa.array([float(np.abs(po - pn).max(initial=0.0))])})
+        d = np.abs(po - pn)
+        if ex_ref is not None:
+            ex = ray.get(ex_ref)
+            ka = batch.column("key_a").to_pylist()
+            kb = batch.column("key_b").to_pylist()
+            oos = np.fromiter(
+                ((a, b) not in ex for a, b in zip(ka, kb)), dtype=bool, count=len(ka)
+            )
+            d = d[oos]
+        return pa.table({"g": pa.array([float(d.max(initial=0.0))])})
 
     parts = train.map_batches(_g, batch_format="pyarrow").to_pandas()
     return float(parts["g"].max()) if len(parts) else 0.0
@@ -340,7 +359,10 @@ def run_linkage_loops_streaming(
         labels.update(zip(zip(batch["key_a"], batch["key_b"]), got))
         new_state = _fit()
         gradients.append(
-            distributed_gradient(non_exact, state, new_state, feature_cols)
+            distributed_gradient(
+                non_exact, state, new_state, feature_cols,
+                exclude=set(labels) if full_feats else None,
+            )
         )
         state = new_state
         it += 1

@@ -386,12 +386,20 @@ def generate_scored_pairs(
             thr = (
                 math.log(cutoff / (1.0 - cutoff)) if 0.0 < cutoff < 1.0 else -math.inf
             )
+            # The unpruned path decides on float64(sim); rounding the float64
+            # threshold to float32 could round *toward* the data and drop a
+            # boundary pair. Nudge the float32 compare value one ulp outward
+            # so the pruned candidate set is a superset of the exact one.
             if coef[1] > 0:
                 sim_thr = (thr - coef[0] - coef[2] * jw_star) / coef[1]
-                cand = sims > np.float32(sim_thr)
+                cand = sims > np.nextafter(
+                    np.float32(sim_thr), np.float32(-np.inf)
+                )
             elif coef[1] < 0:
                 sim_thr = (thr - coef[0] - coef[2] * jw_star) / coef[1]
-                cand = sims < np.float32(sim_thr)
+                cand = sims < np.nextafter(
+                    np.float32(sim_thr), np.float32(np.inf)
+                )
             else:
                 cand = np.full(
                     (na, nb), coef[0] + coef[2] * jw_star > thr, dtype=bool

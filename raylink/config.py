@@ -76,6 +76,10 @@ class LinkConfig:
     # within-block pairs survive as in reshape2::melt, R/fuzzylink.R:165).
     sim_floor: float | None = None
 
+    # Count + warn on NA-dropped rows like the reference (R/fuzzylink.R:61-70).
+    # Costs one extra streaming pass per side; False skips the count.
+    count_dropped: bool = True
+
     # ---- determinism ----
     seed: int = 42
 

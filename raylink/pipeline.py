@@ -53,8 +53,15 @@ def _load_oracle_journal(oracle, checkpoint_dir: str) -> None:
     if journal is None or not os.path.exists(path):
         return
     with open(path) as f:
-        for k, v in json.load(f).items():
+        data = json.load(f)
+    if isinstance(data, dict):  # legacy '\x1f'-joined format
+        for k, v in data.items():
             a, _, b = k.partition("\x1f")
+            journal.setdefault((a, b), v)
+    else:
+        # JSON arrays [[a, b], label]: keys round-trip losslessly even when
+        # they contain the blocking separator character.
+        for (a, b), v in data:
             journal.setdefault((a, b), v)
 
 
@@ -68,7 +75,7 @@ def _save_oracle_journal(oracle, checkpoint_dir: str) -> None:
     os.makedirs(checkpoint_dir, exist_ok=True)
     path = _journal_path(checkpoint_dir)
     with open(path + ".tmp", "w") as f:
-        json.dump({f"{a}\x1f{b}": v for (a, b), v in journal.items()}, f)
+        json.dump([[[a, b], v] for (a, b), v in journal.items()], f)
     os.replace(path + ".tmp", path)
 
 
@@ -108,8 +115,24 @@ def fuzzylink(
     a_cols = list(ds_a.schema().names) + ["block"]
     b_cols = list(ds_b.schema().names) + ["block"]
     need = [by] + cfg.blocking_cols()
+    if cfg.count_dropped:
+        # reference counts NA-dropped rows and warns (R/fuzzylink.R:61-70);
+        # input counts are metadata-cheap for file-backed datasets, the
+        # post-filter counts cost one extra streaming pass per side.
+        n_a_in, n_b_in = ds_a.count(), ds_b.count()
     ds_a = add_block_key(drop_missing(ds_a, need), cfg.blocking)
     ds_b = add_block_key(drop_missing(ds_b, need), cfg.blocking)
+    if cfg.count_dropped:
+        import warnings
+
+        n_drop_a = n_a_in - ds_a.count()
+        n_drop_b = n_b_in - ds_b.count()
+        metrics["n_dropped_a"] = n_drop_a
+        metrics["n_dropped_b"] = n_drop_b
+        if n_drop_a:
+            warnings.warn(f"Dropping {n_drop_a} rows in dfA with missing values.")
+        if n_drop_b:
+            warnings.warn(f"Dropping {n_drop_b} rows in dfB with missing values.")
 
     # ---- Steps 0b-1: distinct keys + embeddings, one execution per side --
     # The unit of embedding is the distinct (key, block) row
@@ -167,6 +190,10 @@ def fuzzylink(
         "tile_rows": cfg.tile_rows, "sim_floor": cfg.sim_floor,
         "full_feats": full_feats, "hist_a": sorted(na.items()),
         "hist_b": sorted(nb.items()),
+        # embedder identity: a changed encoder must invalidate cached
+        # similarities (the hist fingerprints only see key sets)
+        "embedder": embedder_cls.__qualname__,
+        "embedder_kwargs": repr(sorted(ekw.items())),
     }
 
     def _build_pairs():

@@ -136,6 +136,46 @@ def test_return_all_pairs_mode():
     assert len(sp) == res.metrics["n_candidate_pairs"]
 
 
+def test_dropped_row_counts_and_warning():
+    """M2 parity: NA rows in key/blocking columns are counted and warned
+    about (R/fuzzylink.R:61-70), and land in LinkResult.metrics."""
+    dfa, dfb, labels = presidents_tables()
+    pa_df = dfa.to_pandas()
+    pa_df.loc[len(pa_df)] = {c: None for c in pa_df.columns}
+    pb_df = dfb.to_pandas()
+    pb_df.loc[len(pb_df)] = {c: None for c in pb_df.columns}
+    pb_df.loc[len(pb_df)] = {c: None for c in pb_df.columns}
+    oracle = raylink.DeterministicOracle(labels)
+    cfg = raylink.LinkConfig(
+        by="name", blocking=["state"], seed=7, n_initial=20, al_batch_size=5
+    )
+    with pytest.warns(UserWarning, match="Dropping"):
+        res = raylink.fuzzylink(
+            rd.from_pandas(pa_df), rd.from_pandas(pb_df), oracle, cfg
+        )
+    assert res.metrics["n_dropped_a"] == 1
+    assert res.metrics["n_dropped_b"] == 2
+
+
+def test_oracle_journal_roundtrip_with_separator(tmp_path):
+    """Journal entries serialize as JSON arrays, so keys containing the
+    blocking separator round-trip losslessly (ADVICE r1)."""
+    from raylink.pipeline import _load_oracle_journal, _save_oracle_journal
+
+    class _O:
+        journal = {("a\x1fweird", "b"): "Yes", ("plain", "key"): "No"}
+
+    src = _O()
+    _save_oracle_journal(src, str(tmp_path))
+
+    class _O2:
+        journal = {}
+
+    dst = _O2()
+    _load_oracle_journal(dst, str(tmp_path))
+    assert dst.journal == src.journal
+
+
 def test_cluster_union_find_vs_label_propagation():
     edges = pd.DataFrame(
         {
