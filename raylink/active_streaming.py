@@ -50,15 +50,18 @@ _NB = 10_000  # cutoff histogram bins
 
 
 def _hash01(*parts) -> np.ndarray:
-    """Deterministic uniform(0,1) per row from string parts (vectorized-ish)."""
-    import zlib
+    """Deterministic uniform(0,1) per row from string parts.
 
-    n = len(parts[0])
-    out = np.empty(n, dtype=np.float64)
-    for i in range(n):
-        h = zlib.crc32("\x1f".join(str(p[i]) for p in parts).encode())
-        out[i] = (h + 0.5) / 4294967296.0
-    return out
+    Vectorized: parts are string-joined column-wise (pandas C string
+    kernels) and hashed with the fixed-key SipHash behind
+    ``pd.util.hash_array`` — this pass runs over the full train set every
+    AL iteration, so a per-row Python crc32 loop was the hot spot."""
+    s: pd.Series | None = None
+    for p in parts:
+        col = pd.Series(p).astype(str)
+        s = col if s is None else s.str.cat(col.set_axis(s.index), sep="\x1f")
+    h = pd.util.hash_array(s.to_numpy(dtype=object), hash_key="raylink_hash01!!")
+    return (h.astype(np.float64) + 0.5) / 18446744073709551616.0
 
 
 def distinct_train_pairs(pairs: ray.data.Dataset, full_feats: bool) -> ray.data.Dataset:

@@ -60,24 +60,25 @@ def distinct_keys(ds: ray.data.Dataset, by: str) -> ray.data.Dataset:
     return out
 
 
-def a_side_block_set(keys_a: ray.data.Dataset) -> set[str]:
-    """Distinct A-side block keys, collected to the driver. Block-key
-    cardinality is assumed ≪ row count (it is the blocking design contract);
-    the set is broadcast once via ``ray.put`` for the semi-join."""
+def a_side_block_set(keys_a: ray.data.Dataset) -> pa.Array:
+    """Distinct A-side block keys as a sorted Arrow array, collected to the
+    driver. Block-key cardinality is assumed ≪ row count (the blocking
+    design contract); the array is broadcast once via ``ray.put`` and used
+    zero-copy by every semi-join task (built here ONCE, not per batch)."""
     tbl = keys_a.select_columns(["block"]).groupby("block").aggregate(Count())
-    return set(tbl.to_pandas()["block"].tolist())
+    return pa.array(sorted(tbl.to_pandas()["block"].tolist()))
 
 
 def semi_join_blocks(
     ds: ray.data.Dataset, blocks_ref: "ray.ObjectRef"
 ) -> ray.data.Dataset:
-    """J1: keep rows whose block key occurs in the broadcast A-side set."""
+    """J1: keep rows whose block key occurs in the broadcast A-side array."""
 
     # Stateless task (not an actor pool): elastic, no pinned CPU slot.
     # ray.get on the broadcast ref is a zero-copy plasma read per task.
     def _filter(batch: pa.Table) -> pa.Table:
-        blocks: set[str] = ray.get(blocks_ref)
-        mask = pc.is_in(batch.column("block"), value_set=pa.array(sorted(blocks)))
+        value_set: pa.Array = ray.get(blocks_ref)
+        mask = pc.is_in(batch.column("block"), value_set=value_set)
         return batch.filter(mask)
 
     return ds.map_batches(_filter, batch_format="pyarrow")
@@ -157,36 +158,38 @@ def _expand_side(
     tile axis. Input: distinct (key, block, embedding) rows."""
 
     # Stateless task stage; the tile plan is a broadcast zero-copy read.
+    # Fully vectorized: the replication across the other side's tile axis is
+    # np.repeat/cumsum index arithmetic, not a per-row Python loop (rows in
+    # blocks absent from the plan get rep=0 and vanish from np.repeat).
     def _expand(batch: pa.Table) -> pa.Table:
         plan: dict[str, tuple[int, int]] = ray.get(plan_ref)
         keys = batch.column("key").to_pylist()
         blocks = batch.column("block").to_pylist()
-        take_idx: list[int] = []
-        tas: list[int] = []
-        tbs: list[int] = []
-        for i, (k, blk) in enumerate(zip(keys, blocks)):
-            tiles = plan.get(blk)
-            if tiles is None:
-                continue  # block absent on the other side: no pairs
-            ta_n, tb_n = tiles
-            h = stable_hash(k)
-            if side == "a":
-                ta = h % ta_n
-                for tb in range(tb_n):
-                    take_idx.append(i)
-                    tas.append(ta)
-                    tbs.append(tb)
-            else:
-                tb = h % tb_n
-                for ta in range(ta_n):
-                    take_idx.append(i)
-                    tas.append(ta)
-                    tbs.append(tb)
+        n = len(keys)
+        _z = (0, 0)
+        tiles = np.array([plan.get(b, _z) for b in blocks], dtype=np.int64).reshape(
+            n, 2
+        )
+        ta_n, tb_n = tiles[:, 0], tiles[:, 1]
+        h = np.fromiter((stable_hash(k) for k in keys), dtype=np.uint64, count=n)
+        if side == "a":
+            own = (h % np.maximum(ta_n, 1).astype(np.uint64)).astype(np.int64)
+            rep = tb_n
+        else:
+            own = (h % np.maximum(tb_n, 1).astype(np.uint64)).astype(np.int64)
+            rep = ta_n
+        take_idx = np.repeat(np.arange(n, dtype=np.int64), rep)
+        own_rep = np.repeat(own, rep)
+        ends = np.cumsum(rep)
+        total = int(ends[-1]) if n else 0
+        other = np.arange(total, dtype=np.int64) - np.repeat(ends - rep, rep)
+        tas = own_rep if side == "a" else other
+        tbs = other if side == "a" else own_rep
         out = batch.take(pa.array(take_idx, type=pa.int64()))
-        out = out.append_column("ta", pa.array(tas, type=pa.int32()))
-        out = out.append_column("tb", pa.array(tbs, type=pa.int32()))
+        out = out.append_column("ta", pa.array(tas.astype(np.int32)))
+        out = out.append_column("tb", pa.array(tbs.astype(np.int32)))
         out = out.append_column(
-            "side", pa.array([side] * len(take_idx), type=pa.string())
+            "side", pa.array(np.full(total, side, dtype=object), type=pa.string())
         )
         return out
 

@@ -184,22 +184,33 @@ def minhash_lsh_candidates(
     )
 
     def _bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
+        """Band explosion, vectorized: the per-(row, band) bucket id folds
+        the band's signature lanes through the splitmix64 finalizer (one
+        ``_mix64`` pass per lane over ALL rows at once) instead of a
+        per-row sha1 loop. Any injective-enough combine gives the same LSH
+        bucket semantics (identical band signatures ⇒ identical hash)."""
+        n = len(batch)
         sig = np.asarray(
             batch.column("signature").combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        ).reshape(len(ids), num_perm)
-        out_band, out_hash, out_id = [], [], []
-        for i, did in enumerate(ids):
-            for b in range(bands):
-                chunk = sig[i, b * rows_per_band : (b + 1) * rows_per_band]
-                out_band.append(b)
-                out_hash.append(_sha1_int(chunk.tobytes()))
-                out_id.append(did)
+        ).reshape(n, num_perm).astype(np.uint64)
+        band_hash = np.empty((n, bands), dtype=np.uint64)
+        for b in range(bands):
+            seed_b = (0x9E3779B97F4A7C15 ^ (b * 0x2545F4914F6CDD1D)) & ((1 << 64) - 1)
+            h = np.full(n, np.uint64(seed_b), dtype=np.uint64)
+            for c in range(b * rows_per_band, (b + 1) * rows_per_band):
+                h = _mix64(h ^ sig[:, c])
+            band_hash[:, b] = h
+        band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
+        ids_rep = batch.column(id_col).take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+        )
         return pa.table(
             {
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.int64()),
-                id_col: pa.array(out_id),
+                "band": pa.array(band_idx),
+                "band_hash": pa.array(
+                    (band_hash.reshape(-1) & np.uint64((1 << 63) - 1)).astype(np.int64)
+                ),
+                id_col: ids_rep,
             }
         )
 
@@ -283,15 +294,21 @@ class SimHasher:
 
     @staticmethod
     def simhash(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for w in text.lower().split():
-            h = _sha1_int(w.encode())
-            for bit in range(64):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
-        out = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                out |= 1 << bit
+        """Vectorized: per-word 64-bit hashes unpack to a (n_words, 64) bit
+        matrix in one ``np.unpackbits`` call; the ±1 vote and sign-pack are
+        numpy reductions (bit-identical to the per-bit loop it replaces)."""
+        words = text.lower().split()
+        if not words:
+            return 0
+        hs = np.fromiter(
+            (_sha1_int(w.encode()) for w in words), dtype=np.uint64, count=len(words)
+        )
+        bits = np.unpackbits(
+            hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        packed = np.packbits((acc > 0).astype(np.uint8), bitorder="little")
+        out = int.from_bytes(packed.tobytes(), "little")
         return out & ((1 << 63) - 1)  # keep int64-safe
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -50,15 +50,16 @@ def semi_join(
     key_col: str,
     keys: set,
 ) -> ray.data.Dataset:
-    """J1: broadcast key-set semi-join (no shuffle of the big side)."""
-    ref = ray.put(keys)
+    """J1: broadcast key-set semi-join (no shuffle of the big side).
+
+    The key set is converted to an Arrow array ONCE on the driver and
+    broadcast; each task runs the vectorized ``pc.is_in`` kernel against the
+    zero-copy shared value set instead of a per-row Python membership loop."""
+    ref = ray.put(pa.array(sorted(keys)))
 
     def _filter(batch: pa.Table) -> pa.Table:
-        keyset = ray.get(ref)
-        vals = batch.column(key_col).to_pylist()
-        return batch.filter(
-            pa.array([v in keyset for v in vals], type=pa.bool_())
-        )
+        value_set = ray.get(ref)
+        return batch.filter(pc.is_in(batch.column(key_col), value_set=value_set))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
 
