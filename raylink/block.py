@@ -284,6 +284,7 @@ def generate_scored_pairs(
     plan: dict | None = None,
     embed_in_tile: bool = False,
     dedup_in_tile: bool = False,
+    sim_floor: float | None = None,
 ) -> ray.data.Dataset:
     """Fused tile stage: pair-gen + lexical features + scoring + acceptance
     in ONE ``map_groups`` task per tile.
@@ -429,6 +430,12 @@ def generate_scored_pairs(
             ai = np.repeat(np.arange(na), nb)
             bi = np.tile(np.arange(nb), na)
             simf = sims.reshape(-1).astype(np.float64)
+
+        if sim_floor is not None:
+            # same semantics as generate_pairs: the floor drops pairs
+            # unconditionally (even exact/labeled), compared in float64
+            fkeep = simf >= sim_floor
+            ai, bi, simf = ai[fkeep], bi[fkeep], simf[fkeep]
 
         jw = jw_cross(low_a, low_b, ai, bi)
         X = np.column_stack([simf, jw])

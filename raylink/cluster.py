@@ -17,6 +17,7 @@ semantics). Two paths:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -66,16 +67,19 @@ def cluster_union_find(edges: pd.DataFrame) -> pd.DataFrame:
 
 
 def cluster_label_propagation(
-    edges: ray.data.Dataset, max_iter: int = 50
+    edges: ray.data.Dataset, max_iter: int = 50, num_partitions: int | None = None
 ) -> ray.data.Dataset:
-    """Distributed variant over an edge Dataset (block, key_a, key_b).
-
-    Each round: every edge proposes min(label_a, label_b) to both endpoints;
-    ``groupby(block, key).min`` folds proposals; stop at fixpoint. The edge
-    table is re-labeled via join each round — at 10¹²-file scale this is
-    O(rounds) hash shuffles of the (small) accepted-edge set, never of the
-    corpus."""
+    """Distributed min-label propagation over an edge Dataset
+    (block, key_a, key_b) — the genuinely distributed scale path: per round
+    the node→label table is attached to both edge endpoints via
+    hash-partitioned **shuffle joins** (``util.shuffle_merge``), never
+    collected to the driver or broadcast whole. O(component diameter)
+    rounds, each round = two shuffles of the edge set + one groupby-min of
+    the proposal stream; the fixpoint check is a distributed hash aggregate
+    (one scalar to the driver per round)."""
     import pyarrow.compute as pc
+
+    from raylink.util import shuffle_merge
 
     def _nodes(batch: pa.Table) -> pa.Table:
         blk = pa.concat_arrays(
@@ -94,60 +98,77 @@ def cluster_label_propagation(
 
     edges = edges.select_columns(["block", "key_a", "key_b"]).materialize()
     labels = labels.materialize()
-    prev_sum: int | None = None
-    for _ in range(max_iter):
-        # Broadcast the current node→label map (node table is proportional
-        # to the accepted-edge endpoints, not the corpus) and re-label both
-        # edge endpoints map-side; Ray 2.49's Dataset.join cannot be used
-        # here because label partitions go sparse near convergence
-        # (util.hash_join warning).
-        lab_map = {
-            (b, k): l
-            for b, k, l in zip(
-                *(labels.to_pandas()[c] for c in ("block", "key", "label"))
+
+    e1_schema = pa.schema(
+        [("block", pa.string()), ("key_a", pa.string()), ("key_b", pa.string()),
+         ("la", pa.string())]
+    )
+    e2_schema = pa.schema(
+        [("block", pa.string()), ("key_a", pa.string()), ("key_b", pa.string()),
+         ("la", pa.string()), ("lb", pa.string())]
+    )
+
+    def _attach(col: str, out: str):
+        def _m(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+            m = ldf.merge(
+                rdf.rename(columns={"key": col, "label": out}),
+                how="left", on=["block", col],
             )
-        }
-        lab_ref = ray.put(lab_map)
+            # every endpoint is seeded in the label table; defensive fallback
+            m[out] = m[out].fillna(m[col])
+            return m
+
+        return _m
+
+    def _label_digest(lab: ray.data.Dataset) -> int:
+        """Distributed fixpoint probe: order-independent sum of per-row
+        hashes (one int64 partial per batch reaches the driver)."""
+
+        def _h(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+            return pa.table({"d": pa.array([int(h.sum(dtype=np.uint64))],
+                                           type=pa.uint64())})
+
+        parts = lab.map_batches(_h, batch_format="pyarrow").to_pandas()
+        return int(np.sum(parts["d"].to_numpy(dtype=np.uint64), dtype=np.uint64))
+
+    prev_digest: int | None = None
+    for _ in range(max_iter):
+        e1 = shuffle_merge(
+            edges, labels, ["block", "key_a"], ["block", "key"],
+            _attach("key_a", "la"), e1_schema, num_partitions=num_partitions,
+        )
+        e2 = shuffle_merge(
+            e1, labels, ["block", "key_b"], ["block", "key"],
+            _attach("key_b", "lb"), e2_schema, num_partitions=num_partitions,
+        )
 
         def _messages(batch: pa.Table) -> pa.Table:
-            lab = ray.get(lab_ref)
-            blks = batch.column("block").to_pylist()
-            kas = batch.column("key_a").to_pylist()
-            kbs = batch.column("key_b").to_pylist()
-            out_blk, out_key, out_lab = [], [], []
-            for b, ka, kb in zip(blks, kas, kbs):
-                la = lab.get((b, ka), ka)
-                lb = lab.get((b, kb), kb)
-                m = la if la < lb else lb
-                out_blk += [b, b]
-                out_key += [ka, kb]
-                out_lab += [m, m]
+            m = pc.min_element_wise(batch.column("la"), batch.column("lb"))
+            blk = pa.concat_arrays(
+                [batch.column("block").combine_chunks()] * 2
+            )
+            key = pa.concat_arrays(
+                [batch.column("key_a").combine_chunks(), batch.column("key_b").combine_chunks()]
+            )
+            mm = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
             return pa.table(
-                {
-                    "block": pa.array(out_blk, type=pa.string()),
-                    "key": pa.array(out_key, type=pa.string()),
-                    "label": pa.array(out_lab, type=pa.string()),
-                }
+                {"block": blk, "key": key, "label": pa.concat_arrays([mm, mm])}
             )
 
-        proposals = edges.map_batches(_messages, batch_format="pyarrow").union(labels)
+        proposals = e2.map_batches(_messages, batch_format="pyarrow").union(labels)
         labels = (
             proposals.groupby(["block", "key"])
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
 
-        # fixpoint: total label ordering is monotone non-increasing; stop
-        # when the multiset of labels stops changing (cheap hash aggregate)
-        lab_pdf = labels.to_pandas()
-        cur_sum = int(
-            pd.util.hash_pandas_object(
-                lab_pdf.sort_values(["block", "key"]).reset_index(drop=True)
-            ).sum()
-        )
-        if cur_sum == prev_sum:
+        # labels are monotone non-increasing per node: equal digests ⇒ fixpoint
+        cur_digest = _label_digest(labels)
+        if cur_digest == prev_digest:
             break
-        prev_sum = cur_sum
+        prev_digest = cur_digest
 
     def _entity(batch: pa.Table) -> pa.Table:
         eid = pc.binary_join_element_wise(

@@ -148,3 +148,87 @@ def join_payloads(
         return out
 
     return ds_a.map_batches(_attach, batch_format="pandas")
+
+
+def join_payloads_distributed(
+    accepted: ray.data.Dataset,
+    ds_a: ray.data.Dataset,
+    ds_b: ray.data.Dataset,
+    by: str,
+    a_cols: list[str],
+    b_cols: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """J7 at scale: the same ``right_join(dfA)`` → ``left_join(dfB)``
+    semantics as :func:`join_payloads`, but with the accepted pair set kept
+    a **Dataset end-to-end** — no driver collection, no broadcast of the
+    accepted table (which is cutoff-bounded, not label-budget-bounded, and
+    reached 6.7M rows at bench scale).
+
+    Two hash-partitioned shuffle joins (``util.shuffle_merge``; Ray 2.49's
+    built-in join is unusable on sparse sides):
+
+    1. ``ds_a ⟕ accepted`` on ``(by, block)=(key_a, block)`` — every dfA
+       row survives (the reference's ``right_join`` means dfA-complete);
+    2. result ``⟕ ds_b`` on ``(key_b, block)=(by, block)``, dfB payload
+       columns suffixed ``_b``; duplicate full dfB rows collapse per
+       partition exactly as the broadcast path's ``drop_duplicates``.
+
+    Each join is ONE all-to-all exchange; per-partition merges are
+    vectorized pandas hash joins. Output schema matches
+    :func:`join_payloads` exactly.
+    """
+    import pyarrow as pa
+
+    from raylink.util import shuffle_merge
+
+    acc_schema = accepted.schema()
+    pair_fields = [
+        (n, t)
+        for n, t in zip(acc_schema.names, acc_schema.types)
+        if n not in ("key_a", "block")
+    ]
+    a_schema = ds_a.schema()
+    a_fields = list(zip(a_schema.names, a_schema.types))
+
+    s1_schema = pa.schema(a_fields + pair_fields)
+
+    def _m1(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        out = ldf.merge(
+            rdf, how="left", left_on=[by, "block"], right_on=["key_a", "block"]
+        )
+        return out.drop(columns=["key_a"])
+
+    stage1 = shuffle_merge(
+        ds_a, accepted, [by, "block"], ["key_a", "block"], _m1, s1_schema,
+        num_partitions=num_partitions,
+    )
+
+    b_schema = ds_b.schema()
+    b_fields = [
+        (f"{c}_b" if c not in (by, "block") and c in b_cols else c, t)
+        for c, t in zip(b_schema.names, b_schema.types)
+    ]
+    rename_b = {c: n for (c, _), (n, _) in zip(zip(b_schema.names, b_schema.types), b_fields) if n != c}
+    ds_b_renamed = ds_b.rename_columns(rename_b) if rename_b else ds_b
+
+    s2_schema = pa.schema(
+        a_fields + pair_fields + [(n, t) for n, t in b_fields if n not in (by, "block")]
+    )
+
+    def _m2(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        rdf = rdf.drop_duplicates()
+        out = ldf.merge(
+            rdf,
+            how="left",
+            left_on=["key_b", "block"],
+            right_on=[by, "block"],
+            suffixes=("", "_bk"),
+        )
+        dup = [c for c in out.columns if c.endswith("_bk")]
+        return out.drop(columns=dup) if dup else out
+
+    return shuffle_merge(
+        stage1, ds_b_renamed, ["key_b", "block"], [by, "block"], _m2, s2_schema,
+        num_partitions=num_partitions,
+    )

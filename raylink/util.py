@@ -55,6 +55,107 @@ def default_join_partitions(requested: int | None = None) -> int:
     return max(2, min(16, cpus))
 
 
+def hash_partition_ids(batch, key_cols: list[str], num_partitions: int):
+    """Vectorized partition id per row: fixed-key hash of the string-joined
+    key columns, mod P. Deterministic across processes (pandas' siphash with
+    a pinned key), so both sides of a shuffle join co-locate."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    s = None
+    for c in key_cols:
+        col = pd.Series(batch.column(c).to_pandas()).astype(str)
+        s = col if s is None else s.str.cat(col, sep="\x1f")
+    h = pd.util.hash_array(s.to_numpy(dtype=object), hash_key="raylink_shuffle!")
+    return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
+
+
+def shuffle_merge(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_keys: list[str],
+    right_keys: list[str],
+    merge_fn,
+    out_schema,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed hash join without ``Dataset.join`` (which crashes on
+    sparse partitions in Ray 2.49 — see :func:`hash_join`).
+
+    Both sides are tagged with ``_pid = hash(join keys) % P`` under one
+    union schema (right-side columns prefixed ``__r__`` to avoid clashes,
+    absent columns null-padded — typed nulls, so Arrow schemas stay exact
+    through the union), shuffled once by ``groupby(_pid)``, and each
+    partition is merged by ``merge_fn(left_df, right_df) -> pandas.DataFrame``
+    (a vectorized pandas hash join per partition). ``out_schema`` pins the
+    output Arrow schema so all-NA payload partitions cannot drift types.
+
+    Scale contract: ONE all-to-all exchange of both inputs; per-partition
+    memory = (|L|+|R|)/P plus merge output. Skewed join keys concentrate in
+    a partition — P defaults to ~8× cluster CPUs to dilute.
+    """
+    import pyarrow as pa
+
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(16, cpus * 8)
+
+    l_schema, r_schema = left.schema(), right.schema()
+    l_names = list(l_schema.names)
+    r_names = list(r_schema.names)
+    union_fields: list[tuple[str, "pa.DataType"]] = list(
+        zip(l_names, l_schema.types)
+    ) + [(f"__r__{n}", t) for n, t in zip(r_names, r_schema.types)]
+
+    def _tag(side: int, keys: list[str]):
+        def _t(batch: pa.Table) -> pa.Table:
+            pid = hash_partition_ids(batch, keys, num_partitions)
+            cols: dict[str, pa.Array] = {}
+            for name, typ in union_fields:
+                if side == 0 and not name.startswith("__r__") and name in batch.column_names:
+                    cols[name] = batch.column(name)
+                elif side == 1 and name.startswith("__r__") and name[5:] in batch.column_names:
+                    cols[name] = batch.column(name[5:])
+                else:
+                    cols[name] = pa.nulls(len(batch), typ)
+            cols["_pid"] = pid
+            cols["_side"] = pa.array(
+                [side] * len(batch), type=pa.int8()
+            )
+            return pa.table(cols)
+
+        return _t
+
+    tagged = left.map_batches(_tag(0, left_keys), batch_format="pyarrow").union(
+        right.map_batches(_tag(1, right_keys), batch_format="pyarrow")
+    )
+
+    def _merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_left = pc.equal(group.column("_side"), 0)
+        ldf = group.filter(is_left).select(l_names).to_pandas()
+        rtab = group.filter(pc.invert(is_left)).select(
+            [f"__r__{n}" for n in r_names]
+        )
+        rdf = rtab.rename_columns(r_names).to_pandas()
+        out = merge_fn(ldf, rdf)
+        # column-wise conversion: NaN introduced by unmatched left-join rows
+        # maps to typed nulls even for int/string target types (a whole-table
+        # from_pandas would fail or let all-NA partitions drift to float64)
+        arrays = [
+            pa.array(out[f.name], type=f.type, from_pandas=True)
+            for f in out_schema
+        ]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return tagged.groupby("_pid").map_groups(_merge, batch_format="pyarrow")
+
+
 def hash_join(  # noqa: D401 — see warning below
 
     left: ray.data.Dataset,

@@ -89,6 +89,54 @@ def test_sim_floor_prunes():
     assert list(pairs["key_b"]) == ["string_utils"]
 
 
+@pytest.mark.parametrize("with_labels", [False, True])
+def test_fused_path_matches_unfused(with_labels):
+    """generate_scored_pairs(emit='accepted') must equal
+    accept_filter(score_pairs(add_pair_features(generate_pairs(...)))) —
+    including labeled pairs, exact pairs, and the glm branch-and-bound
+    prune (ADVICE r1: the fused production path was untested)."""
+    import ray
+
+    from raylink.block import generate_scored_pairs
+    from raylink.link import accept_filter, score_pairs
+
+    n = 40
+    keys_a = [f"module_{i:02d}" for i in range(n)] + ["exact_hit"]
+    keys_b = [f"module_{i:02d}x" for i in range(n)] + ["exact_hit", "zz_other"]
+    ka = _keyed({"key": keys_a, "lang": ["py"] * len(keys_a)}, ["lang"])
+    kb = _keyed({"key": keys_b, "lang": ["py"] * len(keys_b)}, ["lang"])
+    kea, keb = _embed(ka).materialize(), _embed(kb).materialize()
+
+    state = {"kind": "glm", "coef": [-8.0, 9.0, 4.0]}
+    cutoff = 0.6
+    labels = (
+        {("module_00", "zz_other"): "Yes", ("module_01", "module_01x"): "No"}
+        if with_labels
+        else {}
+    )
+
+    fused = generate_scored_pairs(
+        kea, keb, 32, 7, model_state=state, cutoff=cutoff,
+        labels=labels, emit="accepted",
+    ).to_pandas()
+
+    pairs = add_pair_features(generate_pairs(kea, keb, 32, 7))
+    scored = score_pairs(
+        pairs, ray.put(state), ray.put(labels), ["sim", "jw"]
+    )
+    unfused = accept_filter(scored, cutoff).to_pandas()
+
+    cols = ["block", "key_a", "key_b", "sim", "jw", "match", "match_probability"]
+    f = fused[cols].sort_values(["key_a", "key_b"]).reset_index(drop=True)
+    u = unfused[cols].sort_values(["key_a", "key_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(f, u)
+    assert len(f) > 0
+    if with_labels:
+        assert ("module_00", "zz_other") in set(zip(f["key_a"], f["key_b"]))
+        assert ("module_01", "module_01x") not in set(zip(f["key_a"], f["key_b"]))
+    assert "exact_hit" in set(f["key_a"])
+
+
 def test_add_pair_features_columns():
     ka = _keyed({"key": ["abc"], "lang": ["py"]}, ["lang"])
     kb = _keyed({"key": ["abc", "abd"], "lang": ["py", "py"]}, ["lang"])

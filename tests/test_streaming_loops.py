@@ -26,3 +26,19 @@ def test_streaming_mode_f1():
     scores = pairwise_f1(acc, truth)
     assert scores["f1"] >= 0.99, scores
     assert oracle.labels_spent <= cfg.max_labels
+
+    # streaming mode keeps the accepted path distributed end-to-end:
+    # linked is built by shuffle joins (dfA-complete), clusters by
+    # distributed label propagation (a Dataset, not a driver table)
+    import ray.data as _rd
+
+    linked = res.linked.to_pandas()
+    a_ids = set(zip(ca.column("repo").to_pylist(), ca.column("path").to_pylist()))
+    linked_ids = set(zip(linked["repo"], linked["path"]))
+    assert a_ids <= linked_ids
+    assert isinstance(res.clusters, _rd.Dataset)
+    cl = res.clusters.to_pandas()
+    assert {"block", "key", "entity_id"} <= set(cl.columns)
+    # every accepted edge endpoint got an entity id
+    nodes = set(zip(acc["block"], acc["key_a"])) | set(zip(acc["block"], acc["key_b"]))
+    assert nodes <= set(zip(cl["block"], cl["key"]))
