@@ -306,10 +306,16 @@ def _q_simhash_dedup(sf_dir: str):
 
 
 def _q_embedding_near_dups(sf_dir: str):
+    # threshold 0.45 — the synthetic embeddings table's cosine distribution
+    # tops out near 0.5, so 0.45 actually exercises the operator (the r1
+    # gate ran at 0.8 and could only ever return 0 rows); extra bands keep
+    # LSH recall high at this wide angle
     from raylink.ops.dedup import embedding_near_dups
 
     embs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    df = embedding_near_dups(embs, threshold=0.8, id_col="vec_id").to_pandas()
+    df = embedding_near_dups(
+        embs, threshold=0.45, id_col="vec_id", bands=32, bits_per_band=4
+    ).to_pandas()
     if df.empty:
         df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                            "id_b": pd.Series(dtype="int64"),

@@ -21,6 +21,19 @@ import ray.data
 
 
 def _to_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Zero-copy-ish (n, dim) view of an Arrow embedding column:
+    FixedSizeList and uniform-width List reshape the flat value buffer
+    directly; only ragged input falls back to the Python-object path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        return vals.reshape(len(col), col.type.list_size).astype(dtype, copy=False)
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        widths = np.diff(col.offsets.to_numpy())
+        if len(widths) and (widths == widths[0]).all():
+            vals = col.flatten().to_numpy(zero_copy_only=False)
+            return vals.reshape(len(col), int(widths[0])).astype(dtype, copy=False)
     return np.asarray(col.to_pylist(), dtype=dtype)
 
 
@@ -98,8 +111,17 @@ def build_ivf_index(
 ) -> tuple[np.ndarray, ray.data.Dataset]:
     """Coarse quantizer + bucketed dataset: seeded mini k-means on a driver
     sample, then one streaming pass assigns every vector to its nearest
-    centroid (``bucket`` column). Returns (centroids, bucketed_ds)."""
-    samp = ds.limit(sample_size).to_pandas()
+    centroid (``bucket`` column). Returns (centroids, bucketed_ds).
+
+    The sample is a seeded ``random_sample`` over the whole dataset —
+    ``limit()`` would take the first blocks only and bias the centroids
+    toward however the input happens to be ordered."""
+    n_total = ds.count()
+    if n_total > sample_size:
+        frac = min(1.0, (sample_size * 1.2) / max(n_total, 1))
+        samp = ds.random_sample(frac, seed=seed).limit(sample_size).to_pandas()
+    else:
+        samp = ds.to_pandas()
     mat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in samp[emb_col]]))
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=min(num_centroids, len(mat)), replace=False)]
@@ -138,22 +160,65 @@ def knn_ivf(
     id_col: str = "vec_id",
 ) -> list[list[tuple[float, int]]]:
     """Probe only the ``nprobe`` nearest centroid buckets per query —
-    the approximate scale path (recall < 1 by design, bounded by nprobe)."""
+    the approximate scale path (recall < 1 by design, bounded by nprobe).
+
+    Streaming: probed buckets are filtered map-side and each batch emits a
+    per-query partial top-k (the ``knn_brute_force`` pattern); only
+    O(batches × nq × k) partial rows reach the driver, never the probed
+    buckets' vectors (which are O(n·nprobe/centroids) rows at scale)."""
     q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    nq = q.shape[0]
     probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    allowed = np.zeros((nq, len(centroids)), dtype=bool)
+    for qi in range(nq):
+        allowed[qi, probe[qi]] = True
     wanted = sorted({int(b) for row in probe for b in row})
 
     filt = bucketed.filter(expr=f"bucket in {wanted}")
-    sub = filt.to_pandas()
-    mat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in sub[emb_col]]))
-    ids = sub[id_col].to_numpy()
-    buckets = sub["bucket"].to_numpy()
+    q_ref = ray.put((q, allowed))
+
+    class _ProbeTopK:
+        def __init__(self):
+            self.q, self.allowed = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col).to_pylist())
+            buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+            mat = _normalize(_to_matrix(batch.column(emb_col)))
+            sims = mat @ self.q.T  # (n, nq)
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(self.q.shape[0]):
+                mask = self.allowed[qi, buckets]
+                if not mask.any():
+                    continue
+                col = sims[mask, qi]
+                sel_ids = ids[mask]
+                top = min(k, len(col))
+                idx = (
+                    np.argpartition(-col, top - 1)[:top]
+                    if top < len(col)
+                    else np.arange(len(col))
+                )
+                out_q.extend([qi] * len(idx))
+                out_id.extend(int(i) for i in sel_ids[idx])
+                out_sim.extend(float(s) for s in col[idx])
+            return pa.table(
+                {
+                    "q": pa.array(out_q, type=pa.int32()),
+                    id_col: pa.array(out_id, type=pa.int64()),
+                    "cosine": pa.array(out_sim, type=pa.float64()),
+                }
+            )
+
+    partials = filt.map_batches(
+        _ProbeTopK, batch_format="pyarrow", concurrency=(1, 4)
+    ).to_pandas()
 
     out = []
-    for qi in range(q.shape[0]):
-        mask = np.isin(buckets, probe[qi])
-        sims = mat[mask] @ q[qi]
-        sel_ids = ids[mask]
-        heap = heapq.nlargest(k, zip(sims, sel_ids), key=lambda t: (t[0], -t[1]))
+    for qi in range(nq):
+        sub = partials[partials["q"] == qi]
+        heap = heapq.nlargest(
+            k, zip(sub["cosine"], sub[id_col]), key=lambda t: (t[0], -t[1])
+        )
         out.append([(float(s), int(i)) for s, i in heap])
     return out

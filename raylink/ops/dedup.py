@@ -238,47 +238,78 @@ def verify_jaccard(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
-    """Verify candidate pairs with true shingle Jaccard: broadcast the
-    (small) candidate ids' texts, compute per-pair Jaccard map-side."""
-    import ray
+    """Verify candidate pairs with true shingle Jaccard, fully distributed.
 
-    cand = pairs.to_pandas()
-    need = set(cand["id_a"]) | set(cand["id_b"])
+    The texts are attached to the pair stream by TWO hash-partitioned
+    shuffle joins (``util.shuffle_merge``) — one per endpoint — instead of
+    collecting the candidate set and broadcasting a driver-built text map
+    (which dies when the candidate ids' texts exceed one machine). Each
+    verify batch then computes both shingle sets locally, memoizing per
+    worker since a duplicate-heavy corpus repeats ids across pairs."""
+    from raylink.util import shuffle_merge
 
-    def _flt(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        mask = pa.array([i in need for i in ids], type=pa.bool_())
-        return batch.filter(mask)
+    texts = ds.select_columns([id_col, text_col])
 
-    texts = ds.map_batches(_flt, batch_format="pyarrow").select_columns([id_col, text_col]).to_pandas()
-    text_map = dict(zip(texts[id_col], texts[text_col]))
-    ref = ray.put(text_map)
+    s1 = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("_text_a", pa.string())]
+    )
+    s2 = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()),
+         ("_text_a", pa.string()), ("_text_b", pa.string())]
+    )
+
+    def _attach(side: str, out_col: str):
+        def _m(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+            rdf = rdf.drop_duplicates(subset=[id_col]).rename(
+                columns={id_col: side, text_col: out_col}
+            )
+            return ldf.merge(rdf, how="left", on=side)
+
+        return _m
+
+    j1 = shuffle_merge(
+        pairs.select_columns(["id_a", "id_b"]), texts,
+        ["id_a"], [id_col], _attach("id_a", "_text_a"), s1,
+        num_partitions=num_partitions,
+    )
+    j2 = shuffle_merge(
+        j1, texts, ["id_b"], [id_col], _attach("id_b", "_text_b"), s2,
+        num_partitions=num_partitions,
+    )
 
     class _Verify:
         def __init__(self):
-            self.texts = ray.get(ref)
-            self.cache: dict[int, set] = {}
+            self.cache: dict[str, set] = {}
 
-        def _sh(self, i):
-            if i not in self.cache:
-                self.cache[i] = _shingles(self.texts.get(i, ""), k)
-            return self.cache[i]
+        def _sh(self, t: str) -> set:
+            got = self.cache.get(t)
+            if got is None:
+                got = self.cache[t] = _shingles(t or "", k)
+                if len(self.cache) > 4096:
+                    self.cache.clear()
+            return got
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ia = batch.column("id_a").to_pylist()
-            ib = batch.column("id_b").to_pylist()
-            jac = []
-            for a, b in zip(ia, ib):
+            ta = batch.column("_text_a").to_pylist()
+            tb = batch.column("_text_b").to_pylist()
+            jac = np.empty(len(ta), dtype=np.float64)
+            for i, (a, b) in enumerate(zip(ta, tb)):
                 sa, sb = self._sh(a), self._sh(b)
                 u = len(sa | sb)
-                jac.append(len(sa & sb) / u if u else 0.0)
-            batch = batch.append_column("jaccard", pa.array(jac, type=pa.float64()))
-            return batch.filter(
-                pa.array([j >= threshold for j in jac], type=pa.bool_())
+                jac[i] = len(sa & sb) / u if u else 0.0
+            keep = jac >= threshold
+            out = pa.table(
+                {
+                    "id_a": batch.column("id_a"),
+                    "id_b": batch.column("id_b"),
+                    "jaccard": pa.array(jac, type=pa.float64()),
+                }
             )
+            return out.filter(pa.array(keep))
 
-    return pairs.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, 4))
+    return j2.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, 4))
 
 
 # --------------------------------------------------------------------------
@@ -393,66 +424,164 @@ def simhash_near_dups(
 # Embedding-cosine near-dup
 
 
+def lsh_band_signatures(
+    ds: ray.data.Dataset,
+    bands: int,
+    bits_per_band: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Random-hyperplane band signatures, exploded to (band, bucket, id)
+    rows: ONE (dim × bands·r) matmul per batch, sign bits packed into
+    per-band int64 bucket codes. Exposed separately so bucket-occupancy
+    stats are observable (tests pin the max-bucket-size bound)."""
+    from raylink.ops.ann import _to_matrix
+
+    r = bits_per_band
+
+    class _Sig:
+        def __init__(self):
+            self.planes = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _to_matrix(batch.column(emb_col), dtype=np.float32)
+            if self.planes is None:
+                rng = np.random.default_rng(seed)
+                self.planes = rng.normal(size=(mat.shape[1], bands * r)).astype(
+                    np.float32
+                )
+            signs = (mat @ self.planes) > 0  # (n, bands*r)
+            weights = 1 << np.arange(r, dtype=np.int64)
+            codes = signs.reshape(len(mat), bands, r) @ weights  # (n, bands)
+            n = len(mat)
+            ids_rep = batch.column(id_col).take(
+                pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+            )
+            return pa.table(
+                {
+                    "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                    "bucket": pa.array(codes.reshape(-1).astype(np.int64)),
+                    id_col: ids_rep,
+                }
+            )
+
+    return ds.map_batches(_Sig, batch_format="pyarrow", concurrency=(1, 4))
+
+
 def embedding_near_dups(
     ds: ray.data.Dataset,
     threshold: float = 0.95,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
-    num_buckets: int = 8,
+    bands: int = 16,
+    bits_per_band: int | None = None,
+    target_bucket_rows: int = 64,
     seed: int = 42,
     dim: int | None = None,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
-    """Near-duplicate pairs by embedding cosine ≥ threshold.
+    """Near-duplicate pairs by embedding cosine ≥ threshold — real
+    multi-band random-hyperplane LSH (the r1 single-table version put ~n/8
+    of the corpus in each bucket: an O(n²) all-pairs in disguise).
 
-    Scale path: random-hyperplane LSH — bucket on the sign pattern of
-    ``ceil(log2(num_buckets))`` random projections, replicating nothing; at
-    high thresholds near-dups land in the same bucket with high probability
-    (candidate recall is sketch-bounded, stated, not silent). Within-bucket
-    exact cosine verify.
+    * ``bands`` independent hyperplane tables (OR-construction): a pair is
+      a candidate if ANY band gives it the same sign pattern. Per-plane
+      collision prob for angle θ is 1−θ/π; recall = 1−(1−p^r)^b.
+    * ``bits_per_band`` r defaults to ``max(4, ceil(log2(n /
+      target_bucket_rows)))`` so the occupied bucket count scales ∝ n and
+      the EXPECTED bucket size stays bounded as the corpus grows.
+    * Explosion ships only (band, bucket, id) rows; the hot-bucket
+      prefilter (shared with the MinHash path) drops singleton buckets
+      before any per-group work; in-bucket pair-gen emits id pairs only.
+    * Exact verification: embeddings are shuffle-joined onto the deduped
+      candidate pairs (never broadcast), cosine computed per batch.
+
+    Recall is sketch-bounded and stated, never silent: callers needing a
+    different operating point tune (bands, bits_per_band).
     """
-    n_planes = max(1, int(np.ceil(np.log2(num_buckets))))
+    from raylink.ops.ann import _to_matrix
+    from raylink.util import shuffle_merge
 
-    class _Bucket:
-        def __init__(self):
-            self.planes = None
+    n_total = ds.count()
+    if bits_per_band is None:
+        bits_per_band = max(
+            4, int(np.ceil(np.log2(max(n_total, 2) / target_bucket_rows)))
+        )
+    r = bits_per_band
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            embs = batch.column(emb_col)
-            mat = np.asarray(embs.to_pylist(), dtype=np.float64)
-            if self.planes is None:
-                rng = np.random.default_rng(seed)
-                self.planes = rng.normal(size=(mat.shape[1], n_planes))
-            signs = (mat @ self.planes) > 0
-            bucket = signs @ (1 << np.arange(n_planes))
-            norm = np.linalg.norm(mat, axis=1, keepdims=True)
-            norm[norm == 0] = 1.0
-            mat = mat / norm
-            return pa.table(
-                {
-                    id_col: batch.column(id_col),
-                    "bucket": pa.array(bucket.astype(np.int64)),
-                    "emb": pa.array(list(mat), type=pa.list_(pa.float64())),
-                }
+    def _bucket_pairs(group) -> pa.Table:
+        ids = np.sort(
+            np.asarray(
+                group[id_col]
+                if isinstance(group, pd.DataFrame)
+                else group.column(id_col).to_numpy(zero_copy_only=False)
             )
+        )
+        m = len(ids)
+        if m < 2:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        ii, jj = np.triu_indices(m, k=1)
+        return pa.table({"id_a": pa.array(ids[ii]), "id_b": pa.array(ids[jj])})
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].to_numpy()
-        mat = np.stack(group["emb"].to_numpy())
-        sims = mat @ mat.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] >= threshold
-        order = np.argsort(ids)
-        inv_ids = ids
-        return pd.DataFrame(
+    _bucket_pairs.batch_format = "pyarrow"
+
+    exploded = lsh_band_signatures(
+        ds, bands=bands, bits_per_band=r, emb_col=emb_col, id_col=id_col,
+        seed=seed,
+    )
+    cand = _pairs_in_hot_buckets(exploded, ["band", "bucket"], _bucket_pairs)
+    cand = (
+        cand.groupby(["id_a", "id_b"])
+        .aggregate(Min("id_a", alias_name="_m"))
+        .select_columns(["id_a", "id_b"])
+    )
+
+    # ---- exact cosine verify: embeddings attached by shuffle join --------
+    etype = dict(zip(ds.schema().names, ds.schema().types))[emb_col]
+    embs = ds.select_columns([id_col, emb_col])
+    s1 = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("_emb_a", etype)])
+    s2 = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()),
+         ("_emb_a", etype), ("_emb_b", etype)]
+    )
+
+    def _attach(side: str, out_col: str):
+        def _m(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+            rdf = rdf.drop_duplicates(subset=[id_col]).rename(
+                columns={id_col: side, emb_col: out_col}
+            )
+            return ldf.merge(rdf, how="left", on=side)
+
+        return _m
+
+    j1 = shuffle_merge(cand, embs, ["id_a"], [id_col], _attach("id_a", "_emb_a"),
+                       s1, num_partitions=num_partitions)
+    j2 = shuffle_merge(j1, embs, ["id_b"], [id_col], _attach("id_b", "_emb_b"),
+                       s2, num_partitions=num_partitions)
+
+    def _cos(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.schema(
+                [("id_a", pa.int64()), ("id_b", pa.int64()),
+                 ("cosine", pa.float64())]
+            ).empty_table()
+        a = _to_matrix(batch.column("_emb_a"))
+        b = _to_matrix(batch.column("_emb_b"))
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = (a * b).sum(axis=1) / (na * nb)
+        keep = cos >= threshold
+        out = pa.table(
             {
-                "id_a": np.minimum(inv_ids[ii[keep]], inv_ids[jj[keep]]),
-                "id_b": np.maximum(inv_ids[ii[keep]], inv_ids[jj[keep]]),
-                "cosine": sims[ii, jj][keep],
+                "id_a": batch.column("id_a"),
+                "id_b": batch.column("id_b"),
+                "cosine": pa.array(cos, type=pa.float64()),
             }
         )
+        return out.filter(pa.array(keep))
 
-    return (
-        ds.map_batches(_Bucket, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("bucket")
-        .map_groups(_pairs, batch_format="pandas")
-    )
+    return j2.map_batches(_cos, batch_format="pyarrow")
