@@ -14,7 +14,9 @@ semantics (see SURVEY.md) are re-expressed here as streaming Ray Data graphs.
 from raylink.config import LinkConfig
 from raylink.pipeline import fuzzylink, LinkResult
 from raylink.embed import HashedNgramEmbedder, get_embeddings, get_similarity_matrix
-from raylink.oracle import DeterministicOracle, check_match
+from raylink.oracle import CallableOracle, DeterministicOracle, check_match
+from raylink.http_client import HttpEmbedder, HttpOracle
+from raylink.keys import install_api_key, load_env
 from raylink.features import (
     jaro_winkler_sim,
     osa_distance,
@@ -35,6 +37,11 @@ __all__ = [
     "get_embeddings",
     "get_similarity_matrix",
     "DeterministicOracle",
+    "CallableOracle",
+    "HttpEmbedder",
+    "HttpOracle",
+    "install_api_key",
+    "load_env",
     "check_match",
     "jaro_winkler_sim",
     "osa_distance",

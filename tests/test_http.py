@@ -1,0 +1,149 @@
+"""HTTP embedder/oracle against a local fake provider server: retry with
+backoff on 429, char-budget request chunking, journal idempotence, and the
+map_batches actor seam."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raylink.http_client import HttpEmbedder, HttpOracle, HttpSession
+
+DIM = 8
+
+
+def _fake_embedding(text: str) -> list[float]:
+    rng = np.random.default_rng(abs(hash(text)) % (2**32))
+    return [float(x) for x in rng.normal(size=DIM)]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: dict = {}
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_POST(self):
+        st = self.state
+        with st["lock"]:
+            st["requests"].append(self.path)
+            if st["fail_remaining"] > 0:
+                st["fail_remaining"] -= 1
+                self.send_response(429)
+                self.send_header("Retry-After", "0")
+                self.end_headers()
+                return
+        n = int(self.headers.get("Content-Length", 0))
+        payload = json.loads(self.rfile.read(n).decode())
+        if self.path.endswith("/embeddings"):
+            texts = payload["input"]
+            with st["lock"]:
+                st["embed_batches"].append(list(texts))
+            body = {"data": [{"embedding": _fake_embedding(t)} for t in texts]}
+        else:  # chat/completions
+            prompt = payload["messages"][0]["content"]
+            # parse "Name A: ...\nName B: ..."
+            lines = dict(
+                ln.split(": ", 1) for ln in prompt.splitlines() if ": " in ln
+            )
+            same = lines["Name A"].lower().rstrip(" .") == lines[
+                "Name B"
+            ].lower().rstrip(" .")
+            text = "yes, definitely" if same else "no way"
+            body = {"choices": [{"message": {"content": text}}]}
+        data = json.dumps(body).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+
+@pytest.fixture()
+def fake_server():
+    state = {
+        "lock": threading.Lock(),
+        "requests": [],
+        "embed_batches": [],
+        "fail_remaining": 0,
+    }
+    _Handler.state = state
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/v1", state
+    srv.shutdown()
+
+
+def test_session_retries_on_429(fake_server):
+    base, state = fake_server
+    state["fail_remaining"] = 2
+    s = HttpSession(base, max_retries=4, backoff=0.01)
+    out = s.post_json("embeddings", {"model": "m", "input": ["x"]})
+    assert len(out["data"]) == 1
+    assert s.retries == 2
+    assert len(state["requests"]) == 3  # 2 failures + 1 success
+
+
+def test_session_gives_up_after_max_retries(fake_server):
+    base, state = fake_server
+    state["fail_remaining"] = 10
+    s = HttpSession(base, max_retries=2, backoff=0.01)
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        s.post_json("embeddings", {"model": "m", "input": ["x"]})
+    assert len(state["requests"]) == 3  # initial + 2 retries
+
+
+def test_embedder_chunks_and_memoizes(fake_server):
+    base, state = fake_server
+    emb = HttpEmbedder(base, dim=DIM, char_budget=20, max_items=3)
+    texts = ["alpha", "beta", "gamma", "delta", "epsilon", "alpha"]
+    mat = emb.encode_many(texts)
+    assert mat.shape == (6, DIM)
+    # unit-normalized, deterministic per text, dup rows identical
+    assert np.allclose(np.linalg.norm(mat, axis=1), 1.0, atol=1e-5)
+    assert np.allclose(mat[0], mat[5])
+    # chunking respected: every request under both caps (on distinct texts)
+    for chunk in state["embed_batches"]:
+        assert len(chunk) <= 3
+        assert sum(len(t) for t in chunk) <= 20 or len(chunk) == 1
+    sent_before = len(state["requests"])
+    emb.encode_many(["alpha", "beta"])  # fully memoized: no new requests
+    assert len(state["requests"]) == sent_before
+
+
+def test_embedder_as_map_batches_stage(fake_server):
+    base, _ = fake_server
+    emb = HttpEmbedder(base, dim=DIM, text_col="key")
+    batch = pa.table({"key": ["string_utils", "str_utils"]})
+    out = emb(batch)
+    assert "embedding" in out.column_names
+    from raylink.embed import embeddings_to_numpy
+
+    m = embeddings_to_numpy(out.column("embedding"), DIM)
+    assert m.shape == (2, DIM)
+
+
+def test_http_oracle_labels_normalize_and_journal(fake_server):
+    base, state = fake_server
+    o = HttpOracle(base, parallelism=4)
+    got = o.label([("Joe", "Joe"), ("Joe", "joe."), ("Joe", "Ann")])
+    assert got == ["Yes", "Yes", "No"]  # normalization: 'yes, definitely'→Yes
+    sent_before = len(state["requests"])
+    # journal idempotence: same pairs → zero new requests
+    again = o.label([("Joe", "joe."), ("Joe", "Ann"), ("Joe", "Joe")])
+    assert again == ["Yes", "No", "Yes"]
+    assert len(state["requests"]) == sent_before
+
+
+def test_http_oracle_drives_check_match(fake_server):
+    base, _ = fake_server
+    from raylink.oracle import check_match
+
+    o = HttpOracle(base)
+    assert check_match(["a", "b"], ["a", "c"], o) == ["Yes", "No"]
