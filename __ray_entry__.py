@@ -408,6 +408,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _lang_id_sql() -> str:
+    """Stopword-vote argmax, built from the SAME stopword sets the Ray op
+    uses (raylink/ops/text.py _STOPWORDS) so the lists can never drift.
+    Tie rule mirrors the Python loop: first language (en,de,fr,es order)
+    reaching the max distinct-stopword count; 'und' when the max is 0."""
+    from raylink.ops.text import _STOPWORDS
+
+    def _in(lang: str) -> str:
+        items = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+        return (
+            f"(SELECT count(DISTINCT w) FROM unnest(words) AS t(w)"
+            f" WHERE w IN ({items}))"
+        )
+
+    return rf"""
+        SELECT doc_id,
+               CASE WHEN m = 0 THEN 'und'
+                    WHEN c_en = m THEN 'en'
+                    WHEN c_de = m THEN 'de'
+                    WHEN c_fr = m THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM (
+            SELECT doc_id, GREATEST(c_en, c_de, c_fr, c_es) AS m,
+                   c_en, c_de, c_fr, c_es
+            FROM (
+                SELECT doc_id,
+                       {_in('en')} AS c_en,
+                       {_in('de')} AS c_de,
+                       {_in('fr')} AS c_fr,
+                       {_in('es')} AS c_es
+                FROM (
+                    SELECT doc_id,
+                           regexp_extract_all(lower(text), '\S+') AS words
+                    FROM documents
+                )
+            )
+        )
+        ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_agg": """
@@ -487,4 +528,71 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 5
             ORDER BY rank
         """,
+        # quality score: pure arithmetic over RE2-compatible ASCII classes
+        # (raylink/ops/text.py QualityScore mirrors these exactly)
+        "quality_scores": r"""
+            SELECT doc_id,
+                   CAST(ROUND(
+                     (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END)
+                   * (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+                   * (1.0 - LEAST(pr * 2, 0.8)) * 1000000) AS BIGINT) AS quality_e6
+            FROM (
+                SELECT doc_id, text,
+                       length(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                         / GREATEST(1, length(text)) AS pr,
+                       length(regexp_replace(text, '\s', '', 'g')) * 1.0
+                         / GREATEST(1, length(regexp_extract_all(text, '\S+'))) AS mwl
+                FROM documents
+            )
+            ORDER BY doc_id
+        """,
+        # rolling polynomial fingerprint h = (h*B + ord(c)) mod (2^61-1),
+        # replayed with list_reduce over codepoints (HUGEINT intermediate)
+        "fingerprint": """
+            SELECT doc_id,
+                   CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+                     list_reduce(
+                       list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT),
+                       (a, b) -> (a * 1000003 + b) % 2305843009213693951
+                     ) END AS BIGINT) AS fingerprint
+            FROM documents
+            ORDER BY doc_id
+        """,
+        # SimHash near-dups: signatures recomputed in SQL (md5_number_lower
+        # word hash masked to 63 bits, ±1 bit votes, sign pack), then the
+        # SAME banded predicate the Ray op applies: pairs sharing >=1 of the
+        # four 16-bit bands with hamming <= 6
+        "simhash_dedup": r"""
+            WITH words AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+                FROM documents
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       CAST(md5_number_lower(w) & 9223372036854775807 AS BIGINT) AS h
+                FROM words
+            ),
+            votes AS (
+                SELECT doc_id, b.bit,
+                       SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM hashed, (SELECT unnest(range(63)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ),
+            sigs AS (
+                SELECT d.doc_id,
+                       COALESCE((SELECT CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+                                 FROM votes WHERE votes.doc_id = d.doc_id), 0) AS sig
+                FROM documents d
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 6
+              AND ( (a.sig & 65535) = (b.sig & 65535)
+                 OR ((a.sig >> 16) & 65535) = ((b.sig >> 16) & 65535)
+                 OR ((a.sig >> 32) & 65535) = ((b.sig >> 32) & 65535)
+                 OR ((a.sig >> 48) & 65535) = ((b.sig >> 48) & 65535) )
+            ORDER BY id_a, id_b
+        """,
+        "lang_id": _lang_id_sql(),
     }

@@ -316,8 +316,26 @@ def verify_jaccard(
 # SimHash
 
 
+import re as _re
+
+_NONWS_ASCII = _re.compile(r"\S+", _re.ASCII)
+
+
+def _md5_word_int(w: str) -> int:
+    """63-bit word hash = DuckDB's ``md5_number_lower`` (bytes 8..16 of the
+    md5 digest, little-endian) masked to 63 bits — chosen so the SQL oracle
+    can recompute SimHash signatures bit-exactly."""
+    return int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little") & (
+        (1 << 63) - 1
+    )
+
+
 class SimHasher:
-    """64-bit SimHash over word unigrams (weighted by count)."""
+    """64-bit SimHash over word unigrams (weighted by count).
+
+    Word hash + tokenization are DuckDB-reproducible (md5_number_lower,
+    RE2-compatible ASCII ``\\S+`` split) so ``simhash_dedup`` is covered by
+    the SQL correctness gate."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
@@ -328,11 +346,11 @@ class SimHasher:
         """Vectorized: per-word 64-bit hashes unpack to a (n_words, 64) bit
         matrix in one ``np.unpackbits`` call; the ±1 vote and sign-pack are
         numpy reductions (bit-identical to the per-bit loop it replaces)."""
-        words = text.lower().split()
+        words = _NONWS_ASCII.findall(text.lower())
         if not words:
             return 0
         hs = np.fromiter(
-            (_sha1_int(w.encode()) for w in words), dtype=np.uint64, count=len(words)
+            (_md5_word_int(w) for w in words), dtype=np.uint64, count=len(words)
         )
         bits = np.unpackbits(
             hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"

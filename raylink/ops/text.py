@@ -88,7 +88,10 @@ class QualityScore:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.punct = re.compile(r"[^\w\s]")
+        # ASCII classes so DuckDB RE2 reproduces the components bit-exactly
+        # (the SQL oracle recomputes the full score)
+        self.punct = re.compile(r"[^\w\s]", re.ASCII)
+        self.nonws = re.compile(r"\S+", re.ASCII)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
@@ -99,10 +102,10 @@ class QualityScore:
         score = np.empty(n)
         stops = _STOPWORDS["en"]
         for i, t in enumerate(texts):
-            words = t.lower().split()
+            words = self.nonws.findall(t)
             nw = max(1, len(words))
             punct_ratio[i] = len(self.punct.findall(t)) / max(1, len(t))
-            stop_ratio[i] = sum(w in stops for w in words) / nw
+            stop_ratio[i] = sum(w.lower() in stops for w in words) / nw
             mean_word_len[i] = sum(len(w) for w in words) / nw
             len_ok = 1.0 if 50 <= len(t) <= 20_000 else 0.3
             wl_ok = 1.0 if 2.0 <= mean_word_len[i] <= 12.0 else 0.3
@@ -123,12 +126,14 @@ class LangId:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
+        # ASCII \S+ tokenization matches DuckDB RE2 for the SQL oracle
+        self.nonws = re.compile(r"\S+", re.ASCII)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         langs = []
         for t in texts:
-            words = set(t.lower().split())
+            words = set(self.nonws.findall(t.lower()))
             best, best_n = "und", 0
             for lang, stops in _STOPWORDS.items():
                 k = len(words & stops)
