@@ -111,7 +111,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         os.replace(f"{cache_dir}/corpus_b.parquet.tmp", f"{cache_dir}/corpus_b.parquet")
     n_rows = len(ca) + len(cb)
 
-    cfg = raylink.LinkConfig(by="key", blocking=["lang"], seed=42, tile_rows=256)
+    cfg = raylink.LinkConfig(by="key", blocking=["lang"], seed=42, tile_rows=int(os.environ.get("GRAFT_TILE_ROWS", "512")))
 
     # warm-up (untimed): read inputs once and spin up the worker pool so
     # process-start cost doesn't masquerade as pipeline time at high CPU counts
@@ -160,6 +160,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # rows → sort shuffle → fused tile task (in-tile dedup + embed +
     # cosine matmul + vectorized jw + scoring + acceptance). The
     # intermediate pair stream never exists; only accepted rows come out.
+    from raylink.util import CounterActor
+
+    jw_counter = CounterActor.remote()
     accepted = generate_scored_pairs(
         dsa.select_columns(["key", "block"]),
         dsb.select_columns(["key", "block"]),
@@ -171,10 +174,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         plan=plan,
         embed_in_tile=True,
         dedup_in_tile=True,
+        jw_counter=jw_counter,
     )
     n_accepted = accepted.count()
     headline = time.perf_counter() - t0
-    counts = {"n": total_pairs, "n_accepted": n_accepted}
+    n_jw = ray.get(jw_counter.total.remote())
+    counts = {"n": total_pairs, "n_accepted": n_accepted, "n_jw": n_jw}
     queries["linkage_stream"] = round(headline, 3)
 
     # ---- secondary ops over the raw sf tables ----------------------------
@@ -213,9 +218,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "corpus_rows": n_rows,
+        # candidate_pairs = exact within-block cross-product count the
+        # acceptance decision covers; jw_evaluated_pairs = pairs whose JW
+        # kernel actually ran (the glm branch-and-bound prunes the rest
+        # with an exact bound — decisions identical, compute skipped)
         "scored_pairs": counts["n"],
+        "candidate_pairs": counts["n"],
+        "jw_evaluated_pairs": counts["n_jw"],
         "accepted_pairs": counts["n_accepted"],
         "pairs_per_sec": int(counts["n"] / headline),
+        "jw_pairs_per_sec": int(counts["n_jw"] / headline),
     }
     ray.shutdown()
     return result

@@ -285,6 +285,7 @@ def generate_scored_pairs(
     embed_in_tile: bool = False,
     dedup_in_tile: bool = False,
     sim_floor: float | None = None,
+    jw_counter=None,
 ) -> ray.data.Dataset:
     """Fused tile stage: pair-gen + lexical features + scoring + acceptance
     in ONE ``map_groups`` task per tile.
@@ -436,6 +437,13 @@ def generate_scored_pairs(
             # unconditionally (even exact/labeled), compared in float64
             fkeep = simf >= sim_floor
             ai, bi, simf = ai[fkeep], bi[fkeep], simf[fkeep]
+
+        if jw_counter is not None:
+            # fire-and-forget tally of pairs whose JW is actually computed
+            # (pruned pairs are skipped by the exact branch-and-bound); the
+            # bench reports this beside the raw candidate count so
+            # "scored pairs/s" is an honest metric (VERDICT r1 #10)
+            jw_counter.add.remote(len(ai))
 
         jw = jw_cross(low_a, low_b, ai, bi)
         X = np.column_stack([simf, jw])

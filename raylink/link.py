@@ -113,13 +113,27 @@ def join_payloads(
     acc_ref = ray.put(accepted_df)
 
     # -- 2a. semi-join filter of dfB to referenced (key_b, block) ----------
-    needed_b = set(zip(accepted_df["key_b"], accepted_df["block"]))
+    # composite "key\x1fblock" value set built ONCE, broadcast, matched with
+    # the vectorized pc.is_in kernel (no per-row membership loop)
+    needed_b = ray.put(
+        pa.array(
+            sorted(
+                {
+                    f"{k}\x1f{blk}"
+                    for k, blk in zip(accepted_df["key_b"], accepted_df["block"])
+                }
+            )
+        )
+    )
 
     def _b_filter(batch: pa.Table) -> pa.Table:
-        keys = batch.column(by).to_pylist()
-        blks = batch.column("block").to_pylist()
-        mask = [(k, blk) in needed_b for k, blk in zip(keys, blks)]
-        return batch.filter(pa.array(mask, type=pa.bool_()))
+        value_set: pa.Array = ray.get(needed_b)
+        composite = pc.binary_join_element_wise(
+            pc.cast(batch.column(by), pa.string()),
+            pc.cast(batch.column("block"), pa.string()),
+            "\x1f",
+        )
+        return batch.filter(pc.is_in(composite, value_set=value_set))
 
     b_subset = ds_b.map_batches(_b_filter, batch_format="pyarrow").to_pandas()
     b_subset = b_subset.drop_duplicates()

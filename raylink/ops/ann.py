@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from raylink.util import actor_pool_size
+
 
 def _to_matrix(col, dtype=np.float64) -> np.ndarray:
     """Zero-copy-ish (n, dim) view of an Arrow embedding column:
@@ -86,7 +88,7 @@ def knn_brute_force(
                 }
             )
 
-    partials = ds.map_batches(_PartialTopK, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    partials = ds.map_batches(_PartialTopK, batch_format="pyarrow", concurrency=(1, actor_pool_size())).to_pandas()
     results: list[list[tuple[float, int]]] = []
     for qi in range(nq):
         sub = partials[partials["q"] == qi]
@@ -147,7 +149,7 @@ def build_ivf_index(
                 "bucket", pa.array(bucket.astype(np.int64))
             )
 
-    return cent, ds.map_batches(_Assign, batch_format="pyarrow", concurrency=(1, 4))
+    return cent, ds.map_batches(_Assign, batch_format="pyarrow", concurrency=(1, actor_pool_size()))
 
 
 def knn_ivf(
@@ -211,7 +213,7 @@ def knn_ivf(
             )
 
     partials = filt.map_batches(
-        _ProbeTopK, batch_format="pyarrow", concurrency=(1, 4)
+        _ProbeTopK, batch_format="pyarrow", concurrency=(1, actor_pool_size())
     ).to_pandas()
 
     out = []

@@ -22,6 +22,8 @@ import pyarrow as pa
 
 import ray
 import ray.data
+
+from raylink.util import actor_pool_size
 from ray.data.aggregate import Count, Min
 
 
@@ -180,7 +182,7 @@ def minhash_lsh_candidates(
             num_perm=num_perm, k=k, seed=seed, text_col=text_col, id_col=id_col
         ),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=(1, actor_pool_size()),
     )
 
     def _bands(batch: pa.Table) -> pa.Table:
@@ -309,7 +311,7 @@ def verify_jaccard(
             )
             return out.filter(pa.array(keep))
 
-    return j2.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, 4))
+    return j2.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, actor_pool_size()))
 
 
 # --------------------------------------------------------------------------
@@ -373,7 +375,7 @@ def simhash_signatures(
         SimHasher,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=(1, actor_pool_size()),
     )
 
 
@@ -484,7 +486,7 @@ def lsh_band_signatures(
                 }
             )
 
-    return ds.map_batches(_Sig, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(_Sig, batch_format="pyarrow", concurrency=(1, actor_pool_size()))
 
 
 def embedding_near_dups(

@@ -21,6 +21,8 @@ import pyarrow as pa
 
 import ray.data
 
+from raylink.util import actor_pool_size
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -123,7 +125,7 @@ def decode_images(
         fn_constructor_kwargs={"dim": dim, "fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 4),
+        concurrency=(1, actor_pool_size()),
     )
 
 

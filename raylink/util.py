@@ -55,6 +55,33 @@ def default_join_partitions(requested: int | None = None) -> int:
     return max(2, min(16, cpus))
 
 
+def actor_pool_size(cap: int = 16) -> int:
+    """Upper bound for autoscaling actor pools: the cluster CPU count,
+    capped (the sandbox host's per-core throughput halves above ~16
+    concurrent workers — BASELINE.md 'Scaling'); pools are declared
+    ``concurrency=(1, actor_pool_size())`` so small sessions don't starve."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(cap, cpus))
+
+
+@ray.remote(num_cpus=0)
+class CounterActor:
+    """Zero-CPU tally actor for fire-and-forget instrumentation counts
+    (e.g. JW-evaluated pairs per tile in the fused stage)."""
+
+    def __init__(self):
+        self.n = 0
+
+    def add(self, k: int) -> None:
+        self.n += int(k)
+
+    def total(self) -> int:
+        return self.n
+
+
 def hash_partition_ids(batch, key_cols: list[str], num_partitions: int):
     """Vectorized partition id per row: fixed-key hash of the string-joined
     key columns, mod P. Deterministic across processes (pandas' siphash with
@@ -104,12 +131,28 @@ def shuffle_merge(
             cpus = 8
         num_partitions = max(16, cpus * 8)
 
+    def _pa_type(t):
+        """Pandas-backed datasets report numpy dtypes / Python classes in
+        Schema.types; normalize everything to Arrow DataTypes (object →
+        string, the only ambiguous case)."""
+        if isinstance(t, pa.DataType):
+            return t
+        import numpy as np
+
+        try:
+            dt = np.dtype(t)
+            if dt == np.dtype(object):
+                return pa.string()
+            return pa.from_numpy_dtype(dt)
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
     l_schema, r_schema = left.schema(), right.schema()
     l_names = list(l_schema.names)
     r_names = list(r_schema.names)
-    union_fields: list[tuple[str, "pa.DataType"]] = list(
-        zip(l_names, l_schema.types)
-    ) + [(f"__r__{n}", t) for n, t in zip(r_names, r_schema.types)]
+    union_fields: list[tuple[str, "pa.DataType"]] = [
+        (n, _pa_type(t)) for n, t in zip(l_names, l_schema.types)
+    ] + [(f"__r__{n}", _pa_type(t)) for n, t in zip(r_names, r_schema.types)]
 
     def _tag(side: int, keys: list[str]):
         def _t(batch: pa.Table) -> pa.Table:
