@@ -1,12 +1,23 @@
 """The flagship linkage pipeline: Ray-Data-native ``fuzzylink``
 (SURVEY.md §3.1; reference ``R/fuzzylink.R:32-493``).
 
-Two *wide* streaming phases — (1) normalize → embed distinct keys (actor
-pool) → tiled block-shuffle pair-gen → lexical features, and (2) broadcast
-scoring → acceptance filter → payload hash-joins → clustering — around a
-*narrow* driver-coordinated labeling phase (initial top-k labels, IRLS fit,
-active-learning + recall-search loops) that touches at most ``max_labels``
-oracle labels, exactly the control structure of the reference.
+Two *wide* streaming phases around a *narrow* driver-coordinated labeling
+phase (initial top-k labels, IRLS fit, active-learning + recall-search
+loops, ≤ ``max_labels`` oracle calls — the reference's control structure):
+
+* phase 1: normalize → embed distinct keys (actor pool) → tile plan from
+  per-block histograms (the exact pair count decides the loop mode before
+  anything is built);
+* labeling: driver mode holds the slim pair table in memory (bounded by
+  ``driver_pair_cap``); streaming mode lands it on partitioned parquet and
+  runs the distributed loop primitives (``active_streaming``);
+* phase 2, driver mode: broadcast scoring → acceptance → broadcast payload
+  joins → union-find clusters;
+* phase 2, streaming mode: the FUSED tile stage (``generate_scored_pairs``)
+  re-derives, scores and filters pairs in one map_groups task per tile (the
+  pair stream never exists), and the accepted set stays a Dataset through
+  hash-partitioned shuffle payload joins and distributed min-label
+  propagation — nothing cutoff-bounded reaches the driver.
 """
 
 from __future__ import annotations
