@@ -9,10 +9,9 @@ semantics). Two paths:
   accepted edge set is post-filter and label-budget-shaped (small relative
   to the candidate stream).
 * :func:`cluster_label_propagation` — distributed min-label propagation
-  (iterated ``groupby(node).min(label)`` message passing) for when the edge
-  set itself is too large for one machine; converges in O(component
-  diameter) rounds. Partitioning assumption: edges are shuffled by ``block``
-  + node key each round.
+  with pointer jumping, for when the edge set itself is too large for one
+  machine; converges in O(log component diameter) rounds. Partitioning
+  assumption: edges are shuffled by ``block`` + node key each round.
 """
 
 from __future__ import annotations
@@ -73,10 +72,13 @@ def cluster_label_propagation(
     (block, key_a, key_b) — the genuinely distributed scale path: per round
     the node→label table is attached to both edge endpoints via
     hash-partitioned **shuffle joins** (``util.shuffle_merge``), never
-    collected to the driver or broadcast whole. O(component diameter)
-    rounds, each round = two shuffles of the edge set + one groupby-min of
-    the proposal stream; the fixpoint check is a distributed hash aggregate
-    (one scalar to the driver per round)."""
+    collected to the driver or broadcast whole. Each round = two
+    shuffle-join relabels of the edge set, one groupby-min
+    of the proposal stream, and a pointer-jumping self-join (label-of-label
+    shortcut) that makes convergence O(log diameter); the fixpoint check is
+    a distributed hash aggregate (one scalar to the driver per round). The
+    label table's block count is re-pinned each round — Ray's sort-based
+    groupby otherwise compounds partition counts round over round."""
     import pyarrow.compute as pc
 
     from raylink.util import shuffle_merge
@@ -96,8 +98,17 @@ def cluster_label_propagation(
         .aggregate(Min("label", alias_name="label"))
     )
 
-    edges = edges.select_columns(["block", "key_a", "key_b"]).materialize()
-    labels = labels.materialize()
+    if num_partitions is None:
+        try:
+            _P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            _P = 8
+    else:
+        _P = num_partitions
+    edges = (
+        edges.select_columns(["block", "key_a", "key_b"]).repartition(_P).materialize()
+    )
+    labels = labels.repartition(_P).materialize()
 
     e1_schema = pa.schema(
         [("block", pa.string()), ("key_a", pa.string()), ("key_b", pa.string()),
@@ -133,15 +144,33 @@ def cluster_label_propagation(
         parts = lab.map_batches(_h, batch_format="pyarrow").to_pandas()
         return int(np.sum(parts["d"].to_numpy(dtype=np.uint64), dtype=np.uint64))
 
+    edge_schema = pa.schema(
+        [("block", pa.string()), ("key_a", pa.string()), ("key_b", pa.string())]
+    )
+    label_schema = pa.schema(
+        [("block", pa.string()), ("key", pa.string()), ("label", pa.string())]
+    )
+
+    import os as _os
+    import time as _time
+
+    # round-level tracing for ops debugging (RAYLINK_LP_DEBUG=1)
+    _dbg = bool(_os.environ.get("RAYLINK_LP_DEBUG"))
     prev_digest: int | None = None
-    for _ in range(max_iter):
+    for _round in range(max_iter):
+        if _dbg:
+            print(f"LP r{_round} start {_time.time():.1f}", flush=True)
+        # explicit schemas: a Dataset.schema() probe on the lazy e1 would
+        # re-execute its whole shuffle once per round
         e1 = shuffle_merge(
             edges, labels, ["block", "key_a"], ["block", "key"],
             _attach("key_a", "la"), e1_schema, num_partitions=num_partitions,
+            left_schema=edge_schema, right_schema=label_schema,
         )
         e2 = shuffle_merge(
             e1, labels, ["block", "key_b"], ["block", "key"],
             _attach("key_b", "lb"), e2_schema, num_partitions=num_partitions,
+            left_schema=e1_schema, right_schema=label_schema,
         )
 
         def _messages(batch: pa.Table) -> pa.Table:
@@ -158,14 +187,44 @@ def cluster_label_propagation(
             )
 
         proposals = e2.map_batches(_messages, batch_format="pyarrow").union(labels)
+        # pinned: the self-join below reads this twice (once per side)
         labels = (
             proposals.groupby(["block", "key"])
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
+        if _dbg:
+            print(f"LP r{_round} relabel done {_time.time():.1f}", flush=True)
+
+        # pointer jumping: replace every node's label with its label's
+        # label (one more shuffle join) — chains halve each round, so
+        # convergence is O(log diameter) instead of O(diameter)
+        def _jump(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+            r2 = rdf.rename(columns={"key": "label", "label": "_ll"})
+            m = ldf.merge(r2, how="left", on=["block", "label"])
+            m["label"] = m["_ll"].fillna(m["label"])
+            return m[["block", "key", "label"]]
+
+        # Re-pin the label table's block count each round: Ray's sort-based
+        # groupby emits one output partition per INPUT block, so without
+        # this the labels inherit (edges + labels + messages) blocks every
+        # round — compounding block counts and per-round cost.
+        labels = (
+            shuffle_merge(
+                labels, labels, ["block", "label"], ["block", "key"],
+                _jump, label_schema, num_partitions=num_partitions,
+                left_schema=label_schema, right_schema=label_schema,
+            )
+            .repartition(_P)
+            .materialize()
+        )
+        if _dbg:
+            print(f"LP r{_round} jump done {_time.time():.1f}", flush=True)
 
         # labels are monotone non-increasing per node: equal digests ⇒ fixpoint
         cur_digest = _label_digest(labels)
+        if _dbg:
+            print(f"LP r{_round} digest={cur_digest}", flush=True)
         if cur_digest == prev_digest:
             break
         prev_digest = cur_digest

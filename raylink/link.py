@@ -216,6 +216,7 @@ def join_payloads_distributed(
     stage1 = shuffle_merge(
         ds_a, accepted, [by, "block"], ["key_a", "block"], _m1, s1_schema,
         num_partitions=num_partitions,
+        left_schema=a_schema, right_schema=acc_schema,
     )
 
     b_schema = ds_b.schema()
@@ -245,4 +246,6 @@ def join_payloads_distributed(
     return shuffle_merge(
         stage1, ds_b_renamed, ["key_b", "block"], [by, "block"], _m2, s2_schema,
         num_partitions=num_partitions,
+        left_schema=s1_schema,
+        right_schema=pa.schema([(n, t) for n, t in b_fields]),
     )

@@ -40,21 +40,38 @@ def _pairs_in_hot_buckets(
     groups, broadcast as a set), singletons are filtered out map-side, and
     the expensive per-group python only touches real candidates."""
 
+    def _combine(batch: pa.Table) -> np.ndarray:
+        """Single-uint64 combine of the bucket columns (mix64-folded).
+        Collisions only ever ADD a bucket to the hot set — the later
+        groupby still keys on the true bucket columns, so a collision
+        costs one harmless singleton group, never a wrong pair."""
+        acc = np.full(len(batch), np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+        for c in bucket_cols:
+            vals = batch.column(c).to_numpy(zero_copy_only=False).astype(np.uint64)
+            acc = _mix64(acc ^ vals)
+        return acc
+
     exploded = exploded.materialize()  # reused by counts + survivor filter
     counts = exploded.groupby(bucket_cols).aggregate(Count(alias_name="_n"))
-    hot_df = counts.filter(expr="_n >= 2").to_pandas()
-    hot = set(zip(*(hot_df[c] for c in bucket_cols))) if len(hot_df) else set()
-    if not hot:
+    hot_tbl = counts.filter(expr="_n >= 2").select_columns(bucket_cols).to_arrow_refs()
+    hot_batches = [ray.get(r) for r in hot_tbl]
+    hot_combined = (
+        np.concatenate([_combine(t) for t in hot_batches if len(t)])
+        if any(len(t) for t in hot_batches)
+        else np.empty(0, dtype=np.uint64)
+    )
+    if len(hot_combined) == 0:
         cols = exploded.schema().names
         empty = pair_fn(pd.DataFrame({c: [] for c in cols}))
         return ray.data.from_pandas(empty)
-    ref = ray.put(hot)
+    ref = ray.put(pa.array(np.unique(hot_combined)))
 
     def _filter(batch: pa.Table) -> pa.Table:
-        hotset = ray.get(ref)
-        cols = [batch.column(c).to_pylist() for c in bucket_cols]
-        mask = [t in hotset for t in zip(*cols)]
-        return batch.filter(pa.array(mask, type=pa.bool_()))
+        import pyarrow.compute as pc
+
+        value_set: pa.Array = ray.get(ref)
+        combined = pa.array(_combine(batch))
+        return batch.filter(pc.is_in(combined, value_set=value_set))
 
     survivors = exploded.map_batches(_filter, batch_format="pyarrow")
     # pandas per-group conversion costs ~1ms/group; with thousands of hot
@@ -271,14 +288,18 @@ def verify_jaccard(
 
         return _m
 
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    text_schema = pa.schema([(id_col, pa.int64()), (text_col, pa.string())])
     j1 = shuffle_merge(
         pairs.select_columns(["id_a", "id_b"]), texts,
         ["id_a"], [id_col], _attach("id_a", "_text_a"), s1,
         num_partitions=num_partitions,
+        left_schema=pair_schema, right_schema=text_schema,
     )
     j2 = shuffle_merge(
         j1, texts, ["id_b"], [id_col], _attach("id_b", "_text_b"), s2,
         num_partitions=num_partitions,
+        left_schema=s1, right_schema=text_schema,
     )
 
     class _Verify:
@@ -576,10 +597,14 @@ def embedding_near_dups(
 
         return _m
 
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    emb_schema = pa.schema([(id_col, pa.int64()), (emb_col, etype)])
     j1 = shuffle_merge(cand, embs, ["id_a"], [id_col], _attach("id_a", "_emb_a"),
-                       s1, num_partitions=num_partitions)
+                       s1, num_partitions=num_partitions,
+                       left_schema=pair_schema, right_schema=emb_schema)
     j2 = shuffle_merge(j1, embs, ["id_b"], [id_col], _attach("id_b", "_emb_b"),
-                       s2, num_partitions=num_partitions)
+                       s2, num_partitions=num_partitions,
+                       left_schema=s1, right_schema=emb_schema)
 
     def _cos(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:

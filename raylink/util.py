@@ -106,6 +106,8 @@ def shuffle_merge(
     merge_fn,
     out_schema,
     num_partitions: int | None = None,
+    left_schema=None,
+    right_schema=None,
 ) -> ray.data.Dataset:
     """Distributed hash join without ``Dataset.join`` (which crashes on
     sparse partitions in Ray 2.49 — see :func:`hash_join`).
@@ -125,11 +127,15 @@ def shuffle_merge(
     import pyarrow as pa
 
     if num_partitions is None:
+        # ~2 partitions per CPU: enough parallelism for the per-partition
+        # pandas merges without paying hundreds of tiny map_groups calls;
+        # large-join callers override upward (per-partition memory = |L|+|R|
+        # over P plus merge output)
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             cpus = 8
-        num_partitions = max(16, cpus * 8)
+        num_partitions = max(16, cpus * 2)
 
     def _pa_type(t):
         """Pandas-backed datasets report numpy dtypes / Python classes in
@@ -147,7 +153,11 @@ def shuffle_merge(
         except (TypeError, pa.ArrowNotImplementedError):
             return pa.string()
 
-    l_schema, r_schema = left.schema(), right.schema()
+    # Dataset.schema() on a LAZY input executes part of its lineage just to
+    # learn the dtypes (a full sort for groupby-rooted lineages) — callers
+    # chaining shuffle_merge should pass the known Arrow schemas explicitly.
+    l_schema = left_schema if left_schema is not None else left.schema()
+    r_schema = right_schema if right_schema is not None else right.schema()
     l_names = list(l_schema.names)
     r_names = list(r_schema.names)
     union_fields: list[tuple[str, "pa.DataType"]] = [
