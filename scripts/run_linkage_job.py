@@ -103,7 +103,14 @@ def main() -> int:
     else:
         res.linked.write_parquet(os.path.join(args.out, "linked"))
         res.accepted.write_parquet(os.path.join(args.out, "accepted"))
-    res.clusters.to_parquet(os.path.join(args.out, "clusters.parquet"))
+    import pandas as pd
+
+    if isinstance(res.clusters, pd.DataFrame):
+        # driver mode: union-find table
+        res.clusters.to_parquet(os.path.join(args.out, "clusters.parquet"))
+    else:
+        # streaming mode: distributed label-propagation Dataset
+        res.clusters.write_parquet(os.path.join(args.out, "clusters"))
     with open(os.path.join(args.out, "run_manifest.json"), "w") as f:
         json.dump(
             {
