@@ -154,6 +154,10 @@ def run_linkage_loops(
     metrics["initial_labels"] = int(n_pick)
 
     # ---- Step 4: fit -----------------------------------------------------
+    if cfg.verbose:
+        import time as _t
+
+        print(f"Fitting model ({_t.strftime('%X')})", flush=True)
     model = _fit(train, cfg)
     train["match_probability"] = _predict(model, train, cfg)
 
@@ -191,10 +195,24 @@ def run_linkage_loops(
         al_iters += 1
         if al_iters >= cfg.window_size:
             rolling = float(np.mean(gradient[-cfg.window_size :]))
+            if cfg.verbose:
+                # single-line refinement ticker (R/fuzzylink.R:319-326)
+                print(
+                    f"\rRefining model (iteration {al_iters}) | Gradient: "
+                    f"{rolling:.4f} (threshold: {stop_threshold})     ",
+                    end="", flush=True,
+                )
             if rolling < stop_threshold:
                 break
+        elif cfg.verbose:
+            print(
+                f"\rRefining model (iteration {al_iters}) | Gradient: estimating...",
+                end="", flush=True,
+            )
         if al_iters > 500:  # safety: the reference has no bound but converges
             break
+    if cfg.verbose and al_iters:
+        print("", flush=True)  # commit the final \r line (R/fuzzylink.R:334)
     metrics["al_iterations"] = al_iters
 
     # record labels from train
@@ -223,6 +241,9 @@ def run_linkage_loops(
         )
         if len(to_search) == 0:
             break
+        if cfg.verbose:
+            # recall-search progress (R/fuzzylink.R:421)
+            print(f"Record Pairs Remaining To Label: {len(to_search)}", flush=True)
         w = _kernel_weights(to_search["match_probability"].to_numpy(), cfg.kernel_sd)
         n_pos = int((w > 0).sum())
         if n_pos == 0:

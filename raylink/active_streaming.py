@@ -343,6 +343,10 @@ def run_linkage_loops_streaming(
         model.fit(X, y)
         return model.export_state()
 
+    if cfg.verbose:
+        import time as _t
+
+        print(f"Fitting model ({_t.strftime('%X')})", flush=True)
     state = _fit()
 
     # ---- active-learning loop -------------------------------------------
@@ -369,10 +373,22 @@ def run_linkage_loops_streaming(
         )
         state = new_state
         it += 1
+        if cfg.verbose:
+            g = (
+                f"{float(np.mean(gradients[-cfg.window_size:])):.4f}"
+                if it >= cfg.window_size
+                else "estimating..."
+            )
+            print(
+                f"\rRefining model (iteration {it}) | Gradient: {g}     ",
+                end="", flush=True,
+            )
         if it >= cfg.window_size and float(np.mean(gradients[-cfg.window_size:])) < stop_threshold:
             break
         if it > 200:
             break
+    if cfg.verbose and it:
+        print("", flush=True)
     metrics["al_iterations"] = it
 
     # ---- recall search ---------------------------------------------------

@@ -79,6 +79,11 @@ class LinkConfig:
     # Count + warn on NA-dropped rows like the reference (R/fuzzylink.R:61-70).
     # Costs one extra streaming pass per side; False skips the count.
     count_dropped: bool = True
+    # Progress banners mirroring the reference's message() calls
+    # (R/fuzzylink.R:94-100,108-114,158-164,228-234,319-334,421,486). The
+    # reference defaults verbose=TRUE; the library default here is False so
+    # embedded/test use stays quiet — pass True for the reference feel.
+    verbose: bool = False
 
     # ---- determinism ----
     seed: int = 42

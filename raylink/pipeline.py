@@ -49,6 +49,13 @@ from raylink.schema import add_block_key, drop_missing, validate_by
 _FULL_FEATS = ["sim", "jw", "osa", "cosine", "jaccard", "lcs", "qgram", "soundex"]
 
 
+def _banner(cfg: "LinkConfig", msg: str) -> None:
+    """Progress banner parity with the reference's message() calls
+    (R/fuzzylink.R:94-100 etc.): '<msg> (<HH:MM:SS>)'."""
+    if cfg.verbose:
+        print(f"{msg} ({time.strftime('%X')})", flush=True)
+
+
 def _journal_path(checkpoint_dir: str) -> str:
     import os
 
@@ -170,6 +177,7 @@ def fuzzylink(
             concurrency=(1, cfg.embed_concurrency),
         )
 
+    _banner(cfg, "Retrieving embeddings")
     if cfg.blocking:
         # B-side semi-join depends on the A-side block set: sequential
         kea = _embed(distinct_keys(ds_a, by)).materialize()
@@ -192,6 +200,7 @@ def fuzzylink(
         )
 
     # ---- Step 2: tiled pair generation + features (J2, F1-F7) ------------
+    _banner(cfg, "Computing similarity matrix")
     from raylink.block import block_histograms, pair_count_from_hist, tile_plan_from_hist
 
     na, nb = block_histograms(kea, keb)
@@ -273,6 +282,7 @@ def fuzzylink(
     metrics["sec_pair_gen"] = t1 - t0
 
     # ---- Steps 3-6: labeling loops ---------------------------------------
+    _banner(cfg, "Labeling Initial Training Set")
     if use_streaming:
         from raylink.active import LoopResult
         from raylink.active_streaming import run_linkage_loops_streaming
@@ -390,6 +400,7 @@ def fuzzylink(
             clusters["entity_id"].nunique() if len(clusters) else 0
         )
     metrics["sec_total"] = time.perf_counter() - t0
+    _banner(cfg, "Done!")
 
     return LinkResult(
         linked=linked,

@@ -147,3 +147,30 @@ def test_http_oracle_drives_check_match(fake_server):
 
     o = HttpOracle(base)
     assert check_match(["a", "b"], ["a", "c"], o) == ["Yes", "No"]
+
+
+def test_http_embedder_through_fuzzylink_seam(fake_server):
+    """The embedder_cls seam end-to-end: HttpEmbedder actors (running in
+    Ray worker processes) reach the fake provider over localhost and the
+    pipeline completes with the remote embeddings."""
+    import ray.data as rd
+
+    import raylink
+    from raylink.synth import presidents_tables
+
+    base, state = fake_server
+    dfa, dfb, labels = presidents_tables()
+    oracle = raylink.DeterministicOracle(labels)
+    cfg = raylink.LinkConfig(
+        by="name", blocking=["state"], seed=7, n_initial=20,
+        al_batch_size=5, embedding_dim=DIM, embed_concurrency=2,
+    )
+    res = raylink.fuzzylink(
+        rd.from_arrow(dfa), rd.from_arrow(dfb), oracle, cfg,
+        embedder_cls=HttpEmbedder,
+        embedder_kwargs={"base_url": base, "dim": DIM, "text_col": "key"},
+    )
+    linked = res.linked.to_pandas()
+    assert len(linked) == 5  # dfA-complete
+    with state["lock"]:
+        assert any(p.endswith("/embeddings") for p in state["requests"])

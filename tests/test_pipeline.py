@@ -157,6 +157,27 @@ def test_dropped_row_counts_and_warning():
     assert res.metrics["n_dropped_b"] == 2
 
 
+def test_verbose_banners(capsys):
+    """cfg.verbose=True prints the reference's stage banners
+    (R/fuzzylink.R:94-100,158-164,228-234,319-334,486)."""
+    dfa, dfb, labels = presidents_tables()
+    oracle = raylink.DeterministicOracle(labels)
+    cfg = raylink.LinkConfig(
+        by="name", blocking=["state"], seed=7, n_initial=20,
+        al_batch_size=5, verbose=True,
+    )
+    raylink.fuzzylink(rd.from_arrow(dfa), rd.from_arrow(dfb), oracle, cfg)
+    out = capsys.readouterr().out
+    for banner in (
+        "Retrieving embeddings",
+        "Computing similarity matrix",
+        "Labeling Initial Training Set",
+        "Fitting model",
+        "Done!",
+    ):
+        assert banner in out, banner
+
+
 def test_oracle_journal_roundtrip_with_separator(tmp_path):
     """Journal entries serialize as JSON arrays, so keys containing the
     blocking separator round-trip losslessly (ADVICE r1)."""
