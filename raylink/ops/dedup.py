@@ -63,6 +63,8 @@ def _pairs_in_hot_buckets(
     if len(hot_combined) == 0:
         cols = exploded.schema().names
         empty = pair_fn(pd.DataFrame({c: [] for c in cols}))
+        if isinstance(empty, pa.Table):
+            return ray.data.from_arrow(empty)
         return ray.data.from_pandas(empty)
     ref = ray.put(pa.array(np.unique(hot_combined)))
 

@@ -228,6 +228,25 @@ def test_multimodal_plumbing():
         decode_images(media, fake=False).take(1)
 
 
+def test_dedup_ops_empty_hot_set():
+    """Corpora with zero duplicate candidates exercise the no-hot-bucket
+    fast path (empty typed result, no crash)."""
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "totally unique first",
+                    "second thing entirely",
+                    "third unrelated text",
+                ],
+            }
+        )
+    )
+    assert minhash_lsh_candidates(docs, num_perm=32, bands=8).count() == 0
+    assert simhash_near_dups(docs, max_hamming=1).count() == 0
+
+
 def test_shingles_jaccard_sanity():
     a = _shingles("hello world program")
     b = _shingles("hello world programs")
