@@ -86,7 +86,11 @@ def topk_initial_pool(
     train: ray.data.Dataset, n_t: int, seed: int
 ) -> pd.DataFrame:
     """K1+K2: per-A top-k by sim with ties (k = max(n_t/|uniq A|, 1)), then
-    a seeded uniform sample of n_t from the pool via hash ordering."""
+    a seeded uniform sample of n_t from the pool via hash ordering.
+
+    The sample is taken with per-batch partial top-n_t reductions (each
+    batch forwards at most n_t rows to the driver) — identical result to a
+    global ``sort('_u').limit(n_t)`` without the all-to-all sort."""
     n_uniq = train.groupby("key_a").aggregate(Min("sim", alias_name="_s")).count()
     k = max(n_t // max(n_uniq, 1), 1)
 
@@ -96,16 +100,22 @@ def topk_initial_pool(
 
     pool = train.groupby("key_a").map_groups(_topk, batch_format="pandas")
 
-    def _tag(batch: pa.Table) -> pa.Table:
+    def _tag_partial(batch: pa.Table) -> pa.Table:
         u = _hash01(
             batch.column("key_a").to_pylist(),
             batch.column("key_b").to_pylist(),
             [seed] * len(batch),
         )
-        return batch.append_column("_u", pa.array(u))
+        t = batch.append_column("_u", pa.array(u))
+        if len(t) > n_t:
+            order = np.argsort(u, kind="stable")[:n_t]
+            t = t.take(pa.array(np.sort(order)))
+        return t
 
-    tagged = pool.map_batches(_tag, batch_format="pyarrow")
-    return tagged.sort("_u").limit(n_t).to_pandas().drop(columns=["_u"])
+    parts = pool.map_batches(_tag_partial, batch_format="pyarrow").to_pandas()
+    return (
+        parts.nsmallest(n_t, "_u").drop(columns=["_u"]).reset_index(drop=True)
+    )
 
 
 def weighted_sample_unlabeled(
@@ -307,10 +317,18 @@ def run_linkage_loops_streaming(
     feature_cols = _feature_cols(cfg)
     metrics: dict = {}
 
-    train = distinct_train_pairs(pairs, full_feats).materialize()
+    # The distinct non-exact train table is pair-scale: it lands on
+    # partitioned parquet (disk, re-streamable per loop pass) instead of
+    # being pinned in the object store — no stage materializes a
+    # pair-scale table in memory (exact pairs are labeled Yes without
+    # oracle spend, R/fuzzylink.R:193-199, so they never enter the pool).
+    import tempfile
 
-    # exact pairs are labeled Yes without oracle spend (R/fuzzylink.R:193-199)
-    non_exact = train.filter(expr="key_a != key_b").materialize()
+    spill_dir = tempfile.mkdtemp(prefix="raylink_train_", dir="/tmp")
+    distinct_train_pairs(pairs, full_feats).filter(
+        expr="key_a != key_b"
+    ).write_parquet(spill_dir)
+    non_exact = ray.data.read_parquet(spill_dir)
 
     labels: dict[tuple[str, str], str] = {}
 
