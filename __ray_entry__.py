@@ -251,11 +251,9 @@ def _q_ann_topk(sf_dir: str):
     from raylink.ops.ann import knn_brute_force
 
     embs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = None
-    for row in embs.iter_rows():
-        if row["vec_id"] == 0:
-            q = np.asarray(row["embedding"], dtype=np.float64)
-            break
+    # filtered take — no driver-side row scan over the dataset
+    qrow = embs.filter(expr="vec_id == 0").take(1)[0]
+    q = np.asarray(qrow["embedding"], dtype=np.float64)
     res = knn_brute_force(embs, q, k=5, exclude_ids={0})
     return pd.DataFrame(
         {
@@ -355,11 +353,8 @@ def _q_knn_ivf(sf_dir: str):
     from raylink.ops.ann import build_ivf_index, knn_ivf
 
     embs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = None
-    for row in embs.iter_rows():
-        if row["vec_id"] == 0:
-            q = np.asarray(row["embedding"], dtype=np.float64)
-            break
+    qrow = embs.filter(expr="vec_id == 0").take(1)[0]
+    q = np.asarray(qrow["embedding"], dtype=np.float64)
     cent, bucketed = build_ivf_index(embs, num_centroids=8)
     res = knn_ivf(bucketed, cent, q, k=6, nprobe=3)
     hits = [i for _, i in res[0] if i != 0][:5]

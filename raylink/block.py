@@ -30,6 +30,7 @@ from __future__ import annotations
 import zlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -167,9 +168,15 @@ def _expand_side(
         blocks = batch.column("block").to_pylist()
         n = len(keys)
         _z = (0, 0)
-        tiles = np.array([plan.get(b, _z) for b in blocks], dtype=np.int64).reshape(
-            n, 2
+        # probe the plan once per DISTINCT block in the batch (factorize +
+        # LUT gather), not once per row — block cardinality ≪ rows
+        codes, uniq = pd.factorize(np.asarray(blocks, dtype=object))
+        lut = (
+            np.array([plan.get(b, _z) for b in uniq], dtype=np.int64).reshape(-1, 2)
+            if len(uniq)
+            else np.zeros((0, 2), dtype=np.int64)
         )
+        tiles = lut[codes] if n else np.zeros((0, 2), dtype=np.int64)
         ta_n, tb_n = tiles[:, 0], tiles[:, 1]
         h = np.fromiter((stable_hash(k) for k in keys), dtype=np.uint64, count=n)
         if side == "a":

@@ -83,12 +83,24 @@ class HttpSession:
                 last_err = e
                 if e.code not in _RETRYABLE or attempt == self.max_retries:
                     raise
+                # Retry-After may be a delay in seconds OR an HTTP-date
+                # (RFC 9110 §10.2.3); fall back to exponential backoff
+                # when it is not a plain number.
                 retry_after = e.headers.get("Retry-After")
-                delay = (
-                    float(retry_after)
-                    if retry_after
-                    else self.backoff * (2**attempt)
-                )
+                delay = self.backoff * (2**attempt)
+                if retry_after:
+                    try:
+                        delay = float(retry_after)
+                    except ValueError:
+                        try:
+                            from email.utils import parsedate_to_datetime
+
+                            target = parsedate_to_datetime(retry_after)
+                            delay = max(
+                                0.0, target.timestamp() - time.time()
+                            )
+                        except (ValueError, TypeError):
+                            pass
             except urllib.error.URLError as e:
                 last_err = e
                 if attempt == self.max_retries:

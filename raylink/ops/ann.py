@@ -39,6 +39,16 @@ def _to_matrix(col, dtype=np.float64) -> np.ndarray:
     return np.asarray(col.to_pylist(), dtype=dtype)
 
 
+def _empty_partial(id_col: str) -> pa.Table:
+    return pa.table(
+        {
+            "q": pa.array([], type=pa.int32()),
+            id_col: pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        }
+    )
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norm = np.linalg.norm(mat, axis=1, keepdims=True)
     norm[norm == 0] = 1.0
@@ -68,6 +78,8 @@ def knn_brute_force(
             self.q = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return _empty_partial(id_col)
             ids = np.asarray(batch.column(id_col).to_pylist())
             mat = _normalize(_to_matrix(batch.column(emb_col)))
             sims = mat @ self.q.T  # (n, nq)
@@ -75,7 +87,11 @@ def knn_brute_force(
             for qi in range(self.q.shape[0]):
                 col = sims[:, qi]
                 top = min(k + len(excl), len(col))
-                idx = np.argpartition(-col, top - 1)[:top] if top < len(col) else np.arange(len(col))
+                # Tie-consistent partial selection: order by (cosine desc,
+                # id asc) — the same tie-break the final merge uses — so a
+                # tie at the k-th boundary keeps the row the global
+                # selection would keep.
+                idx = np.lexsort((ids, -col))[:top]
                 for i in idx:
                     out_q.append(qi)
                     out_id.append(int(ids[i]))
@@ -184,6 +200,10 @@ def knn_ivf(
             self.q, self.allowed = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                # The bucket filter can leave empty blocks; _to_matrix
+                # would yield a 1-D (0,) array and _normalize would raise.
+                return _empty_partial(id_col)
             ids = np.asarray(batch.column(id_col).to_pylist())
             buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
             mat = _normalize(_to_matrix(batch.column(emb_col)))
@@ -196,11 +216,8 @@ def knn_ivf(
                 col = sims[mask, qi]
                 sel_ids = ids[mask]
                 top = min(k, len(col))
-                idx = (
-                    np.argpartition(-col, top - 1)[:top]
-                    if top < len(col)
-                    else np.arange(len(col))
-                )
+                # Tie-consistent with the final heap's (cosine, -id) order.
+                idx = np.lexsort((sel_ids, -col))[:top]
                 out_q.extend([qi] * len(idx))
                 out_id.extend(int(i) for i in sel_ids[idx])
                 out_sim.extend(float(s) for s in col[idx])

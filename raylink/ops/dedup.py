@@ -15,6 +15,7 @@ vectorized signature computation, then a groupby keyed on the signature
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -25,6 +26,8 @@ import ray.data
 
 from raylink.util import actor_pool_size
 from ray.data.aggregate import Count, Min
+
+_log = logging.getLogger(__name__)
 
 
 def _pairs_in_hot_buckets(
@@ -38,7 +41,15 @@ def _pairs_in_hot_buckets(
     (doc, band) — almost all singletons. A cheap ``groupby().count()``
     aggregate finds the hot buckets (their number ≈ number of duplicate
     groups, broadcast as a set), singletons are filtered out map-side, and
-    the expensive per-group python only touches real candidates."""
+    the expensive per-group python only touches real candidates.
+
+    The exploded table is consumed twice (count pass + survivor filter);
+    it lands on tracked parquet (``util.make_spill_dir``) rather than
+    being pinned in the object store — deterministic memory bound at
+    ~bands×N rows, and the count pass reads ONLY the bucket columns
+    (pruned scan). The hot-set size is logged: it is collected to the
+    driver, which is fine while hot buckets ≈ duplicate groups but worth
+    watching on a degenerate corpus where every bucket collides."""
 
     def _combine(batch: pa.Table) -> np.ndarray:
         """Single-uint64 combine of the bucket columns (mix64-folded).
@@ -51,8 +62,16 @@ def _pairs_in_hot_buckets(
             acc = _mix64(acc ^ vals)
         return acc
 
-    exploded = exploded.materialize()  # reused by counts + survivor filter
-    counts = exploded.groupby(bucket_cols).aggregate(Count(alias_name="_n"))
+    from raylink.util import make_spill_dir
+
+    spill_dir = make_spill_dir("raylink_lsh_")
+    exploded.write_parquet(spill_dir)
+    exploded = ray.data.read_parquet(spill_dir)
+    counts = (
+        ray.data.read_parquet(spill_dir, columns=list(bucket_cols))
+        .groupby(bucket_cols)
+        .aggregate(Count(alias_name="_n"))
+    )
     hot_tbl = counts.filter(expr="_n >= 2").select_columns(bucket_cols).to_arrow_refs()
     hot_batches = [ray.get(r) for r in hot_tbl]
     hot_combined = (
@@ -66,7 +85,11 @@ def _pairs_in_hot_buckets(
         if isinstance(empty, pa.Table):
             return ray.data.from_arrow(empty)
         return ray.data.from_pandas(empty)
-    ref = ray.put(pa.array(np.unique(hot_combined)))
+    hot_set = np.unique(hot_combined)
+    _log.info(
+        "lsh hot buckets: %d of ~%d exploded rows", len(hot_set), exploded.count()
+    )
+    ref = ray.put(pa.array(hot_set))
 
     def _filter(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -414,21 +437,22 @@ def simhash_near_dups(
     sigs = simhash_signatures(ds, text_col, id_col)
 
     def _bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        hs = batch.column("simhash").to_pylist()
-        ob, oh, oi, os = [], [], [], []
-        for i, h in zip(ids, hs):
-            for b in range(4):
-                ob.append(b)
-                oh.append((h >> (16 * b)) & 0xFFFF)
-                oi.append(i)
-                os.append(h)
+        """Band explosion, vectorized: the (n, 4) 16-bit band values come
+        from one shift-and-mask broadcast over the signature column; rows
+        repeat via take/np.repeat — no per-row Python."""
+        n = len(batch)
+        hs = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        band_vals = ((hs[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)).astype(
+            np.int32
+        )
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
         return pa.table(
             {
-                "band": pa.array(ob, type=pa.int32()),
-                "band_val": pa.array(oh, type=pa.int32()),
-                id_col: pa.array(oi),
-                "simhash": pa.array(os, type=pa.int64()),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "band_val": pa.array(band_vals.reshape(-1)),
+                id_col: batch.column(id_col).take(rep),
+                "simhash": batch.column("simhash").take(rep),
             }
         )
 

@@ -257,9 +257,9 @@ def fuzzylink(
         # slim pair table, so it lands on partitioned parquet (disk-backed,
         # resumable-shaped) rather than being pinned in the object store —
         # no stage ever materializes the full candidate-pair set in memory.
-        import tempfile
+        from raylink.util import make_spill_dir
 
-        spill_dir = tempfile.mkdtemp(prefix="raylink_pairs_", dir="/tmp")
+        spill_dir = make_spill_dir("raylink_pairs_")
         _build_pairs().write_parquet(spill_dir)
         pairs = ray.data.read_parquet(spill_dir)
     else:
@@ -336,6 +336,14 @@ def fuzzylink(
 
         scored = _fused("all")  # lazy: computed only if the user consumes it
         accepted = _fused("accepted").materialize()
+        if not ckpt and use_streaming:
+            # the fused stage re-derives pairs from (kea, keb); the slim
+            # pair spill is dead once the loops finished — drop it now
+            # (non-fused streaming keeps it: `scored` still reads from it,
+            # so that path relies on the atexit cleanup in util)
+            from raylink.util import remove_spill_dir
+
+            remove_spill_dir(spill_dir)
     else:
         state_ref = ray.put(loops.model_state)
         labels_ref = ray.put(loops.labels)

@@ -2,10 +2,47 @@
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
 from concurrent.futures import ThreadPoolExecutor
 
 import ray
 import ray.data
+
+# Spill directories created via make_spill_dir that have not been removed
+# yet; cleaned at interpreter exit so lazy datasets that still read from a
+# spill (e.g. the returned `scored_pairs` lineage) stay valid for the
+# session but the parquet never outlives the process.
+_SPILL_DIRS: set[str] = set()
+
+
+def _cleanup_spill_dirs() -> None:
+    for d in list(_SPILL_DIRS):
+        shutil.rmtree(d, ignore_errors=True)
+        _SPILL_DIRS.discard(d)
+
+
+atexit.register(_cleanup_spill_dirs)
+
+
+def make_spill_dir(prefix: str) -> str:
+    """Create a tracked scratch directory for pair-scale parquet spills.
+
+    Respects ``RAYLINK_SPILL_DIR`` then ``TMPDIR`` (via
+    ``tempfile.gettempdir``); every directory is removed at interpreter
+    exit, and callers that know the spill's lifetime should call
+    :func:`remove_spill_dir` eagerly instead."""
+    base = os.environ.get("RAYLINK_SPILL_DIR") or tempfile.gettempdir()
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
+    _SPILL_DIRS.add(d)
+    return d
+
+
+def remove_spill_dir(path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)
+    _SPILL_DIRS.discard(path)
 
 
 def from_arrow_blocks(table, n_blocks: int | None = None) -> ray.data.Dataset:

@@ -22,6 +22,17 @@ def test_streaming_mode_f1():
         cfg,
     )
     assert res.metrics["loop_mode"] == "streaming"
+
+    # pass economy (r2 VERDICT #2): each loop iteration streams the
+    # pair-scale data at most ONCE — the model refit is driver-side from
+    # cached features, the gradient rides the next sampling pass, and the
+    # recall cutoff/frontier are incremental driver updates over a
+    # two-pass one-time base. The recall loop may spend one trailing pass
+    # that samples nothing (and is not counted as an iteration).
+    passes = res.metrics["pair_passes"]
+    assert passes["al"] == res.metrics["al_iterations"] + 1
+    assert res.metrics["recall_iterations"] <= passes["recall"] <= res.metrics["recall_iterations"] + 1
+    assert passes["recall_base"] == 2
     acc = res.accepted.select_columns(["block", "key_a", "key_b"]).to_pandas()
     scores = pairwise_f1(acc, truth)
     assert scores["f1"] >= 0.99, scores
