@@ -284,14 +284,23 @@ def _q_entity_clusters(sf_dir: str):
 
 
 def _q_minhash_dedup(sf_dir: str):
+    # Emits exact integer shingle-set sizes (no float rounding): the
+    # DuckDB oracle recomputes them as distinct 5-char substrings of the
+    # normalized text — the shingle hash is injective for ASCII k=5 — and
+    # declares ground truth as ALL pairs with Jaccard >= 0.5. LSH recall
+    # (num_perm=32, bands=8) is empirically exact on this corpus (every
+    # qualifying pair has J >= 0.9, band-miss prob < 1e-6); a hash
+    # mismatch here would mean real recall loss, which is the point of
+    # gating the sketch against ground truth.
     from raylink.ops.dedup import minhash_lsh_candidates, verify_jaccard
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     cands = minhash_lsh_candidates(docs, num_perm=32, bands=8)
-    out = verify_jaccard(cands, docs, threshold=0.5)
+    out = verify_jaccard(cands, docs, threshold=0.5, emit_counts=True)
     df = out.to_pandas()
-    df["jaccard_e6"] = np.round(df["jaccard"] * 1e6).astype("int64")
-    return df[["id_a", "id_b", "jaccard_e6"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return df[["id_a", "id_b", "n_common", "n_union"]].sort_values(
+        ["id_a", "id_b"]
+    ).reset_index(drop=True)
 
 
 def _q_simhash_dedup(sf_dir: str):
@@ -318,7 +327,9 @@ def _q_embedding_near_dups(sf_dir: str):
         df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                            "id_b": pd.Series(dtype="int64"),
                            "cosine": pd.Series(dtype="float64")})
-    df["cosine_e6"] = np.round(df["cosine"] * 1e6).astype("int64")
+    # floor(x*1e6 + 0.5) — half-away rounding, matching the SQL oracle's
+    # FLOOR(c*1000000.0 + 0.5) op-for-op (np.round is banker's)
+    df["cosine_e6"] = np.floor(df["cosine"] * 1e6 + 0.5).astype("int64")
     return df[["id_a", "id_b", "cosine_e6"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -590,4 +601,53 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "lang_id": _lang_id_sql(),
+        # MinHash+LSH ground truth: ALL pairs with shingle-Jaccard >= 0.5.
+        # raylink's k=5 shingle hash (base-257 polynomial, injective for
+        # ASCII, then bijective mix64) makes distinct shingle codes equal
+        # distinct 5-char substrings of ' '.join(text.lower().split()),
+        # so the integer set sizes are replayable without replaying the
+        # hash. The Ray side is sketch-then-verify; equality gates LSH
+        # recall at this corpus's operating point.
+        "minhash_dedup": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       array_to_string(regexp_extract_all(lower(text), '\S+'), ' ') AS t
+                FROM documents
+            ),
+            shing AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, GREATEST(length(t) - 3, 2)),
+                           i -> substr(t, i, 5))) AS s
+                FROM norm
+            )
+            SELECT id_a, id_b, n_common, n_union
+            FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+                       CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union
+                FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+            )
+            WHERE 2 * n_common >= n_union
+            ORDER BY id_a, id_b
+        """,
+        # Embedding near-dup ground truth: ALL pairs with exact cosine >=
+        # 0.45 over the float32 embeddings widened to DOUBLE (the Ray
+        # verify computes in float64 too). Equality gates hyperplane-LSH
+        # recall at (bands=32, r=4) on this corpus.
+        "embedding_near_dups": r"""
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            )
+            SELECT id_a, id_b, CAST(FLOOR(c * 1000000.0 + 0.5) AS BIGINT) AS cosine_e6
+            FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_cosine_similarity(a.e, b.e) AS c
+                FROM v a JOIN v b ON a.vec_id < b.vec_id
+            )
+            WHERE c >= 0.45
+            ORDER BY id_a, id_b
+        """,
     }

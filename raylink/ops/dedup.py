@@ -283,8 +283,16 @@ def verify_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    emit_counts: bool = False,
 ) -> ray.data.Dataset:
     """Verify candidate pairs with true shingle Jaccard, fully distributed.
+
+    With ``emit_counts`` the output carries the exact integer
+    ``n_common``/``n_union`` shingle-set sizes alongside ``jaccard`` —
+    SQL-replayable ground truth (for k=5 ASCII text the shingle hash is
+    injective, so the counts equal distinct 5-char-substring counts; see
+    the ``minhash_dedup`` DuckDB oracle), with no float rounding in the
+    compared values.
 
     The texts are attached to the pair stream by TWO hash-partitioned
     shuffle joins (``util.shuffle_merge``) — one per endpoint — instead of
@@ -343,19 +351,24 @@ def verify_jaccard(
             ta = batch.column("_text_a").to_pylist()
             tb = batch.column("_text_b").to_pylist()
             jac = np.empty(len(ta), dtype=np.float64)
+            ni = np.empty(len(ta), dtype=np.int64)
+            nu = np.empty(len(ta), dtype=np.int64)
             for i, (a, b) in enumerate(zip(ta, tb)):
                 sa, sb = self._sh(a), self._sh(b)
-                u = len(sa | sb)
-                jac[i] = len(sa & sb) / u if u else 0.0
+                inter = len(sa & sb)
+                u = len(sa) + len(sb) - inter
+                ni[i], nu[i] = inter, u
+                jac[i] = inter / u if u else 0.0
             keep = jac >= threshold
-            out = pa.table(
-                {
-                    "id_a": batch.column("id_a"),
-                    "id_b": batch.column("id_b"),
-                    "jaccard": pa.array(jac, type=pa.float64()),
-                }
-            )
-            return out.filter(pa.array(keep))
+            cols = {
+                "id_a": batch.column("id_a"),
+                "id_b": batch.column("id_b"),
+                "jaccard": pa.array(jac, type=pa.float64()),
+            }
+            if emit_counts:
+                cols["n_common"] = pa.array(ni)
+                cols["n_union"] = pa.array(nu)
+            return pa.table(cols).filter(pa.array(keep))
 
     return j2.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, actor_pool_size()))
 
