@@ -373,14 +373,37 @@ def _q_knn_ivf(sf_dir: str):
 
 
 def _q_multimodal_decode(sf_dir: str):
+    # REAL decode: the image rows carry actual PNG/BMP/PPM payloads and the
+    # kernel inflates + unfilters + mean-pools them (fake=False). Video
+    # rows (opaque bytes, no stdlib codec) go through the documented digest
+    # stand-in, so both paths stay exercised.
     from raylink.ops.multimodal import decode_images, fake_media_table
 
     rd = _rd()
     media = rd.from_arrow(fake_media_table(64, seed=42))
-    out = decode_images(media, dim=8, fake=True)
-    df = out.to_pandas()
+    images = media.filter(expr="kind == 'image'")
+    df = decode_images(images, dim=8, fake=False).to_pandas()
+    rest = media.filter(expr="kind == 'video'")
+    df2 = decode_images(rest, dim=8, fake=True).to_pandas()
+    df = pd.concat([df, df2], ignore_index=True)
     df["feat0_e6"] = [int(round(float(f[0]) * 1e6)) for f in df["feat"]]
     return df[["media_id", "kind", "feat0_e6"]].sort_values("media_id").reset_index(drop=True)
+
+
+def _q_audio_features(sf_dir: str):
+    # real PCM WAV decode + sample-domain features (rms / zero-crossing /
+    # spectral centroid) over deterministic sine payloads
+    from raylink.ops.multimodal import extract_audio_features, fake_media_table
+
+    rd = _rd()
+    media = rd.from_arrow(fake_media_table(64, seed=42))
+    audio = media.filter(expr="kind == 'audio'")
+    df = extract_audio_features(audio, fake=False).to_pandas()
+    df["rms_e6"] = np.floor(df["rms"] * 1e6 + 0.5).astype("int64")
+    df["centroid_hz_int"] = np.floor(df["centroid_hz"] + 0.5).astype("int64")
+    return df[["media_id", "rms_e6", "centroid_hz_int"]].sort_values(
+        "media_id"
+    ).reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -411,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "knn_ivf": _q_knn_ivf,
         "multimodal_decode": _q_multimodal_decode,
+        "audio_features": _q_audio_features,
     }
 
 

@@ -1,11 +1,14 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
-columns with typed metadata, processed by actor-pool ``map_batches`` stages.
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-sandbox): ``DecodeImage``/``ExtractAudioFeatures`` raise
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-fake decoder exercises the real Ray-side plumbing — schema, batch sizing,
-actor signature, output layout — which is what these tests pin down.
+The decode kernels are REAL for every format a pure-stdlib codec can
+handle — PPM/BMP/PNG images and PCM WAV audio (``raylink.ops.imagecodec``:
+zlib inflate + PNG unfiltering, struct headers) — so ``DecodeImage`` and
+``ExtractAudioFeatures`` do actual pixel/sample work. Formats that
+genuinely require external codecs (JPEG, MP3, video containers) raise
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic digest stand-in keeps the Ray-side plumbing — schema, batch
+sizing, actor signature, output layout — exercised and honest.
 
 Batch sizes for binary payloads must be small (a batch × concurrency must
 fit the worker heap — SURVEY-level guidance: size ``batch_size`` so
@@ -22,6 +25,17 @@ import pyarrow as pa
 import ray.data
 
 from raylink.util import actor_pool_size
+from raylink.ops.imagecodec import (
+    decode_bmp,
+    decode_png,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_ppm,
+    encode_wav,
+    sniff_format,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -35,58 +49,180 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+_IMG_DECODERS = {"png": decode_png, "bmp": decode_bmp, "ppm": decode_ppm}
+
+
+def _test_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    """Deterministic gradient + noise RGB test card."""
+    x = np.linspace(0, 255, w, dtype=np.float64)[None, :]
+    y = np.linspace(0, 255, h, dtype=np.float64)[:, None]
+    img = np.stack(
+        [x + 0 * y, y + 0 * x, (x + y) / 2], axis=2
+    ) + rng.integers(-16, 16, size=(h, w, 3))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
 
 def fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
-    """Deterministic opaque media rows for plumbing tests."""
+    """Deterministic media rows. Image payloads are REAL encoded PNG / BMP
+    / PPM (cycling), audio payloads are real PCM WAV — so the decode
+    kernels run for real; video payloads stay opaque bytes (no stdlib
+    container codec), exercising the fake/stub path."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
+    img_fmts = ["png", "bmp", "ppm"]
+    img_encoders = {"png": encode_png, "bmp": encode_bmp, "ppm": encode_ppm}
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
         kind = kinds[i % 3]
         rows["media_id"].append(i)
         rows["kind"].append(kind)
-        rows["format"].append({"image": "png", "audio": "wav", "video": "mp4"}[kind])
-        rows["width"].append(64 if kind != "audio" else 0)
-        rows["height"].append(48 if kind != "audio" else 0)
-        rows["duration_ms"].append(0 if kind == "image" else int(rng.integers(100, 5000)))
-        rows["payload"].append(rng.bytes(int(rng.integers(256, 2048))))
+        if kind == "image":
+            fmt = img_fmts[(i // 3) % 3]
+            w, h = 32 + int(rng.integers(0, 32)), 24 + int(rng.integers(0, 24))
+            payload = img_encoders[fmt](_test_image(rng, w, h))
+            dur = 0
+        elif kind == "audio":
+            fmt = "wav"
+            dur = int(rng.integers(100, 2000))
+            t = np.arange(int(8000 * dur / 1000))
+            freq = float(rng.integers(100, 1000))
+            wave = np.sin(2 * np.pi * freq * t / 8000) * 0.5
+            payload = encode_wav((wave * 32767).astype(np.int16))
+            w = h = 0
+        else:
+            fmt = "mp4"
+            dur = int(rng.integers(100, 5000))
+            payload = rng.bytes(int(rng.integers(256, 2048)))
+            w, h = 64, 48
+        rows["format"].append(fmt)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(dur)
+        rows["payload"].append(payload)
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def _pool_grid(dim: int) -> tuple[int, int]:
+    g = int(np.sqrt(dim))
+    return (g, g) if g * g == dim else (1, dim)
 
 
 class DecodeImage:
     """Actor stage: binary payload → decoded pixel features.
 
-    Real decoders (PIL/libjpeg) are not in this container; with
-    ``fake=True`` a deterministic digest-based stand-in produces the same
-    output schema (``feat``: FixedSizeList<float32>[dim]) the real kernel
-    would, so downstream stages and tests are honest about layout."""
+    REAL decode for PPM/BMP/PNG (pure-stdlib codecs); the feature is a
+    ``dim``-cell adaptive mean-pool of the grayscale image in [0, 1] —
+    i.e. decode → grayscale → fixed-grid downsample, the canonical
+    decode/resize/featurize shape of a training-data pipeline. Formats
+    needing external codecs (JPEG…) raise unless ``fake=True``, which
+    substitutes a digest-based stand-in with the same output layout."""
 
     def __init__(self, dim: int = 16, fake: bool = False):
         self.dim = dim
         self.fake = fake
+        self.grid = _pool_grid(dim)
 
-    def _decode(self, payload: bytes) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "image decoding requires an image library not present in "
-                "this sandbox; construct with fake=True for plumbing tests"
-            )
+    def _fake_feat(self, payload: bytes) -> np.ndarray:
         dig = hashlib.blake2b(payload, digest_size=self.dim * 4).digest()
         v = np.frombuffer(dig, dtype=np.uint32).astype(np.float32)
         return v / np.float32(2**32)
 
+    def _decode(self, payload: bytes) -> np.ndarray:
+        fmt = sniff_format(payload)
+        dec = _IMG_DECODERS.get(fmt)
+        if dec is None:
+            if self.fake:
+                return self._fake_feat(payload)
+            raise NotImplementedError(
+                f"image format {fmt or 'unknown'} requires codecs not in "
+                "this sandbox (PPM/BMP/PNG decode natively; construct with "
+                "fake=True to stub other formats)"
+            )
+        img = dec(payload)
+        if img.ndim == 3 and img.shape[2] >= 3:
+            gray = img[:, :, :3].astype(np.float64) @ [0.299, 0.587, 0.114]
+        else:
+            gray = img.reshape(img.shape[0], img.shape[1], -1)[:, :, 0].astype(
+                np.float64
+            )
+        gh, gw = self.grid
+        h, w = gray.shape
+        ys = np.linspace(0, h, gh + 1).astype(np.int64)
+        xs = np.linspace(0, w, gw + 1).astype(np.int64)
+        feat = np.empty(self.dim, dtype=np.float32)
+        idx = 0
+        for i in range(gh):
+            for j in range(gw):
+                cell = gray[ys[i] : max(ys[i + 1], ys[i] + 1),
+                            xs[j] : max(xs[j + 1], xs[j] + 1)]
+                feat[idx] = cell.mean() / 255.0
+                idx += 1
+        return feat
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = np.stack([self._decode(p) for p in payloads])
+        feats = np.stack([self._decode(p) for p in payloads]) if payloads else (
+            np.empty((0, self.dim), dtype=np.float32)
+        )
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.reshape(-1), type=pa.float32()), self.dim
         )
         return batch.drop_columns(["payload"]).append_column("feat", arr)
 
 
+class ExtractAudioFeatures:
+    """Actor stage: WAV payload → (rms, zero-crossing rate, spectral
+    centroid in Hz) — real sample-domain features via stdlib decode +
+    numpy rfft. Non-WAV audio raises unless ``fake=True``."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def _features(self, payload: bytes) -> tuple[float, float, float]:
+        if sniff_format(payload) != "wav":
+            if self.fake:
+                dig = hashlib.blake2b(payload, digest_size=12).digest()
+                v = np.frombuffer(dig, dtype=np.uint32).astype(np.float64) / 2**32
+                return float(v[0]), float(v[1]), float(v[2] * 4000)
+            raise NotImplementedError(
+                "only PCM WAV decodes natively; construct with fake=True "
+                "to stub compressed audio"
+            )
+        samples, rate = decode_wav(payload)
+        mono = samples.mean(axis=1)
+        rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+        zcr = (
+            float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8)))))
+            if len(mono) > 1
+            else 0.0
+        )
+        if len(mono) >= 2:
+            spec = np.abs(np.fft.rfft(mono))
+            freqs = np.fft.rfftfreq(len(mono), d=1.0 / rate)
+            tot = spec.sum()
+            centroid = float((freqs * spec).sum() / tot) if tot > 0 else 0.0
+        else:
+            centroid = 0.0
+        return rms, zcr, centroid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats = [self._features(p) for p in payloads]
+        rms = pa.array([f[0] for f in feats], type=pa.float64())
+        zcr = pa.array([f[1] for f in feats], type=pa.float64())
+        cen = pa.array([f[2] for f in feats], type=pa.float64())
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("rms", rms)
+            .append_column("zcr", zcr)
+            .append_column("centroid_hz", cen)
+        )
+
+
 class FrameSample:
     """Video frame sampling stub: emits one row per sampled frame index
-    (real frame extraction NotImplemented; plumbing = row expansion)."""
+    (real frame extraction needs container codecs; plumbing = row
+    expansion)."""
 
     def __init__(self, every_ms: int = 1000, fake: bool = False):
         self.every_ms = every_ms
@@ -123,6 +259,18 @@ def decode_images(
     return ds.map_batches(
         DecodeImage,
         fn_constructor_kwargs={"dim": dim, "fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, actor_pool_size()),
+    )
+
+
+def extract_audio_features(
+    ds: ray.data.Dataset, fake: bool = False, batch_size: int = 64
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ExtractAudioFeatures,
+        fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, actor_pool_size()),

@@ -1,0 +1,157 @@
+"""Pure-stdlib codec kernels (raylink.ops.imagecodec) and the real
+multimodal decode stages built on them."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raylink.ops.imagecodec import (
+    decode_bmp,
+    decode_png,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_ppm,
+    encode_wav,
+    sniff_format,
+    _png_chunk,
+    _PNG_SIG,
+)
+from raylink.ops.multimodal import (
+    DecodeImage,
+    ExtractAudioFeatures,
+    decode_images,
+    extract_audio_features,
+    fake_media_table,
+)
+
+
+def _img(h=13, w=17, c=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8) if c else (
+        rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    )
+
+
+def test_ppm_roundtrip():
+    img = _img()
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # header comments per netpbm spec
+    data = encode_ppm(img)
+    commented = b"P6\n# a comment\n" + data[3:]
+    assert np.array_equal(decode_ppm(commented), img)
+
+
+def test_bmp_roundtrip_with_padding():
+    # width 17 → row stride not a multiple of 4: exercises padding
+    img = _img(h=5, w=17)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@pytest.mark.parametrize("c", [1, 3, 4])
+def test_png_roundtrip(c):
+    img = _img(c=c) if c > 1 else _img(c=0)
+    out = decode_png(encode_png(img))
+    want = img[:, :, None] if img.ndim == 2 else img
+    assert np.array_equal(out, want)
+
+
+def _filter_scanlines(img: np.ndarray, ftype: int) -> bytes:
+    """Apply a PNG filter forward to build raw filtered scanlines."""
+    import struct, zlib
+
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        left = np.concatenate([np.zeros(c, dtype=np.int32), cur[:-c]])
+        upleft = np.concatenate([np.zeros(c, dtype=np.int32), prev[:-c]])
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            enc = (cur - left) & 0xFF
+        elif ftype == 2:
+            enc = (cur - prev) & 0xFF
+        elif ftype == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            p = left + prev - upleft
+            pa_, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (cur - pred) & 0xFF
+        raw += bytes([ftype]) + enc.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_all_filters_decode(ftype):
+    img = _img(h=7, w=9)
+    assert np.array_equal(decode_png(_filter_scanlines(img, ftype)), img)
+
+
+def test_wav_roundtrip_and_sniff():
+    t = np.arange(8000)
+    wave = (np.sin(2 * np.pi * 440 * t / 8000) * 16384).astype(np.int16)
+    data = encode_wav(wave, rate=8000)
+    assert sniff_format(data) == "wav"
+    samples, rate = decode_wav(data)
+    assert rate == 8000 and samples.shape == (8000, 1)
+    assert np.allclose(samples[:, 0], wave / 32768.0)
+    assert sniff_format(encode_png(_img())) == "png"
+    assert sniff_format(encode_bmp(_img())) == "bmp"
+    assert sniff_format(encode_ppm(_img())) == "ppm"
+    assert sniff_format(b"\x00\x01garbage") is None
+
+
+def test_decode_image_real_feature_semantics():
+    """A uniform-gray image mean-pools to exactly gray/255 in every cell,
+    whatever the container format."""
+    img = np.full((24, 36, 3), 120, dtype=np.uint8)
+    for enc in (encode_png, encode_bmp, encode_ppm):
+        feat = DecodeImage(dim=4)._decode(enc(img))
+        assert feat.shape == (4,)
+        assert np.allclose(feat, 120 / 255.0, atol=1e-6)
+
+
+def test_decode_image_unknown_format_raises_or_fakes():
+    payload = b"\xff\xd8\xff\xe0 not really a jpeg"
+    with pytest.raises(NotImplementedError):
+        DecodeImage(dim=4)._decode(payload)
+    f = DecodeImage(dim=4, fake=True)._decode(payload)
+    assert f.shape == (4,) and (0 <= f).all() and (f <= 1).all()
+
+
+def test_audio_features_sine():
+    t = np.arange(16000)
+    wave = (np.sin(2 * np.pi * 500 * t / 8000) * 16384).astype(np.int16)
+    rms, zcr, centroid = ExtractAudioFeatures()._features(encode_wav(wave))
+    assert abs(rms - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(centroid - 500) < 25  # spectral centroid at the tone
+    assert abs(zcr - 2 * 500 / 8000) < 0.01  # 2 crossings per cycle
+
+
+def test_multimodal_stage_real_decode(ray_session):
+    media = rd.from_arrow(fake_media_table(18, seed=3))
+    images = media.filter(expr="kind == 'image'")
+    feats = decode_images(images, dim=16, fake=False).to_pandas()
+    assert len(feats) == 6 and all(len(f) == 16 for f in feats["feat"])
+    # features are normalized pixel means — strictly inside (0, 1) for the
+    # gradient test card
+    assert all(0.0 < float(f[0]) < 1.0 for f in feats["feat"])
+    audio = media.filter(expr="kind == 'audio'")
+    af = extract_audio_features(audio, fake=False).to_pandas()
+    assert len(af) == 6 and (af["rms"] > 0.1).all()
+    assert (af["centroid_hz"].between(50, 2000)).all()
