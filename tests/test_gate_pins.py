@@ -1,0 +1,40 @@
+"""Content-hash pins for the flagship gate outputs (r2 VERDICT #7).
+
+The three fuzzylink gate queries are iterative/model-driven and have no SQL
+oracle; their regression pin was previously row counts only (658/462/639,
+stable r1→r2). These tests pin the full sorted-table content by sha256, so
+any silent value drift — probabilities, pair membership, cluster
+assignment — fails loudly. Hashes verified identical across fresh
+processes and at num_cpus ∈ {4, 8}.
+"""
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+PINS = {
+    "fuzzylink_linked": (658, "d9e7ebed0fe11a09"),
+    "fuzzylink_accepted": (462, "a9efb181852f8382"),
+    "entity_clusters": (639, "c2660e1a719c12fa"),
+}
+
+
+def _canon_hash(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()[:16]
+
+
+@pytest.mark.parametrize("name", list(PINS))
+def test_flagship_content_pin(name):
+    import __ray_entry__ as gate
+
+    res = gate.queries()[name](SF)
+    if not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    want_rows, want_hash = PINS[name]
+    assert len(res) == want_rows
+    assert _canon_hash(res) == want_hash
