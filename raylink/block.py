@@ -152,33 +152,55 @@ def _spread_blocks(both: ray.data.Dataset, plan: dict) -> ray.data.Dataset:
     return both.repartition(want)
 
 
+def _plan_with_bases(plan: dict) -> dict:
+    """Augment a tile plan with a dense tile-group id base per block:
+    ``gid = base[block] + ta * tb_n + tb`` enumerates every (block, ta, tb)
+    tile with a single int64 — the groupby sorts ONE integer column
+    instead of a (string, int, int) composite, which is the dominant
+    compare/sample cost of the pair-gen all-to-all."""
+    out, acc = {}, 0
+    for b in sorted(plan):
+        ta, tb = plan[b]
+        out[b] = (ta, tb, acc)
+        acc += max(ta, 1) * max(tb, 1)
+    return out
+
+
 def _expand_side(
     ds: ray.data.Dataset, plan_ref: "ray.ObjectRef", side: str
 ) -> ray.data.Dataset:
-    """Tag rows with (side, ta, tb), replicating across the other side's
-    tile axis. Input: distinct (key, block, embedding) rows."""
+    """Tag rows with (side, gid), replicating across the other side's
+    tile axis. Input: distinct (key, block, embedding) rows; ``plan_ref``
+    holds the base-augmented plan from :func:`_plan_with_bases`.
+
+    The shuffled row is deliberately slim: one int64 tile-group id and an
+    int8 side flag ride along with the payload columns — no composite
+    (block, ta, tb) string key ever reaches the sort."""
 
     # Stateless task stage; the tile plan is a broadcast zero-copy read.
     # Fully vectorized: the replication across the other side's tile axis is
     # np.repeat/cumsum index arithmetic, not a per-row Python loop (rows in
     # blocks absent from the plan get rep=0 and vanish from np.repeat).
     def _expand(batch: pa.Table) -> pa.Table:
-        plan: dict[str, tuple[int, int]] = ray.get(plan_ref)
+        plan: dict[str, tuple[int, int, int]] = ray.get(plan_ref)
         keys = batch.column("key").to_pylist()
         blocks = batch.column("block").to_pylist()
         n = len(keys)
-        _z = (0, 0)
+        _z = (0, 0, 0)
         # probe the plan once per DISTINCT block in the batch (factorize +
         # LUT gather), not once per row — block cardinality ≪ rows
         codes, uniq = pd.factorize(np.asarray(blocks, dtype=object))
         lut = (
-            np.array([plan.get(b, _z) for b in uniq], dtype=np.int64).reshape(-1, 2)
+            np.array([plan.get(b, _z) for b in uniq], dtype=np.int64).reshape(-1, 3)
             if len(uniq)
-            else np.zeros((0, 2), dtype=np.int64)
+            else np.zeros((0, 3), dtype=np.int64)
         )
-        tiles = lut[codes] if n else np.zeros((0, 2), dtype=np.int64)
-        ta_n, tb_n = tiles[:, 0], tiles[:, 1]
-        h = np.fromiter((stable_hash(k) for k in keys), dtype=np.uint64, count=n)
+        tiles = lut[codes] if n else np.zeros((0, 3), dtype=np.int64)
+        ta_n, tb_n, base = tiles[:, 0], tiles[:, 1], tiles[:, 2]
+        # vectorized deterministic key hash (PYTHONHASHSEED-independent);
+        # tile ownership only needs a stable uniform hash, and the pair
+        # coverage is invariant to which tile owns a key
+        h = pd.util.hash_array(np.asarray(keys, dtype=object))
         if side == "a":
             own = (h % np.maximum(ta_n, 1).astype(np.uint64)).astype(np.int64)
             rep = tb_n
@@ -192,11 +214,15 @@ def _expand_side(
         other = np.arange(total, dtype=np.int64) - np.repeat(ends - rep, rep)
         tas = own_rep if side == "a" else other
         tbs = other if side == "a" else own_rep
+        gid = np.repeat(base, rep) + tas * np.repeat(tb_n, rep) + tbs
         out = batch.take(pa.array(take_idx, type=pa.int64()))
-        out = out.append_column("ta", pa.array(tas.astype(np.int32)))
-        out = out.append_column("tb", pa.array(tbs.astype(np.int32)))
+        out = out.append_column("gid", pa.array(gid.astype(np.int64)))
         out = out.append_column(
-            "side", pa.array(np.full(total, side, dtype=object), type=pa.string())
+            "side",
+            pa.array(
+                np.full(total, 0 if side == "a" else 1, dtype=np.int8),
+                type=pa.int8(),
+            ),
         )
         return out
 
@@ -234,7 +260,7 @@ def generate_pairs(
     """
     if plan is None:
         plan = tile_plan(keys_emb_a, keys_emb_b, tile_rows)
-    plan_ref = ray.put(plan)
+    plan_ref = ray.put(_plan_with_bases(plan))
 
     ea = _expand_side(keys_emb_a, plan_ref, "a")
     eb = _expand_side(keys_emb_b, plan_ref, "b")
@@ -242,7 +268,7 @@ def generate_pairs(
 
     def _pairgen(group: pa.Table) -> pa.Table:
         side = group.column("side")
-        mask_a = pc.equal(side, "a")
+        mask_a = pc.equal(side, 0)
         ga = group.filter(mask_a)
         gb = group.filter(pc.invert(mask_a))
         if len(ga) == 0 or len(gb) == 0:
@@ -274,7 +300,7 @@ def generate_pairs(
             schema=_PAIR_SCHEMA,
         )
 
-    return both.groupby(["block", "ta", "tb"]).map_groups(
+    return both.groupby("gid").map_groups(
         _pairgen, batch_format="pyarrow"
     )
 
@@ -313,7 +339,7 @@ def generate_scored_pairs(
 
     if plan is None:
         plan = tile_plan(keys_emb_a, keys_emb_b, tile_rows)
-    plan_ref = ray.put(plan)
+    plan_ref = ray.put(_plan_with_bases(plan))
     state_ref = ray.put(model_state)
     # labels pre-grouped by A key: tiles probe their own ~tile_rows keys
     # instead of scanning the whole label map
@@ -341,7 +367,7 @@ def generate_scored_pairs(
 
     def _fused(group: pa.Table) -> pa.Table:
         side = group.column("side")
-        mask_a = pc.equal(side, "a")
+        mask_a = pc.equal(side, 0)
         ga = group.filter(mask_a)
         gb = group.filter(pc.invert(mask_a))
         if len(ga) == 0 or len(gb) == 0:
@@ -490,7 +516,7 @@ def generate_scored_pairs(
             schema=out_schema,
         )
 
-    return both.groupby(["block", "ta", "tb"]).map_groups(
+    return both.groupby("gid").map_groups(
         _fused, batch_format="pyarrow"
     )
 
