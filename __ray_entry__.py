@@ -361,15 +361,58 @@ def _q_fingerprint(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
+    # Exhaustive probe (nprobe == num_centroids) makes IVF exact, so the
+    # whole index path — k-means bucketing, map-side bucket filter,
+    # per-batch partial top-k, tie-consistent heap merge — is gated
+    # against the same SQL ground truth as ann_topk. Partial-probe recall
+    # (the approximate operating point) is covered by pytest.
     from raylink.ops.ann import build_ivf_index, knn_ivf
 
     embs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qrow = embs.filter(expr="vec_id == 0").take(1)[0]
     q = np.asarray(qrow["embedding"], dtype=np.float64)
     cent, bucketed = build_ivf_index(embs, num_centroids=8)
-    res = knn_ivf(bucketed, cent, q, k=6, nprobe=3)
+    res = knn_ivf(bucketed, cent, q, k=6, nprobe=8)
     hits = [i for _, i in res[0] if i != 0][:5]
     return pd.DataFrame({"rank": np.arange(1, len(hits) + 1, dtype=np.int64), "vec_id": hits})
+
+
+def _q_connected_components(sf_dir: str):
+    # Transitive closure over the SQL-reproducible duplicate graph: edges
+    # are exactly the minhash_dedup ground-truth pairs (Jaccard >= 0.5),
+    # clustering is the distributed label-propagation path (pointer
+    # jumping + shuffle-join relabels) — so the iterative clustering
+    # engine itself gets a bit-exact recursive-CTE oracle, not just a
+    # rows-only check. doc_ids ride as zero-padded strings so the string
+    # min-label equals the numeric min component id.
+    from raylink.cluster import cluster_label_propagation
+    from raylink.ops.dedup import minhash_lsh_candidates, verify_jaccard
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = minhash_lsh_candidates(docs, num_perm=32, bands=8)
+    pairs = verify_jaccard(cands, docs, threshold=0.5)
+
+    def _to_edges(batch: pa.Table) -> pa.Table:
+        ida = batch.column("id_a").to_numpy(zero_copy_only=False)
+        idb = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "block": pa.array(np.full(len(ida), "g"), type=pa.string()),
+                "key_a": pa.array(np.char.zfill(ida.astype("U12"), 12)),
+                "key_b": pa.array(np.char.zfill(idb.astype("U12"), 12)),
+            }
+        )
+
+    edges = pairs.map_batches(_to_edges, batch_format="pyarrow")
+    out = cluster_label_propagation(edges).to_pandas()
+    df = pd.DataFrame(
+        {
+            "doc_id": out["key"].astype("int64"),
+            # entity_id is "block|min-label"; strip the constant block ns
+            "cluster_id": out["entity_id"].str.split("|", n=1).str[1].astype("int64"),
+        }
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_multimodal_decode(sf_dir: str):
@@ -422,6 +465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "jw_kernel": _q_jw,
         "ann_topk": _q_ann_topk,
+        "knn_ivf": _q_knn_ivf,
+        "connected_components": _q_connected_components,
         # rows-only (iterative / model-driven / sketch-based)
         "fuzzylink_linked": _q_fuzzylink_linked,
         "fuzzylink_accepted": _q_fuzzylink_accepted,
@@ -432,7 +477,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
         "fingerprint": _q_fingerprint,
-        "knn_ivf": _q_knn_ivf,
         "multimodal_decode": _q_multimodal_decode,
         "audio_features": _q_audio_features,
     }
@@ -654,6 +698,61 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE 2 * n_common >= n_union
             ORDER BY id_a, id_b
+        """,
+        # IVF with exhaustive probe is exact search: same ground truth as
+        # ann_topk (top-5 by cosine, query = vec 0, self excluded), but the
+        # Ray side earns it through the full index path.
+        "knn_ivf": """
+            SELECT CAST(RANK() OVER (ORDER BY list_cosine_similarity(e2.embedding, e1.embedding) DESC, e2.vec_id) AS BIGINT) AS rank,
+                   e2.vec_id
+            FROM embeddings e1 CROSS JOIN embeddings e2
+            WHERE e1.vec_id = 0 AND e2.vec_id <> 0
+            QUALIFY rank <= 5
+            ORDER BY rank
+        """,
+        # Connected components over the minhash_dedup ground-truth edge set
+        # (same shingle replay as that oracle): min-reachable-id per node
+        # via a recursive CTE — DuckDB's UNION-distinct recursion
+        # terminates once reachability saturates. Gates the iterative
+        # label-propagation engine bit-exactly.
+        "connected_components": r"""
+            WITH RECURSIVE norm AS (
+                SELECT doc_id,
+                       array_to_string(regexp_extract_all(lower(text), '\S+'), ' ') AS t
+                FROM documents
+            ),
+            shing AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, GREATEST(length(t) - 3, 2)),
+                           i -> substr(t, i, 5))) AS s
+                FROM norm
+            ),
+            edges AS (
+                SELECT id_a, id_b
+                FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+                           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union
+                    FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+                )
+                WHERE 2 * n_common >= n_union
+            ),
+            bi AS (
+                SELECT id_a AS src, id_b AS dst FROM edges
+                UNION ALL
+                SELECT id_b, id_a FROM edges
+            ),
+            reach AS (
+                SELECT DISTINCT src AS node, src AS r FROM bi
+                UNION
+                SELECT reach.node, bi.dst
+                FROM reach JOIN bi ON bi.src = reach.r
+            )
+            SELECT node AS doc_id, MIN(r) AS cluster_id
+            FROM reach
+            GROUP BY node
+            ORDER BY doc_id
         """,
         # Embedding near-dup ground truth: ALL pairs with exact cosine >=
         # 0.45 over the float32 embeddings widened to DOUBLE (the Ray
