@@ -25,7 +25,7 @@ import ray
 import ray.data
 
 from raylink.util import actor_pool_size
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min
 
 _log = logging.getLogger(__name__)
 
@@ -34,76 +34,119 @@ def _pairs_in_hot_buckets(
     exploded: ray.data.Dataset,
     bucket_cols: list[str],
     pair_fn,
+    empty_out: pa.Table | None = None,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
-    """Run a per-bucket pair generator only over buckets holding ≥2 rows.
+    """Run a per-bucket pair generator only over buckets holding ≥2 rows,
+    with ONE all-to-all.
 
-    ``map_groups`` costs ~1ms per group; an LSH explosion has one bucket per
-    (doc, band) — almost all singletons. A cheap ``groupby().count()``
-    aggregate finds the hot buckets (their number ≈ number of duplicate
-    groups, broadcast as a set), singletons are filtered out map-side, and
-    the expensive per-group python only touches real candidates.
+    Every exploded row is tagged map-side with ``_pid`` = mix64-fold of the
+    bucket columns mod P, so all rows of a bucket land in the same of P
+    partitions. Each partition then does its own vectorized bucket-size
+    count (pandas groupby-transform), drops singleton buckets — an LSH
+    explosion is almost all singletons — and runs ``pair_fn`` only over its
+    hot buckets. The shuffle sorts a single int64 with P distinct values
+    (P ≈ CPUs), so the sort-based groupby's per-group Python cost is paid P
+    times, not once per bucket; no spill table, no driver-collected hot
+    set. This replaced a 3-pass design (parquet spill + count groupby +
+    hot-set broadcast + per-bucket map_groups) that paid three all-to-all
+    barriers and ~1ms of per-group overhead per *bucket*.
 
-    The exploded table is consumed twice (count pass + survivor filter);
-    it lands on tracked parquet (``util.make_spill_dir``) rather than
-    being pinned in the object store — deterministic memory bound at
-    ~bands×N rows, and the count pass reads ONLY the bucket columns
-    (pruned scan). The hot-set size is logged: it is collected to the
-    driver, which is fine while hot buckets ≈ duplicate groups but worth
-    watching on a degenerate corpus where every bucket collides."""
+    Skew bound: a degenerate bucket still lands in one partition — same
+    bound as any per-bucket grouping; ``pair_fn`` output is quadratic in
+    bucket size by design, so hot-bucket size, not partition routing, is
+    the scale limit (callers size bands/bits to bound expected bucket
+    rows).
 
-    def _combine(batch: pa.Table) -> np.ndarray:
-        """Single-uint64 combine of the bucket columns (mix64-folded).
-        Collisions only ever ADD a bucket to the hot set — the later
-        groupby still keys on the true bucket columns, so a collision
-        costs one harmless singleton group, never a wrong pair."""
-        acc = np.full(len(batch), np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+    ``empty_out`` (typed, usually zero-row) seeds the output schema so an
+    edge-case empty corpus still yields a well-typed Dataset downstream."""
+    if num_partitions is None:
+        try:
+            num_partitions = max(16, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_partitions = 16
+    P = np.uint64(num_partitions)
+
+    def _combine_df(df: pd.DataFrame) -> np.ndarray:
+        """Single-uint64 combine of the bucket columns (mix64-folded). A
+        fold collision merely routes two buckets to the same partition /
+        hot-check group — the per-partition grouping below still keys on
+        the true bucket columns, so it can never create a wrong pair."""
+        acc = np.full(len(df), np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
         for c in bucket_cols:
-            vals = batch.column(c).to_numpy(zero_copy_only=False).astype(np.uint64)
-            acc = _mix64(acc ^ vals)
+            acc = _mix64(acc ^ df[c].to_numpy().astype(np.uint64))
         return acc
 
-    from raylink.util import make_spill_dir
+    def _tag(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({c: batch.column(c).to_numpy(zero_copy_only=False)
+                           for c in bucket_cols})
+        pid = (_mix64(_combine_df(df)) % P).astype(np.int64)
+        return batch.append_column("_pid", pa.array(pid))
 
-    spill_dir = make_spill_dir("raylink_lsh_")
-    exploded.write_parquet(spill_dir)
-    exploded = ray.data.read_parquet(spill_dir)
-    counts = (
-        ray.data.read_parquet(spill_dir, columns=list(bucket_cols))
-        .groupby(bucket_cols)
-        .aggregate(Count(alias_name="_n"))
+    cols = list(bucket_cols)
+
+    def _part(df: pd.DataFrame) -> pa.Table:
+        # one partition's rows: vectorized size filter, then pair_fn per
+        # HOT bucket only (hot buckets ≈ duplicate groups — few)
+        sz = df.groupby(cols, sort=False)[cols[0]].transform("size")
+        hot = df[sz.to_numpy() >= 2]
+        outs = [
+            t
+            for _, g in hot.groupby(cols, sort=False)
+            if len(t := pair_fn(g))
+        ]
+        if not outs:
+            return empty_out if empty_out is not None else pair_fn(df.iloc[:0])
+        return pa.concat_tables(outs)
+
+    pairs = (
+        exploded.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(_part, batch_format="pandas")
     )
-    hot_tbl = counts.filter(expr="_n >= 2").select_columns(bucket_cols).to_arrow_refs()
-    hot_batches = [ray.get(r) for r in hot_tbl]
-    hot_combined = (
-        np.concatenate([_combine(t) for t in hot_batches if len(t)])
-        if any(len(t) for t in hot_batches)
-        else np.empty(0, dtype=np.uint64)
+    if empty_out is not None:
+        # typed zero-row seed: keeps the schema observable even when no
+        # bucket anywhere went hot (or the corpus was empty)
+        pairs = pairs.union(ray.data.from_arrow(empty_out.slice(0, 0)))
+    return pairs
+
+
+def _hash_dedup(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed drop-duplicates on integer key columns: tag ``_pid`` =
+    mix64-fold(keys) mod P map-side, one P-group shuffle, vectorized pandas
+    ``drop_duplicates`` per partition (all copies of a key share its
+    ``_pid``). Replaces ``groupby(keys).aggregate(...)`` dedups whose
+    sort-based reduce walks one Python group per *distinct key* — at
+    pair-stream scale that is one group per output row."""
+    if num_partitions is None:
+        try:
+            num_partitions = max(16, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_partitions = 16
+    P = np.uint64(num_partitions)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        acc = np.full(len(batch), np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+        for c in key_cols:
+            acc = _mix64(
+                acc ^ batch.column(c).to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+        return batch.append_column(
+            "_pid", pa.array((_mix64(acc) % P).astype(np.int64))
+        )
+
+    def _dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=key_cols).drop(columns=["_pid"])
+
+    return (
+        ds.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(_dd, batch_format="pandas")
     )
-    if len(hot_combined) == 0:
-        cols = exploded.schema().names
-        empty = pair_fn(pd.DataFrame({c: [] for c in cols}))
-        if isinstance(empty, pa.Table):
-            return ray.data.from_arrow(empty)
-        return ray.data.from_pandas(empty)
-    hot_set = np.unique(hot_combined)
-    _log.info(
-        "lsh hot buckets: %d of ~%d exploded rows", len(hot_set), exploded.count()
-    )
-    ref = ray.put(pa.array(hot_set))
-
-    def _filter(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        value_set: pa.Array = ray.get(ref)
-        combined = pa.array(_combine(batch))
-        return batch.filter(pc.is_in(combined, value_set=value_set))
-
-    survivors = exploded.map_batches(_filter, batch_format="pyarrow")
-    # pandas per-group conversion costs ~1ms/group; with thousands of hot
-    # buckets the pair fn must be arrow-native (pair_fn takes pa.Table when
-    # arrow=True via attribute convention)
-    fmt = getattr(pair_fn, "batch_format", "pandas")
-    return survivors.groupby(bucket_cols).map_groups(pair_fn, batch_format=fmt)
 
 
 def _sha1_int(data: bytes) -> int:
@@ -218,13 +261,12 @@ def minhash_lsh_candidates(
     id) rows → groupby band bucket → within-bucket pairs (id_a < id_b),
     deduped across bands. Returns a Dataset of (id_a, id_b)."""
     rows_per_band = num_perm // bands
+    # task stage: MinHasher state is a 32-entry seed array — shipping the
+    # instance with each task is free, while an actor pool costs seconds of
+    # spin-up per execution (dominant at interactive scales)
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm, k=k, seed=seed, text_col=text_col, id_col=id_col
-        ),
+        MinHasher(num_perm=num_perm, k=k, seed=seed, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=(1, actor_pool_size()),
     )
 
     def _bands(batch: pa.Table) -> pa.Table:
@@ -270,9 +312,14 @@ def minhash_lsh_candidates(
         return pa.table({"id_a": pa.array(ids[ii]), "id_b": pa.array(ids[jj])})
 
     _bucket_pairs.batch_format = "pyarrow"
-    pairs = _pairs_in_hot_buckets(exploded, ["band", "band_hash"], _bucket_pairs)
-    # dedup pairs surfacing from multiple bands
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("id_a", alias_name="_m")).select_columns(["id_a", "id_b"])
+    empty_pairs = pa.table(
+        {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+    )
+    pairs = _pairs_in_hot_buckets(
+        exploded, ["band", "band_hash"], _bucket_pairs, empty_out=empty_pairs
+    )
+    # dedup pairs surfacing from multiple bands (hash-partitioned, P groups)
+    return _hash_dedup(pairs, ["id_a", "id_b"])
 
 
 def verify_jaccard(
@@ -430,11 +477,9 @@ class SimHasher:
 def simhash_signatures(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
+    # task stage (stateless kernel) — see minhash_lsh_candidates
     return ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow",
-        concurrency=(1, actor_pool_size()),
+        SimHasher(text_col=text_col, id_col=id_col), batch_format="pyarrow"
     )
 
 
@@ -494,10 +539,16 @@ def simhash_near_dups(
 
     _pairs.batch_format = "pyarrow"
     exploded = sigs.map_batches(_bands, batch_format="pyarrow")
-    pairs = _pairs_in_hot_buckets(exploded, ["band", "band_val"], _pairs)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+    empty_pairs = pa.table(
+        {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64()),
+         "hamming": pa.array([], type=pa.int64())}
     )
+    pairs = _pairs_in_hot_buckets(
+        exploded, ["band", "band_val"], _pairs, empty_out=empty_pairs
+    )
+    # a pair surfacing from several bands carries the same hamming each
+    # time, so drop-duplicates ≡ the old Min(hamming) aggregate
+    return _hash_dedup(pairs, ["id_a", "id_b"])
 
 
 # --------------------------------------------------------------------------
@@ -546,7 +597,10 @@ def lsh_band_signatures(
                 }
             )
 
-    return ds.map_batches(_Sig, batch_format="pyarrow", concurrency=(1, actor_pool_size()))
+    # task stage, not an actor pool: the per-worker state (one lazily-built
+    # plane matrix) is microseconds to create, while a pool spin-up costs
+    # seconds per execution
+    return ds.map_batches(_Sig(), batch_format="pyarrow")
 
 
 def embedding_near_dups(
@@ -611,12 +665,13 @@ def embedding_near_dups(
         ds, bands=bands, bits_per_band=r, emb_col=emb_col, id_col=id_col,
         seed=seed,
     )
-    cand = _pairs_in_hot_buckets(exploded, ["band", "bucket"], _bucket_pairs)
-    cand = (
-        cand.groupby(["id_a", "id_b"])
-        .aggregate(Min("id_a", alias_name="_m"))
-        .select_columns(["id_a", "id_b"])
+    empty_pairs = pa.table(
+        {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
     )
+    cand = _pairs_in_hot_buckets(
+        exploded, ["band", "bucket"], _bucket_pairs, empty_out=empty_pairs
+    )
+    cand = _hash_dedup(cand, ["id_a", "id_b"])
 
     # ---- exact cosine verify: embeddings attached by shuffle join --------
     etype = dict(zip(ds.schema().names, ds.schema().types))[emb_col]
