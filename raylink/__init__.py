@@ -15,7 +15,7 @@ from raylink.config import LinkConfig
 from raylink.pipeline import fuzzylink, LinkResult
 from raylink.embed import HashedNgramEmbedder, get_embeddings, get_similarity_matrix
 from raylink.oracle import CallableOracle, DeterministicOracle, check_match
-from raylink.http_client import HttpEmbedder, HttpOracle
+from raylink.http_client import HttpBatchOracle, HttpEmbedder, HttpOracle
 from raylink.keys import install_api_key, load_env
 from raylink.features import (
     jaro_winkler_sim,
@@ -38,6 +38,7 @@ __all__ = [
     "get_similarity_matrix",
     "DeterministicOracle",
     "CallableOracle",
+    "HttpBatchOracle",
     "HttpEmbedder",
     "HttpOracle",
     "install_api_key",

@@ -266,3 +266,85 @@ class HttpOracle:
                 self.labels_spent += 1
             out.append(self.journal[(a, b)])
         return out
+
+
+class HttpBatchOracle:
+    """Legacy batched-completions labeling mode (Oracle protocol) —
+    the reference's oldest provider path (R/check_match.R:71-119): up to
+    ``max_prompts`` rendered prompts are packed into ONE ``POST
+    {base}/completions`` request (``{"model", "prompt": [...],
+    "max_tokens": 1, "temperature": 0}``) and the per-prompt answers come
+    back as ``choices[i].text``. One request labels a whole active-learning
+    batch, so rate limits bind on tokens, not request count.
+
+    Deviations from the reference, by design: 429 handling goes through
+    :class:`HttpSession`'s Retry-After/exponential backoff instead of
+    scraping "Please try again in Ns" out of the error message (the modern
+    header is authoritative; the scrape predates it), and answers map back
+    by each choice's ``index`` field when present rather than by list
+    position alone. Exact-match short-circuit, label normalization
+    (strip + title-case first word, R/check_match.R:115-117) and journal
+    idempotence match :class:`HttpOracle`."""
+
+    def __init__(
+        self,
+        base_url: str,
+        model: str = "gpt-3.5-turbo-instruct",
+        record_type: str = "entity",
+        instructions: str | None = None,
+        api_key_env: str = "OPENAI_API_KEY",
+        max_prompts: int = 1500,
+        max_retries: int = 5,
+        backoff: float = 0.5,
+        timeout: float = 120.0,
+    ):
+        self.session = HttpSession(
+            base_url, api_key_env, max_retries, backoff, timeout
+        )
+        self.model = model
+        self.record_type = record_type
+        self.instructions = instructions
+        self.max_prompts = max_prompts
+        self.journal: dict[tuple[str, str], str] = {}
+        self.calls = 0
+        self.labels_spent = 0
+
+    def _ask_chunk(self, chunk: list[tuple[str, str]]) -> list[str]:
+        prompts = [
+            render_prompt(a, b, self.record_type, self.instructions)
+            for a, b in chunk
+        ]
+        resp = self.session.post_json(
+            "completions",
+            {
+                "model": self.model,
+                "prompt": prompts,
+                "max_tokens": 1,
+                "temperature": 0,
+            },
+        )
+        choices = resp["choices"]
+        texts = [""] * len(prompts)
+        for pos, ch in enumerate(choices):
+            texts[int(ch.get("index", pos))] = ch.get("text", "")
+        return [normalize_label(t) or "No" for t in texts]
+
+    def label(self, pairs: list[tuple[str, str]]) -> list[str]:
+        self.calls += 1
+        need = [
+            (a, b)
+            for a, b in dict.fromkeys(pairs)
+            if (a, b) not in self.journal and a != b
+        ]
+        for i in range(0, len(need), self.max_prompts):
+            chunk = need[i : i + self.max_prompts]
+            for pair, ans in zip(chunk, self._ask_chunk(chunk)):
+                self.journal[pair] = ans
+                self.labels_spent += 1
+        out = []
+        for a, b in pairs:
+            if a == b and (a, b) not in self.journal:
+                self.journal[(a, b)] = "Yes"
+                self.labels_spent += 1
+            out.append(self.journal[(a, b)])
+        return out

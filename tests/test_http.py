@@ -10,7 +10,12 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
-from raylink.http_client import HttpEmbedder, HttpOracle, HttpSession
+from raylink.http_client import (
+    HttpBatchOracle,
+    HttpEmbedder,
+    HttpOracle,
+    HttpSession,
+)
 
 DIM = 8
 
@@ -43,7 +48,7 @@ class _Handler(BaseHTTPRequestHandler):
             with st["lock"]:
                 st["embed_batches"].append(list(texts))
             body = {"data": [{"embedding": _fake_embedding(t)} for t in texts]}
-        else:  # chat/completions
+        elif self.path.endswith("/chat/completions"):
             prompt = payload["messages"][0]["content"]
             # parse "Name A: ...\nName B: ..."
             lines = dict(
@@ -54,6 +59,22 @@ class _Handler(BaseHTTPRequestHandler):
             ].lower().rstrip(" .")
             text = "yes, definitely" if same else "no way"
             body = {"choices": [{"message": {"content": text}}]}
+        else:  # legacy batched completions: prompt is a LIST
+            prompts = payload["prompt"]
+            with st["lock"]:
+                st["batch_sizes"].append(len(prompts))
+            choices = []
+            for i, prompt in enumerate(prompts):
+                lines = dict(
+                    ln.split(": ", 1) for ln in prompt.splitlines() if ": " in ln
+                )
+                same = lines["Name A"].lower().rstrip(" .") == lines[
+                    "Name B"
+                ].lower().rstrip(" .")
+                choices.append({"index": i, "text": " yes" if same else " no"})
+            # shuffled choice order: clients must map back via index
+            choices.reverse()
+            body = {"choices": choices}
         data = json.dumps(body).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
@@ -68,6 +89,7 @@ def fake_server():
         "lock": threading.Lock(),
         "requests": [],
         "embed_batches": [],
+        "batch_sizes": [],
         "fail_remaining": 0,
     }
     _Handler.state = state
@@ -146,6 +168,29 @@ def test_http_oracle_drives_check_match(fake_server):
     from raylink.oracle import check_match
 
     o = HttpOracle(base)
+    assert check_match(["a", "b"], ["a", "c"], o) == ["Yes", "No"]
+
+
+def test_batch_oracle_packs_prompts_and_maps_by_index(fake_server):
+    """Legacy batched-completions mode (R/check_match.R:71-119): one POST
+    per max_prompts chunk, answers mapped back by choice index (the fake
+    server returns choices reversed), exact pairs never sent."""
+    base, state = fake_server
+    o = HttpBatchOracle(base, max_prompts=2)
+    got = o.label([("Joe", "Joe"), ("Joe", "joe."), ("Joe", "Ann"), ("Bo", "Bo X")])
+    assert got == ["Yes", "Yes", "No", "No"]
+    # 3 non-exact pairs at max_prompts=2 → exactly 2 requests, sizes [2, 1]
+    assert state["batch_sizes"] == [2, 1]
+    sent_before = len(state["requests"])
+    assert o.label([("Joe", "Ann"), ("Joe", "Joe")]) == ["No", "Yes"]
+    assert len(state["requests"]) == sent_before  # journal idempotence
+
+
+def test_batch_oracle_drives_check_match(fake_server):
+    base, _ = fake_server
+    from raylink.oracle import check_match
+
+    o = HttpBatchOracle(base)
     assert check_match(["a", "b"], ["a", "c"], o) == ["Yes", "No"]
 
 
