@@ -404,7 +404,9 @@ def _q_connected_components(sf_dir: str):
         )
 
     edges = pairs.map_batches(_to_edges, batch_format="pyarrow")
-    out = cluster_label_propagation(edges).to_pandas()
+    # gate-scale edge set (tens of rows): 8 partitions keeps each LP
+    # round's shuffle-join barrier cheap; production callers size P to CPUs
+    out = cluster_label_propagation(edges, num_partitions=8).to_pandas()
     df = pd.DataFrame(
         {
             "doc_id": out["key"].astype("int64"),

@@ -27,6 +27,7 @@ Here pair generation is a Ray Data shuffle keyed on ``(block, ta, tb)``:
 
 from __future__ import annotations
 
+import os
 import zlib
 
 import numpy as np
@@ -140,9 +141,14 @@ def _spread_blocks(both: ray.data.Dataset, plan: dict) -> ray.data.Dataset:
     total_groups = sum(ta * tb for ta, tb in plan.values()) or 1
     # The sort behind groupby emits one output partition per input block,
     # and each partition's groups run serially inside one task — tile-size
-    # skew makes coarse partitions straggle. ~8 blocks/CPU keeps the
-    # longest task a small multiple of the mean tile.
-    want = min(max(8 * n_cpus, 16), max(total_groups, 16))
+    # skew makes coarse partitions straggle, while fine partitions multiply
+    # per-task scheduling cost. Measured sweep at 16 CPUs, sf0.1 r256
+    # (same accepted count, same host window): 4 blocks/CPU → 42.5s,
+    # 8 → 37.3s, 16 → 50.9s, 32 → 71.8s. 8/CPU is the sweet spot even
+    # though the max fused task runs ~3× the mean — the tail loss is
+    # smaller than the task-overhead slope on this host.
+    per_cpu = int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "8"))
+    want = min(max(per_cpu * n_cpus, 16), max(total_groups, 16))
     try:
         have = both.num_blocks()
     except Exception:

@@ -247,6 +247,85 @@ def test_dedup_ops_empty_hot_set():
     assert simhash_near_dups(docs, max_hamming=1).count() == 0
 
 
+def test_hash_dedup_equals_pandas_drop_duplicates():
+    """_hash_dedup (hash-partitioned distributed drop-duplicates) must
+    agree with pandas drop_duplicates for every key, regardless of which
+    partition routing the mix64 fold picks."""
+    from raylink.ops.dedup import _hash_dedup
+
+    rng = np.random.default_rng(7)
+    ida = rng.integers(0, 40, size=500)
+    idb = rng.integers(0, 40, size=500)
+    extra = rng.integers(0, 1000, size=500)
+    df = pd.DataFrame({"id_a": ida, "id_b": idb, "v": extra})
+    got = (
+        _hash_dedup(rd.from_pandas(df), ["id_a", "id_b"], num_partitions=7)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.drop_duplicates(subset=["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # same key set; the kept v must be one of that key's original values
+    pd.testing.assert_frame_equal(got[["id_a", "id_b"]], want[["id_a", "id_b"]])
+    merged = got.merge(df, on=["id_a", "id_b"], how="left", suffixes=("", "_orig"))
+    assert (
+        merged.groupby(["id_a", "id_b"])
+        .apply(lambda g: (g["v"].iloc[0] == g["v_orig"]).any(), include_groups=False)
+        .all()
+    )
+
+
+def test_hot_bucket_pairs_equal_bruteforce():
+    """The single-shuffle hot-bucket pair generator must emit exactly the
+    within-bucket pairs a naive pandas pass produces, for any partition
+    count (including P=1 and P much larger than the bucket count)."""
+    from raylink.ops.dedup import _pairs_in_hot_buckets
+
+    rng = np.random.default_rng(11)
+    n = 400
+    band = rng.integers(0, 4, size=n)
+    bucket = rng.integers(0, 30, size=n)
+    ids = rng.permutation(10_000)[:n]
+    tbl = pa.table(
+        {
+            "band": pa.array(band.astype(np.int32)),
+            "bucket": pa.array(bucket.astype(np.int64)),
+            "doc_id": pa.array(ids.astype(np.int64)),
+        }
+    )
+
+    def _pair_fn(group) -> pa.Table:
+        g = group["doc_id"].to_numpy() if isinstance(group, pd.DataFrame) else group
+        v = np.sort(np.asarray(g))
+        if len(v) < 2:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        ii, jj = np.triu_indices(len(v), k=1)
+        return pa.table({"id_a": pa.array(v[ii]), "id_b": pa.array(v[jj])})
+
+    empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64())})
+
+    want = set()
+    dfp = tbl.to_pandas()
+    for _, g in dfp.groupby(["band", "bucket"]):
+        v = np.sort(g["doc_id"].to_numpy())
+        for i in range(len(v)):
+            for j in range(i + 1, len(v)):
+                want.add((v[i], v[j]))
+
+    for P in (1, 5, 64):
+        got = _pairs_in_hot_buckets(
+            rd.from_arrow(tbl), ["band", "bucket"], _pair_fn,
+            empty_out=empty, num_partitions=P,
+        ).to_pandas()
+        assert set(zip(got["id_a"], got["id_b"])) == want, f"P={P}"
+
+
 def test_shingles_jaccard_sanity():
     a = _shingles("hello world program")
     b = _shingles("hello world programs")
