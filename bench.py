@@ -150,7 +150,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     plan = tile_plan_from_hist(na, nb, cfg.tile_rows)
 
     from raylink.util import CounterActor
-    from raylink.ops.dedup import minhash_lsh_candidates
+    from raylink.ops.ann import knn_brute_force
+    from raylink.ops.dedup import minhash_lsh_candidates, simhash_near_dups
     from raylink.ops.text import text_stats
     from raylink.ops.relational import preagg_sum_count
 
@@ -219,6 +220,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t = time.perf_counter()
         minhash_lsh_candidates(docs, num_perm=32, bands=8).to_pandas()
         q["minhash_lsh"] = round(time.perf_counter() - t, 3)
+
+        t = time.perf_counter()
+        simhash_near_dups(docs, max_hamming=6).to_pandas()
+        q["simhash"] = round(time.perf_counter() - t, 3)
+
+        t = time.perf_counter()
+        embs = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        qrow = embs.filter(expr="vec_id == 0").take(1)[0]
+        knn_brute_force(embs, np.asarray(qrow["embedding"], dtype=np.float64), k=5)
+        q["ann_topk"] = round(time.perf_counter() - t, 3)
         return q
 
     # ---- repetitions: median-of-N (host noise robust) --------------------
