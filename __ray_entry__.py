@@ -395,11 +395,14 @@ def _q_connected_components(sf_dir: str):
     def _to_edges(batch: pa.Table) -> pa.Table:
         ida = batch.column("id_a").to_numpy(zero_copy_only=False)
         idb = batch.column("id_b").to_numpy(zero_copy_only=False)
+        # width 20 covers every non-negative int64 (19 digits); negative
+        # ids would break the lexicographic-min == numeric-min invariant
+        assert len(ida) == 0 or (min(ida.min(), idb.min()) >= 0)
         return pa.table(
             {
                 "block": pa.array(np.full(len(ida), "g"), type=pa.string()),
-                "key_a": pa.array(np.char.zfill(ida.astype("U12"), 12)),
-                "key_b": pa.array(np.char.zfill(idb.astype("U12"), 12)),
+                "key_a": pa.array(np.char.zfill(ida.astype("U20"), 20)),
+                "key_b": pa.array(np.char.zfill(idb.astype("U20"), 20)),
             }
         )
 

@@ -147,7 +147,13 @@ def _spread_blocks(both: ray.data.Dataset, plan: dict) -> ray.data.Dataset:
     # 8 → 37.3s, 16 → 50.9s, 32 → 71.8s. 8/CPU is the sweet spot even
     # though the max fused task runs ~3× the mean — the tail loss is
     # smaller than the task-overhead slope on this host.
-    per_cpu = int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "8"))
+    try:
+        per_cpu = max(1, int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "8")))
+    except ValueError:
+        raise ValueError(
+            "GRAFT_BLOCKS_PER_CPU must be a positive integer, got "
+            f"{os.environ.get('GRAFT_BLOCKS_PER_CPU')!r}"
+        ) from None
     want = min(max(per_cpu * n_cpus, 16), max(total_groups, 16))
     try:
         have = both.num_blocks()

@@ -324,9 +324,19 @@ class HttpBatchOracle:
             },
         )
         choices = resp["choices"]
+        if len(choices) != len(prompts):
+            # a truncated response must fail loudly — silently defaulting
+            # the missing slots would journal permanent wrong labels
+            raise ValueError(
+                f"batch completions returned {len(choices)} choices "
+                f"for {len(prompts)} prompts"
+            )
         texts = [""] * len(prompts)
         for pos, ch in enumerate(choices):
-            texts[int(ch.get("index", pos))] = ch.get("text", "")
+            idx = int(ch.get("index", pos))
+            if not 0 <= idx < len(prompts):
+                raise ValueError(f"choice index {idx} out of range")
+            texts[idx] = ch.get("text", "")
         return [normalize_label(t) or "No" for t in texts]
 
     def label(self, pairs: list[tuple[str, str]]) -> list[str]:

@@ -30,6 +30,28 @@ from ray.data.aggregate import Min
 _log = logging.getLogger(__name__)
 
 
+def _default_partitions() -> int:
+    try:
+        return max(16, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 16
+
+
+def _tag_pid(batch: pa.Table, cols: list[str], P: np.uint64) -> pa.Table:
+    """Append ``_pid`` = splitmix64-fold of the integer key columns mod P.
+    A fold collision merely routes two keys to the same partition — every
+    consumer still groups/dedups on the true key columns, so a collision
+    can never produce a wrong row."""
+    acc = np.full(len(batch), np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+    for c in cols:
+        acc = _mix64(
+            acc ^ batch.column(c).to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+    return batch.append_column(
+        "_pid", pa.array((_mix64(acc) % P).astype(np.int64))
+    )
+
+
 def _pairs_in_hot_buckets(
     exploded: ray.data.Dataset,
     bucket_cols: list[str],
@@ -59,30 +81,10 @@ def _pairs_in_hot_buckets(
     rows).
 
     ``empty_out`` (typed, usually zero-row) seeds the output schema so an
-    edge-case empty corpus still yields a well-typed Dataset downstream."""
-    if num_partitions is None:
-        try:
-            num_partitions = max(16, int(ray.cluster_resources().get("CPU", 8)))
-        except Exception:
-            num_partitions = 16
-    P = np.uint64(num_partitions)
-
-    def _combine_df(df: pd.DataFrame) -> np.ndarray:
-        """Single-uint64 combine of the bucket columns (mix64-folded). A
-        fold collision merely routes two buckets to the same partition /
-        hot-check group — the per-partition grouping below still keys on
-        the true bucket columns, so it can never create a wrong pair."""
-        acc = np.full(len(df), np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
-        for c in bucket_cols:
-            acc = _mix64(acc ^ df[c].to_numpy().astype(np.uint64))
-        return acc
-
-    def _tag(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({c: batch.column(c).to_numpy(zero_copy_only=False)
-                           for c in bucket_cols})
-        pid = (_mix64(_combine_df(df)) % P).astype(np.int64)
-        return batch.append_column("_pid", pa.array(pid))
-
+    edge-case empty corpus still yields a well-typed Dataset downstream.
+    ``pair_fn`` always receives a pandas sub-frame (one bucket's rows,
+    ``_pid`` column included) and must return a ``pa.Table``."""
+    P = np.uint64(num_partitions or _default_partitions())
     cols = list(bucket_cols)
 
     def _part(df: pd.DataFrame) -> pa.Table:
@@ -96,11 +98,17 @@ def _pairs_in_hot_buckets(
             if len(t := pair_fn(g))
         ]
         if not outs:
-            return empty_out if empty_out is not None else pair_fn(df.iloc[:0])
+            return (
+                empty_out.slice(0, 0)
+                if empty_out is not None
+                else pair_fn(df.iloc[:0])
+            )
         return pa.concat_tables(outs)
 
     pairs = (
-        exploded.map_batches(_tag, batch_format="pyarrow")
+        exploded.map_batches(
+            lambda b: _tag_pid(b, cols, P), batch_format="pyarrow"
+        )
         .groupby("_pid")
         .map_groups(_part, batch_format="pandas")
     )
@@ -122,22 +130,10 @@ def _hash_dedup(
     ``_pid``). Replaces ``groupby(keys).aggregate(...)`` dedups whose
     sort-based reduce walks one Python group per *distinct key* — at
     pair-stream scale that is one group per output row."""
-    if num_partitions is None:
-        try:
-            num_partitions = max(16, int(ray.cluster_resources().get("CPU", 8)))
-        except Exception:
-            num_partitions = 16
-    P = np.uint64(num_partitions)
+    P = np.uint64(num_partitions or _default_partitions())
 
     def _tag(batch: pa.Table) -> pa.Table:
-        acc = np.full(len(batch), np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
-        for c in key_cols:
-            acc = _mix64(
-                acc ^ batch.column(c).to_numpy(zero_copy_only=False).astype(np.uint64)
-            )
-        return batch.append_column(
-            "_pid", pa.array((_mix64(acc) % P).astype(np.int64))
-        )
+        return _tag_pid(batch, key_cols, P)
 
     def _dd(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(subset=key_cols).drop(columns=["_pid"])
@@ -302,8 +298,8 @@ def minhash_lsh_candidates(
 
     exploded = sigs.map_batches(_bands, batch_format="pyarrow")
 
-    def _bucket_pairs(group) -> pa.Table:
-        ids = np.sort(np.asarray(group[id_col] if isinstance(group, pd.DataFrame) else group.column(id_col).to_numpy(zero_copy_only=False)))
+    def _bucket_pairs(group: pd.DataFrame) -> pa.Table:
+        ids = np.sort(group[id_col].to_numpy())
         k = len(ids)
         if k < 2:
             return pa.table({"id_a": pa.array([], type=pa.int64()),
@@ -311,7 +307,6 @@ def minhash_lsh_candidates(
         ii, jj = np.triu_indices(k, k=1)
         return pa.table({"id_a": pa.array(ids[ii]), "id_b": pa.array(ids[jj])})
 
-    _bucket_pairs.batch_format = "pyarrow"
     empty_pairs = pa.table(
         {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
     )
@@ -514,13 +509,9 @@ def simhash_near_dups(
             }
         )
 
-    def _pairs(group) -> pa.Table:
-        if isinstance(group, pd.DataFrame):
-            ids = group[id_col].to_numpy()
-            sh = group["simhash"].to_numpy()
-        else:
-            ids = group.column(id_col).to_numpy(zero_copy_only=False)
-            sh = group.column("simhash").to_numpy(zero_copy_only=False)
+    def _pairs(group: pd.DataFrame) -> pa.Table:
+        ids = group[id_col].to_numpy()
+        sh = group["simhash"].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids, sh = ids[order], sh[order].astype(np.uint64)
         k = len(ids)
@@ -537,7 +528,6 @@ def simhash_near_dups(
                          "id_b": pa.array(ids[jj[keep]].astype(np.int64)),
                          "hamming": pa.array(ham[keep].astype(np.int64))})
 
-    _pairs.batch_format = "pyarrow"
     exploded = sigs.map_batches(_bands, batch_format="pyarrow")
     empty_pairs = pa.table(
         {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64()),
@@ -644,22 +634,14 @@ def embedding_near_dups(
         )
     r = bits_per_band
 
-    def _bucket_pairs(group) -> pa.Table:
-        ids = np.sort(
-            np.asarray(
-                group[id_col]
-                if isinstance(group, pd.DataFrame)
-                else group.column(id_col).to_numpy(zero_copy_only=False)
-            )
-        )
+    def _bucket_pairs(group: pd.DataFrame) -> pa.Table:
+        ids = np.sort(group[id_col].to_numpy())
         m = len(ids)
         if m < 2:
             return pa.table({"id_a": pa.array([], type=pa.int64()),
                              "id_b": pa.array([], type=pa.int64())})
         ii, jj = np.triu_indices(m, k=1)
         return pa.table({"id_a": pa.array(ids[ii]), "id_b": pa.array(ids[jj])})
-
-    _bucket_pairs.batch_format = "pyarrow"
 
     exploded = lsh_band_signatures(
         ds, bands=bands, bits_per_band=r, emb_col=emb_col, id_col=id_col,
