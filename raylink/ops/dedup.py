@@ -317,6 +317,136 @@ def minhash_lsh_candidates(
     return _hash_dedup(pairs, ["id_a", "id_b"])
 
 
+def _verify_jaccard_grid(
+    pairs: ray.data.Dataset,
+    ds: ray.data.Dataset,
+    threshold: float,
+    k: int,
+    text_col: str,
+    id_col: str,
+    num_partitions: int | None,
+    emit_counts: bool,
+) -> ray.data.Dataset:
+    """G×G grid verify (see :func:`verify_jaccard` ``mode='grid'``).
+
+    One all-to-all: pair rows go to partition ``(h(id_a)%G)·G + h(id_b)%G``
+    (16 B each); every doc is replicated to its grid row and column (≤2G−1
+    slim copies), so each partition holds exactly the docs its pairs can
+    reference. Per partition, shingle codes are computed once per doc
+    (bounded: ≤ 2·|docs|/G entries × ~8 KB) and pairs are verified with
+    ``np.intersect1d`` over sorted unique uint64 code arrays."""
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(64, 8 * cpus)
+    G = max(2, int(np.ceil(np.sqrt(num_partitions))))
+    GU = np.uint64(G)
+
+    def _tag_pairs(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pid = (_mix64(a) % GU) * GU + (_mix64(b) % GU)
+        return pa.table(
+            {
+                "_pid": pa.array(pid.astype(np.int64)),
+                "_kind": pa.array(np.ones(len(batch), dtype=np.int8)),
+                "id_a": batch.column("id_a"),
+                "id_b": batch.column("id_b"),
+                "_id": pa.array(np.zeros(len(batch), dtype=np.int64)),
+                "_text": pa.nulls(len(batch), type=pa.string()),
+            }
+        )
+
+    def _explode_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        g = (_mix64(ids.astype(np.uint64)) % GU).astype(np.int64)
+        n = len(batch)
+        # row copies: g*G + 0..G-1 (all G); column copies: j*G + g for
+        # j != g — the diagonal g*G+g would otherwise appear twice, and
+        # each row masks out exactly one j, so the col side is (n, G-1)
+        rng = np.arange(G, dtype=np.int64)
+        pid_row = (g[:, None] * G + rng[None, :]).reshape(-1)
+        colmask = rng[None, :] != g[:, None]
+        pid_col = (rng[None, :] * G + g[:, None])[colmask]
+        take = pa.array(
+            np.concatenate(
+                [np.repeat(np.arange(n, dtype=np.int64), G),
+                 np.repeat(np.arange(n, dtype=np.int64), G - 1)]
+            )
+        )
+        pid = np.concatenate([pid_row, pid_col])
+        m = len(pid)
+        return pa.table(
+            {
+                "_pid": pa.array(pid),
+                "_kind": pa.array(np.zeros(m, dtype=np.int8)),
+                "id_a": pa.array(np.zeros(m, dtype=np.int64)),
+                "id_b": pa.array(np.zeros(m, dtype=np.int64)),
+                "_id": batch.column(id_col).take(take),
+                "_text": batch.column(text_col).take(take),
+            }
+        )
+
+    def _vgrid(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[df["_kind"].to_numpy() == 0]
+        prs = df[df["_kind"].to_numpy() == 1]
+        out_cols = {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+                    "jaccard": np.empty(0, np.float64)}
+        if emit_counts:
+            out_cols["n_common"] = np.empty(0, np.int64)
+            out_cols["n_union"] = np.empty(0, np.int64)
+        if len(prs) == 0:
+            return pd.DataFrame(out_cols)
+        codes: dict[int, np.ndarray] = {}
+        tids = docs["_id"].to_numpy()
+        ttxt = docs["_text"].to_numpy()
+        ida = prs["id_a"].to_numpy()
+        idb = prs["id_b"].to_numpy()
+        n = len(prs)
+        jac = np.empty(n, dtype=np.float64)
+        ni = np.empty(n, dtype=np.int64)
+        nu = np.empty(n, dtype=np.int64)
+        tmap = dict(zip(tids, ttxt))
+        for i in range(n):
+            ca = codes.get(ida[i])
+            if ca is None:
+                ca = codes[ida[i]] = _shingle_codes(tmap.get(ida[i]) or "", k)
+            cb = codes.get(idb[i])
+            if cb is None:
+                cb = codes[idb[i]] = _shingle_codes(tmap.get(idb[i]) or "", k)
+            inter = len(np.intersect1d(ca, cb, assume_unique=True))
+            u = len(ca) + len(cb) - inter
+            ni[i], nu[i] = inter, u
+            jac[i] = inter / u if u else 0.0
+        keep = jac >= threshold
+        cols = {"id_a": ida[keep], "id_b": idb[keep], "jaccard": jac[keep]}
+        if emit_counts:
+            cols["n_common"] = ni[keep]
+            cols["n_union"] = nu[keep]
+        return pd.DataFrame(cols)
+
+    union = pairs.select_columns(["id_a", "id_b"]).map_batches(
+        _tag_pairs, batch_format="pyarrow"
+    ).union(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _explode_docs, batch_format="pyarrow"
+        )
+    )
+    out_fields = [
+        ("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())
+    ]
+    if emit_counts:
+        out_fields += [("n_common", pa.int64()), ("n_union", pa.int64())]
+    seed = pa.schema(out_fields).empty_table()
+    return (
+        union.groupby("_pid")
+        .map_groups(_vgrid, batch_format="pandas")
+        .union(ray.data.from_arrow(seed))
+    )
+
+
 def verify_jaccard(
     pairs: ray.data.Dataset,
     ds: ray.data.Dataset,
@@ -326,6 +456,7 @@ def verify_jaccard(
     id_col: str = "doc_id",
     num_partitions: int | None = None,
     emit_counts: bool = False,
+    mode: str = "auto",
 ) -> ray.data.Dataset:
     """Verify candidate pairs with true shingle Jaccard, fully distributed.
 
@@ -336,83 +467,119 @@ def verify_jaccard(
     the ``minhash_dedup`` DuckDB oracle), with no float rounding in the
     compared values.
 
-    The texts are attached to the pair stream by TWO hash-partitioned
-    shuffle joins (``util.shuffle_merge``) — one per endpoint — instead of
-    collecting the candidate set and broadcasting a driver-built text map
-    (which dies when the candidate ids' texts exceed one machine). Each
-    verify batch then computes both shingle sets locally, memoizing per
-    worker since a duplicate-heavy corpus repeats ids across pairs."""
+    Two exchange shapes, picked by the candidate:corpus ratio
+    (``mode='auto'``; force with ``'attach'``/``'grid'``):
+
+    * **attach** — for sparse candidate sets (the common clean-corpus
+      case, |pairs| ≲ |docs|): one shuffle join ships ``_text_b`` onto
+      each pair row, then the second join's merge_fn IS the verifier
+      (per-partition ``text_a`` dict, slim rows out). Traffic:
+      |pairs| × text bytes through ONE exchange.
+    * **grid** — for duplicate-heavy candidate sets (|pairs| ≫ |docs|):
+      pairs are routed to a G×G partition grid by
+      ``(hash(id_a)%G, hash(id_b)%G)`` and each doc is replicated to its
+      grid row AND column (≤2G−1 slim copies), so every partition holds
+      exactly the docs its pairs reference. Traffic: |docs| × text ×
+      2G + |pairs| × 16 B — independent of how many pairs share a doc
+      (the attach shape re-ships a hot doc's text once per pair).
+
+    Neither shape ever collects texts to the driver or broadcasts a
+    corpus-sized map. Both intersect the SORTED UNIQUE shingle-code
+    arrays (``np.intersect1d``, C speed) rather than Python sets — the
+    per-pair kernel allocates nothing."""
     from raylink.util import shuffle_merge
+
+    if mode not in ("auto", "attach", "grid"):
+        raise ValueError(f"mode must be auto|attach|grid, got {mode!r}")
+    if mode == "auto":
+        # materializing the SLIM pair list (16 B/row, spillable) buys the
+        # count that picks the cheaper exchange; docs count is metadata
+        pairs = pairs.select_columns(["id_a", "id_b"]).materialize()
+        n_pairs = pairs.count()
+        n_docs = ds.count()
+        mode = "grid" if n_pairs > 8 * max(n_docs, 1) else "attach"
+    if mode == "grid":
+        return _verify_jaccard_grid(
+            pairs, ds, threshold, k, text_col, id_col, num_partitions,
+            emit_counts,
+        )
 
     texts = ds.select_columns([id_col, text_col])
 
     s1 = pa.schema(
-        [("id_a", pa.int64()), ("id_b", pa.int64()), ("_text_a", pa.string())]
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("_text_b", pa.string())]
     )
-    s2 = pa.schema(
-        [("id_a", pa.int64()), ("id_b", pa.int64()),
-         ("_text_a", pa.string()), ("_text_b", pa.string())]
-    )
+    out_fields = [
+        ("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())
+    ]
+    if emit_counts:
+        out_fields += [("n_common", pa.int64()), ("n_union", pa.int64())]
+    out_schema = pa.schema(out_fields)
 
-    def _attach(side: str, out_col: str):
-        def _m(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
-            rdf = rdf.drop_duplicates(subset=[id_col]).rename(
-                columns={id_col: side, text_col: out_col}
-            )
-            return ldf.merge(rdf, how="left", on=side)
+    def _attach_b(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        rdf = rdf.drop_duplicates(subset=[id_col]).rename(
+            columns={id_col: "id_b", text_col: "_text_b"}
+        )
+        return ldf.merge(rdf, how="left", on="id_b")
 
-        return _m
+    def _verify(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        # Heap contract: the A-side code cache is bounded by this
+        # partition's DOC count (id_a co-hashes with its doc — that is the
+        # join key), while the unbounded B side is streamed in id_b-sorted
+        # order so exactly one B code array is alive at a time.
+        tmap = dict(zip(rdf[id_col].to_numpy(), rdf[text_col]))
+        a_codes: dict[int, np.ndarray] = {}
+
+        ida = ldf["id_a"].to_numpy()
+        idb = ldf["id_b"].to_numpy()
+        tb = ldf["_text_b"].to_numpy()
+        n = len(ldf)
+        jac = np.empty(n, dtype=np.float64)
+        ni = np.empty(n, dtype=np.int64)
+        nu = np.empty(n, dtype=np.int64)
+        last_b = None
+        cb = np.empty(0, dtype=np.uint64)
+        for j in np.argsort(idb, kind="stable"):
+            bid = idb[j]
+            if bid != last_b:
+                cb = _shingle_codes(tb[j] or "", k)
+                last_b = bid
+            aid = ida[j]
+            ca = a_codes.get(aid)
+            if ca is None:
+                ca = a_codes[aid] = _shingle_codes(tmap.get(aid) or "", k)
+            inter = len(np.intersect1d(ca, cb, assume_unique=True))
+            u = len(ca) + len(cb) - inter
+            ni[j], nu[j] = inter, u
+            jac[j] = inter / u if u else 0.0
+        keep = jac >= threshold
+        cols = {"id_a": ida[keep], "id_b": idb[keep], "jaccard": jac[keep]}
+        if emit_counts:
+            cols["n_common"] = ni[keep]
+            cols["n_union"] = nu[keep]
+        return pd.DataFrame(cols)
+
+    if num_partitions is None:
+        # pair rows carry ~text-sized payloads through these exchanges:
+        # finer-than-default partitions keep per-task pandas frames small
+        try:
+            num_partitions = max(64, 8 * int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_partitions = 64
 
     pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
     text_schema = pa.schema([(id_col, pa.int64()), (text_col, pa.string())])
     j1 = shuffle_merge(
         pairs.select_columns(["id_a", "id_b"]), texts,
-        ["id_a"], [id_col], _attach("id_a", "_text_a"), s1,
+        ["id_b"], [id_col], _attach_b, s1,
         num_partitions=num_partitions,
         left_schema=pair_schema, right_schema=text_schema,
     )
-    j2 = shuffle_merge(
-        j1, texts, ["id_b"], [id_col], _attach("id_b", "_text_b"), s2,
+    return shuffle_merge(
+        j1, texts, ["id_a"], [id_col], _verify, out_schema,
         num_partitions=num_partitions,
         left_schema=s1, right_schema=text_schema,
     )
-
-    class _Verify:
-        def __init__(self):
-            self.cache: dict[str, set] = {}
-
-        def _sh(self, t: str) -> set:
-            got = self.cache.get(t)
-            if got is None:
-                got = self.cache[t] = _shingles(t or "", k)
-                if len(self.cache) > 4096:
-                    self.cache.clear()
-            return got
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ta = batch.column("_text_a").to_pylist()
-            tb = batch.column("_text_b").to_pylist()
-            jac = np.empty(len(ta), dtype=np.float64)
-            ni = np.empty(len(ta), dtype=np.int64)
-            nu = np.empty(len(ta), dtype=np.int64)
-            for i, (a, b) in enumerate(zip(ta, tb)):
-                sa, sb = self._sh(a), self._sh(b)
-                inter = len(sa & sb)
-                u = len(sa) + len(sb) - inter
-                ni[i], nu[i] = inter, u
-                jac[i] = inter / u if u else 0.0
-            keep = jac >= threshold
-            cols = {
-                "id_a": batch.column("id_a"),
-                "id_b": batch.column("id_b"),
-                "jaccard": pa.array(jac, type=pa.float64()),
-            }
-            if emit_counts:
-                cols["n_common"] = pa.array(ni)
-                cols["n_union"] = pa.array(nu)
-            return pa.table(cols).filter(pa.array(keep))
-
-    return j2.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, actor_pool_size()))
 
 
 # --------------------------------------------------------------------------
@@ -624,7 +791,6 @@ def embedding_near_dups(
     Recall is sketch-bounded and stated, never silent: callers needing a
     different operating point tune (bands, bits_per_band).
     """
-    from raylink.ops.ann import _to_matrix
     from raylink.util import shuffle_merge
 
     n_total = ds.count()
@@ -655,54 +821,59 @@ def embedding_near_dups(
     )
     cand = _hash_dedup(cand, ["id_a", "id_b"])
 
-    # ---- exact cosine verify: embeddings attached by shuffle join --------
+    # ---- exact cosine verify: one attach join ships _emb_b onto each
+    # pair row, then the second join's merge_fn IS the verifier (per-
+    # partition {id_a: vector} lookup + vectorized cosine, slim rows out)
+    # — pair-scale embedding bytes cross only one exchange, and there is
+    # no third stage
     etype = dict(zip(ds.schema().names, ds.schema().types))[emb_col]
     embs = ds.select_columns([id_col, emb_col])
-    s1 = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("_emb_a", etype)])
-    s2 = pa.schema(
-        [("id_a", pa.int64()), ("id_b", pa.int64()),
-         ("_emb_a", etype), ("_emb_b", etype)]
+    s1 = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("_emb_b", etype)])
+    out_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())]
     )
 
-    def _attach(side: str, out_col: str):
-        def _m(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
-            rdf = rdf.drop_duplicates(subset=[id_col]).rename(
-                columns={id_col: side, emb_col: out_col}
+    def _attach_b(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        rdf = rdf.drop_duplicates(subset=[id_col]).rename(
+            columns={id_col: "id_b", emb_col: "_emb_b"}
+        )
+        return ldf.merge(rdf, how="left", on="id_b")
+
+    def _verify(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(ldf)
+        if n == 0 or len(rdf) == 0:
+            return pd.DataFrame(
+                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+                 "cosine": np.empty(0, np.float64)}
             )
-            return ldf.merge(rdf, how="left", on=side)
-
-        return _m
-
-    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
-    emb_schema = pa.schema([(id_col, pa.int64()), (emb_col, etype)])
-    j1 = shuffle_merge(cand, embs, ["id_a"], [id_col], _attach("id_a", "_emb_a"),
-                       s1, num_partitions=num_partitions,
-                       left_schema=pair_schema, right_schema=emb_schema)
-    j2 = shuffle_merge(j1, embs, ["id_b"], [id_col], _attach("id_b", "_emb_b"),
-                       s2, num_partitions=num_partitions,
-                       left_schema=s1, right_schema=emb_schema)
-
-    def _cos(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.schema(
-                [("id_a", pa.int64()), ("id_b", pa.int64()),
-                 ("cosine", pa.float64())]
-            ).empty_table()
-        a = _to_matrix(batch.column("_emb_a"))
-        b = _to_matrix(batch.column("_emb_b"))
+        rdf = rdf.drop_duplicates(subset=[id_col])
+        amat = np.stack([np.asarray(v, dtype=np.float64) for v in rdf[emb_col]])
+        row_of = {i: r for r, i in enumerate(rdf[id_col].to_numpy())}
+        ida = ldf["id_a"].to_numpy()
+        rows = np.fromiter((row_of.get(i, 0) for i in ida), dtype=np.int64, count=n)
+        have = np.fromiter((i in row_of for i in ida), dtype=bool, count=n)
+        a = amat[rows]
+        a[~have] = 0.0
+        b = np.stack(
+            [np.asarray(v, dtype=np.float64) if v is not None else np.zeros(amat.shape[1])
+             for v in ldf["_emb_b"]]
+        )
         na = np.linalg.norm(a, axis=1)
         nb = np.linalg.norm(b, axis=1)
         na[na == 0] = 1.0
         nb[nb == 0] = 1.0
         cos = (a * b).sum(axis=1) / (na * nb)
         keep = cos >= threshold
-        out = pa.table(
-            {
-                "id_a": batch.column("id_a"),
-                "id_b": batch.column("id_b"),
-                "cosine": pa.array(cos, type=pa.float64()),
-            }
+        return pd.DataFrame(
+            {"id_a": ida[keep], "id_b": ldf["id_b"].to_numpy()[keep],
+             "cosine": cos[keep]}
         )
-        return out.filter(pa.array(keep))
 
-    return j2.map_batches(_cos, batch_format="pyarrow")
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    emb_schema = pa.schema([(id_col, pa.int64()), (emb_col, etype)])
+    j1 = shuffle_merge(cand, embs, ["id_b"], [id_col], _attach_b,
+                       s1, num_partitions=num_partitions,
+                       left_schema=pair_schema, right_schema=emb_schema)
+    return shuffle_merge(j1, embs, ["id_a"], [id_col], _verify, out_schema,
+                         num_partitions=num_partitions,
+                         left_schema=s1, right_schema=emb_schema)

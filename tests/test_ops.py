@@ -326,6 +326,40 @@ def test_hot_bucket_pairs_equal_bruteforce():
         assert set(zip(got["id_a"], got["id_b"])) == want, f"P={P}"
 
 
+def test_verify_jaccard_grid_equals_attach():
+    """The G×G grid exchange and the attach-join exchange must verify the
+    same pairs with identical jaccard/counts — they are two routings of
+    the same computation."""
+    from raylink.ops.dedup import minhash_lsh_candidates, verify_jaccard
+
+    base = [
+        "the quick brown fox jumps over the lazy dog every single day",
+        "an entirely different sentence about databases and query engines",
+        "yet another unrelated string mentioning airplanes and travel",
+    ]
+    rows = []
+    for r in range(6):
+        for i, t in enumerate(base):
+            rows.append((r * 100 + i, f"v{r} {t}"))
+    tbl = pa.table({"doc_id": pa.array([i for i, _ in rows], type=pa.int64()),
+                    "text": [t for _, t in rows]})
+    docs = rd.from_arrow(tbl)
+    cands = minhash_lsh_candidates(docs, num_perm=32, bands=8).materialize()
+    assert cands.count() > 0
+
+    def _run(mode):
+        return (
+            verify_jaccard(cands, docs, threshold=0.5, emit_counts=True, mode=mode)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    a, g = _run("attach"), _run("grid")
+    pd.testing.assert_frame_equal(a, g)
+    assert len(a) > 0
+
+
 def test_shingles_jaccard_sanity():
     a = _shingles("hello world program")
     b = _shingles("hello world programs")
