@@ -317,24 +317,26 @@ def minhash_lsh_candidates(
     return _hash_dedup(pairs, ["id_a", "id_b"])
 
 
-def _verify_jaccard_grid(
+def _grid_verify(
     pairs: ray.data.Dataset,
     ds: ray.data.Dataset,
-    threshold: float,
-    k: int,
-    text_col: str,
     id_col: str,
+    payload_col: str,
+    payload_type: pa.DataType,
+    kernel,
+    out_schema: pa.Schema,
     num_partitions: int | None,
-    emit_counts: bool,
 ) -> ray.data.Dataset:
-    """G×G grid verify (see :func:`verify_jaccard` ``mode='grid'``).
+    """G×G grid pair-verification exchange (payload-agnostic router).
 
     One all-to-all: pair rows go to partition ``(h(id_a)%G)·G + h(id_b)%G``
-    (16 B each); every doc is replicated to its grid row and column (≤2G−1
-    slim copies), so each partition holds exactly the docs its pairs can
-    reference. Per partition, shingle codes are computed once per doc
-    (bounded: ≤ 2·|docs|/G entries × ~8 KB) and pairs are verified with
-    ``np.intersect1d`` over sorted unique uint64 code arrays."""
+    (16 B each); every payload row (doc text, embedding, …) is replicated
+    to its grid row and column (≤2G−1 slim copies), so each partition
+    holds exactly the payloads its pairs can reference — traffic is
+    |payloads| × 2G + |pairs| × 16 B, independent of how many pairs share
+    a payload. ``kernel(ida, idb, pmap) -> dict[str, np.ndarray]``
+    receives a partition's pair id arrays plus its ``{id: payload}`` map
+    and returns the output columns (already filtered)."""
     if num_partitions is None:
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -355,11 +357,11 @@ def _verify_jaccard_grid(
                 "id_a": batch.column("id_a"),
                 "id_b": batch.column("id_b"),
                 "_id": pa.array(np.zeros(len(batch), dtype=np.int64)),
-                "_text": pa.nulls(len(batch), type=pa.string()),
+                "_payload": pa.nulls(len(batch), type=payload_type),
             }
         )
 
-    def _explode_docs(batch: pa.Table) -> pa.Table:
+    def _explode_payloads(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         g = (_mix64(ids.astype(np.uint64)) % GU).astype(np.int64)
         n = len(batch)
@@ -385,37 +387,75 @@ def _verify_jaccard_grid(
                 "id_a": pa.array(np.zeros(m, dtype=np.int64)),
                 "id_b": pa.array(np.zeros(m, dtype=np.int64)),
                 "_id": batch.column(id_col).take(take),
-                "_text": batch.column(text_col).take(take),
+                "_payload": batch.column(payload_col).take(take),
             }
         )
 
+    empty_cols = {
+        f.name: np.empty(0, dtype=f.type.to_pandas_dtype())
+        for f in out_schema
+    }
+
     def _vgrid(df: pd.DataFrame) -> pd.DataFrame:
-        docs = df[df["_kind"].to_numpy() == 0]
-        prs = df[df["_kind"].to_numpy() == 1]
-        out_cols = {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
-                    "jaccard": np.empty(0, np.float64)}
-        if emit_counts:
-            out_cols["n_common"] = np.empty(0, np.int64)
-            out_cols["n_union"] = np.empty(0, np.int64)
+        kind = df["_kind"].to_numpy()
+        prs = df[kind == 1]
         if len(prs) == 0:
-            return pd.DataFrame(out_cols)
+            return pd.DataFrame(empty_cols)
+        docs = df[kind == 0]
+        pmap = dict(zip(docs["_id"].to_numpy(), docs["_payload"].to_numpy()))
+        cols = kernel(prs["id_a"].to_numpy(), prs["id_b"].to_numpy(), pmap)
+        return pd.DataFrame(cols)
+
+    union = pairs.select_columns(["id_a", "id_b"]).map_batches(
+        _tag_pairs, batch_format="pyarrow"
+    ).union(
+        ds.select_columns([id_col, payload_col]).map_batches(
+            _explode_payloads, batch_format="pyarrow"
+        )
+    )
+    return (
+        union.groupby("_pid")
+        .map_groups(_vgrid, batch_format="pandas")
+        .union(ray.data.from_arrow(out_schema.empty_table()))
+    )
+
+
+def _verify_jaccard_grid(
+    pairs: ray.data.Dataset,
+    ds: ray.data.Dataset,
+    threshold: float,
+    k: int,
+    text_col: str,
+    id_col: str,
+    num_partitions: int | None,
+    emit_counts: bool,
+) -> ray.data.Dataset:
+    """Jaccard kernel on the :func:`_grid_verify` exchange: per partition,
+    shingle codes are computed once per doc (bounded: ≤ 2·|docs|/G entries
+    × ~8 KB) and each pair is one ``np.intersect1d`` over sorted unique
+    uint64 code arrays."""
+    out_fields = [
+        ("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())
+    ]
+    if emit_counts:
+        out_fields += [("n_common", pa.int64()), ("n_union", pa.int64())]
+    out_schema = pa.schema(out_fields)
+
+    def _kernel(ida: np.ndarray, idb: np.ndarray, pmap: dict) -> dict:
         codes: dict[int, np.ndarray] = {}
-        tids = docs["_id"].to_numpy()
-        ttxt = docs["_text"].to_numpy()
-        ida = prs["id_a"].to_numpy()
-        idb = prs["id_b"].to_numpy()
-        n = len(prs)
+
+        def _c(i) -> np.ndarray:
+            got = codes.get(i)
+            if got is None:
+                got = codes[i] = _shingle_codes(pmap.get(i) or "", k)
+            return got
+
+        n = len(ida)
         jac = np.empty(n, dtype=np.float64)
         ni = np.empty(n, dtype=np.int64)
         nu = np.empty(n, dtype=np.int64)
-        tmap = dict(zip(tids, ttxt))
         for i in range(n):
-            ca = codes.get(ida[i])
-            if ca is None:
-                ca = codes[ida[i]] = _shingle_codes(tmap.get(ida[i]) or "", k)
-            cb = codes.get(idb[i])
-            if cb is None:
-                cb = codes[idb[i]] = _shingle_codes(tmap.get(idb[i]) or "", k)
+            ca, cb = _c(ida[i]), _c(idb[i])
             inter = len(np.intersect1d(ca, cb, assume_unique=True))
             u = len(ca) + len(cb) - inter
             ni[i], nu[i] = inter, u
@@ -425,25 +465,11 @@ def _verify_jaccard_grid(
         if emit_counts:
             cols["n_common"] = ni[keep]
             cols["n_union"] = nu[keep]
-        return pd.DataFrame(cols)
+        return cols
 
-    union = pairs.select_columns(["id_a", "id_b"]).map_batches(
-        _tag_pairs, batch_format="pyarrow"
-    ).union(
-        ds.select_columns([id_col, text_col]).map_batches(
-            _explode_docs, batch_format="pyarrow"
-        )
-    )
-    out_fields = [
-        ("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())
-    ]
-    if emit_counts:
-        out_fields += [("n_common", pa.int64()), ("n_union", pa.int64())]
-    seed = pa.schema(out_fields).empty_table()
-    return (
-        union.groupby("_pid")
-        .map_groups(_vgrid, batch_format="pandas")
-        .union(ray.data.from_arrow(seed))
+    return _grid_verify(
+        pairs, ds, id_col, text_col, pa.string(), _kernel, out_schema,
+        num_partitions,
     )
 
 
@@ -785,8 +811,11 @@ def embedding_near_dups(
     * Explosion ships only (band, bucket, id) rows; the hot-bucket
       prefilter (shared with the MinHash path) drops singleton buckets
       before any per-group work; in-bucket pair-gen emits id pairs only.
-    * Exact verification: embeddings are shuffle-joined onto the deduped
-      candidate pairs (never broadcast), cosine computed per batch.
+    * Exact verification: embeddings reach the deduped candidate pairs
+      (never a driver broadcast) via the same two exchange shapes as
+      :func:`verify_jaccard` — attach join for sparse candidate sets,
+      G×G grid routing (vectors replicated ≤2G−1 ways, pairs ship 16 B)
+      when candidates ≫ vectors; picked by ratio.
 
     Recall is sketch-bounded and stated, never silent: callers needing a
     different operating point tune (bands, bits_per_band).
@@ -819,14 +848,51 @@ def embedding_near_dups(
     cand = _pairs_in_hot_buckets(
         exploded, ["band", "bucket"], _bucket_pairs, empty_out=empty_pairs
     )
-    cand = _hash_dedup(cand, ["id_a", "id_b"])
-
-    # ---- exact cosine verify: one attach join ships _emb_b onto each
-    # pair row, then the second join's merge_fn IS the verifier (per-
-    # partition {id_a: vector} lookup + vectorized cosine, slim rows out)
-    # — pair-scale embedding bytes cross only one exchange, and there is
-    # no third stage
+    cand = _hash_dedup(cand, ["id_a", "id_b"]).materialize()
     etype = dict(zip(ds.schema().names, ds.schema().types))[emb_col]
+
+    # ---- exact cosine verify, exchange picked by candidate:corpus ratio
+    # (the slim candidate list is materialized anyway for the count) -----
+    if cand.count() > 8 * max(n_total, 1):
+        out_schema = pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())]
+        )
+
+        def _cos_kernel(ida: np.ndarray, idb: np.ndarray, pmap: dict) -> dict:
+            empty = {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+                     "cosine": np.empty(0, np.float64)}
+            if not pmap:
+                return empty
+            ids = np.fromiter(pmap.keys(), dtype=np.int64, count=len(pmap))
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pmap.values()])
+            # sentinel zero row for pairs referencing an absent vector
+            mat = np.vstack([mat, np.zeros((1, mat.shape[1]))])
+            row = {int(i): r2 for r2, i in enumerate(ids)}
+            miss = len(ids)
+            n = len(ida)
+            ra = np.fromiter((row.get(i, miss) for i in ida), dtype=np.int64, count=n)
+            rb = np.fromiter((row.get(i, miss) for i in idb), dtype=np.int64, count=n)
+            nrm = np.linalg.norm(mat, axis=1)
+            nrm[nrm == 0] = 1.0
+            outs_a, outs_b, outs_c = [], [], []
+            CH = 65536  # bounds per-chunk gather memory at ~2×CH×dim×8 B
+            for s in range(0, n, CH):
+                sa, sb = ra[s:s + CH], rb[s:s + CH]
+                cos = (mat[sa] * mat[sb]).sum(axis=1) / (nrm[sa] * nrm[sb])
+                keep = cos >= threshold
+                outs_a.append(ida[s:s + CH][keep])
+                outs_b.append(idb[s:s + CH][keep])
+                outs_c.append(cos[keep])
+            return {
+                "id_a": np.concatenate(outs_a) if outs_a else empty["id_a"],
+                "id_b": np.concatenate(outs_b) if outs_b else empty["id_b"],
+                "cosine": np.concatenate(outs_c) if outs_c else empty["cosine"],
+            }
+
+        return _grid_verify(
+            cand, ds, id_col, emb_col, etype, _cos_kernel, out_schema,
+            num_partitions,
+        )
     embs = ds.select_columns([id_col, emb_col])
     s1 = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("_emb_b", etype)])
     out_schema = pa.schema(

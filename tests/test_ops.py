@@ -360,6 +360,54 @@ def test_verify_jaccard_grid_equals_attach():
     assert len(a) > 0
 
 
+def test_embedding_near_dups_grid_path_matches_bruteforce():
+    """A duplicate-heavy vector corpus (candidates >> vectors) drives the
+    cosine verify down the GxG grid exchange; results must equal the
+    brute-force all-pairs cosine at the same threshold."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(3, 16))
+    vecs, ids = [], []
+    for gi in range(3):
+        for j in range(30):
+            v = base[gi] + rng.normal(scale=0.01, size=16)
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+            ids.append(gi * 100 + j)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    got = (
+        embedding_near_dups(ds, threshold=0.99, bands=8, bits_per_band=4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ids_arr = np.asarray(ids)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= 0.99:
+                a, b = sorted((ids_arr[i], ids_arr[j]))
+                want.add((a, b))
+    # the within-group candidates (>=1305) far exceed 8x the 90 vectors,
+    # so this exercised the grid route; recall at these tight clusters is
+    # effectively 1 for bands=8, r=4
+    assert set(zip(got["id_a"], got["id_b"])) == want
+    np.testing.assert_allclose(
+        got["cosine"].to_numpy(),
+        [sims[list(ids_arr).index(a), list(ids_arr).index(b)]
+         for a, b in zip(got["id_a"], got["id_b"])],
+        rtol=1e-10,
+    )
+
+
 def test_shingles_jaccard_sanity():
     a = _shingles("hello world program")
     b = _shingles("hello world programs")
