@@ -303,6 +303,26 @@ def _q_minhash_dedup(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    # Inverted-index candidate generation (no sketch): semantics are
+    # "pair shares >=1 gram with document frequency in [2, max_df] AND
+    # shingle Jaccard >= 0.5". The DuckDB oracle encodes the SAME df cap,
+    # so the comparison is exact by construction — and on this corpus the
+    # result set also equals minhash_dedup's ground truth (near-dup pairs
+    # share plenty of rare grams), which cross-gates the two candidate
+    # generators against each other.
+    from raylink.ops.dedup import ngram_jaccard_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_dedup(
+        docs, threshold=0.5, max_df=64, emit_counts=True
+    )
+    df = out.to_pandas()
+    return df[["id_a", "id_b", "n_common", "n_union"]].sort_values(
+        ["id_a", "id_b"]
+    ).reset_index(drop=True)
+
+
 def _q_simhash_dedup(sf_dir: str):
     from raylink.ops.dedup import simhash_near_dups
 
@@ -477,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzylink_accepted": _q_fuzzylink_accepted,
         "entity_clusters": _q_entity_clusters,
         "minhash_dedup": _q_minhash_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_near_dups": _q_embedding_near_dups,
         "lang_id": _q_lang_id,
@@ -700,6 +721,46 @@ def oracle_sql() -> dict[str, str]:
                        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
                        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union
                 FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+            )
+            WHERE 2 * n_common >= n_union
+            ORDER BY id_a, id_b
+        """,
+        # Inverted-index n-gram Jaccard: the df-cap candidate rule (share
+        # >=1 gram with df in [2, 64]) is part of the declared semantics
+        # and replayed here verbatim, so Ray and SQL compute the same
+        # function — no sketch, no recall gamble.
+        "ngram_jaccard": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       array_to_string(regexp_extract_all(lower(text), '\S+'), ' ') AS t
+                FROM documents
+            ),
+            shing AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, GREATEST(length(t) - 3, 2)),
+                           i -> substr(t, i, 5))) AS s
+                FROM norm
+            ),
+            grams AS (SELECT doc_id, unnest(s) AS g FROM shing),
+            rare AS (
+                SELECT g FROM grams GROUP BY g
+                HAVING count(*) BETWEEN 2 AND 64
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM grams a
+                JOIN rare r ON a.g = r.g
+                JOIN grams b ON b.g = a.g AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, n_common, n_union
+            FROM (
+                SELECT c.id_a, c.id_b,
+                       CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_common,
+                       CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_union
+                FROM cand c
+                JOIN shing sa ON sa.doc_id = c.id_a
+                JOIN shing sb ON sb.doc_id = c.id_b
             )
             WHERE 2 * n_common >= n_union
             ORDER BY id_a, id_b

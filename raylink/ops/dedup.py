@@ -609,6 +609,108 @@ def verify_jaccard(
 
 
 # --------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index candidates, no sketch)
+
+
+def ngram_jaccard_candidates(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    max_df: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Candidate pairs from an inverted n-gram index: every document's
+    DISTINCT k-gram shingle codes explode to ``(code, id)`` rows, one
+    ``_pid`` shuffle co-locates each gram's posting list, and in-bucket
+    pair-gen runs only over grams with document frequency in
+    ``[2, max_df]`` — common grams (df > max_df) are skipped, which is the
+    standard inverted-index scale knob (a gram shared by everything
+    carries no dedup signal and would cost df² pairs).
+
+    Unlike the MinHash path this is not a sketch: any pair sharing ≥1
+    rare gram is found with probability 1, so downstream
+    :func:`verify_jaccard` makes the composition EXACT for the declared
+    semantics "share a rare gram AND Jaccard ≥ t".
+
+    Cost model (honest): the exploded posting table is ~|corpus chars| ×
+    16 B — an order larger than MinHash's bands×N explosion. It streams
+    through ONE all-to-all with no pin (same ``_pairs_in_hot_buckets``
+    primitive), so it spills rather than OOMs, but at extreme corpus
+    scale MinHash+LSH is the cheaper candidate generator; this operator
+    is the exact-recall alternative. Output pairs are ≤ (#rare grams) ×
+    max_df²/2 before the hash-partitioned dedup."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        codes = [_shingle_codes(t or "", k) for t in texts]
+        counts = np.fromiter(
+            (len(c) for c in codes), dtype=np.int64, count=len(codes)
+        )
+        flat = (
+            np.concatenate(codes) if codes else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table(
+            {
+                "code": pa.array(
+                    (flat & np.uint64((1 << 63) - 1)).astype(np.int64)
+                ),
+                id_col: pa.array(np.repeat(ids, counts)),
+            }
+        )
+
+    def _posting_pairs(group: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64())})
+        m = len(group)
+        if m < 2 or m > max_df:
+            return empty
+        ids = np.sort(group[id_col].to_numpy())
+        ii, jj = np.triu_indices(m, k=1)
+        return pa.table({"id_a": pa.array(ids[ii]), "id_b": pa.array(ids[jj])})
+
+    empty_pairs = pa.table(
+        {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+    )
+    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+    cand = _pairs_in_hot_buckets(
+        exploded, ["code"], _posting_pairs, empty_out=empty_pairs,
+        num_partitions=num_partitions,
+    )
+    return _hash_dedup(cand, ["id_a", "id_b"], num_partitions=num_partitions)
+
+
+def ngram_jaccard_dedup(
+    ds: ray.data.Dataset,
+    threshold: float = 0.5,
+    k: int = 5,
+    max_df: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    emit_counts: bool = False,
+    mode: str = "auto",
+) -> ray.data.Dataset:
+    """n-gram Jaccard near-dup pairs: inverted-index candidates
+    (:func:`ngram_jaccard_candidates`) verified with true shingle Jaccard
+    (:func:`verify_jaccard` — attach-join or G×G grid exchange, picked by
+    the candidate:corpus ratio). Exact for the semantics "pair shares ≥1
+    gram with df ≤ max_df and Jaccard ≥ threshold"; with ``emit_counts``
+    the integer ``n_common``/``n_union`` set sizes ride along, making the
+    output SQL-replayable with no float in the compared values."""
+    cand = ngram_jaccard_candidates(
+        ds, k=k, max_df=max_df, text_col=text_col, id_col=id_col,
+        num_partitions=num_partitions,
+    )
+    return verify_jaccard(
+        cand, ds, threshold=threshold, k=k, text_col=text_col,
+        id_col=id_col, num_partitions=num_partitions,
+        emit_counts=emit_counts, mode=mode,
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 
 

@@ -13,6 +13,7 @@ from raylink.ops.dedup import (
     dedup_exact,
     embedding_near_dups,
     minhash_lsh_candidates,
+    ngram_jaccard_dedup,
     simhash_near_dups,
     verify_jaccard,
 )
@@ -413,3 +414,32 @@ def test_shingles_jaccard_sanity():
     b = _shingles("hello world programs")
     j = len(a & b) / len(a | b)
     assert 0.7 < j < 1.0
+
+
+def test_ngram_jaccard_dedup_equals_bruteforce():
+    docs = _docs()
+    out = ngram_jaccard_dedup(
+        docs, threshold=0.5, max_df=5, emit_counts=True
+    ).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    # with max_df = corpus size the inverted index has total recall, so the
+    # composition must equal all-pairs shingle Jaccard >= t exactly
+    pdf = docs.to_pandas()
+    sh = {r.doc_id: _shingles(r.text) for r in pdf.itertuples()}
+    expect = set()
+    for a in sh:
+        for b in sh:
+            if a < b and sh[a] | sh[b]:
+                j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+                if j >= 0.5:
+                    expect.add((a, b))
+    assert got == expect and got
+    for r in out.itertuples():
+        assert r.n_common == len(sh[r.id_a] & sh[r.id_b])
+        assert r.n_union == len(sh[r.id_a] | sh[r.id_b])
+
+
+def test_ngram_jaccard_max_df_prunes_all_common_grams():
+    # df cap below 2 means no posting list can pair anything
+    out = ngram_jaccard_dedup(_docs(), threshold=0.1, max_df=1).to_pandas()
+    assert len(out) == 0
