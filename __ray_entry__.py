@@ -323,6 +323,57 @@ def _q_ngram_jaccard(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_sessionize(sf_dir: str):
+    # Gap-based sessions (1h) — the hash-partitioned vectorized sessionizer
+    # vs a DuckDB lag/cumsum window replay of the same (ts, id) order and
+    # strict-gap rule.
+    from raylink.ops.window import sessionize
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return sessionize(ev, 3600).to_pandas().sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
+def _q_window_agg(sf_dir: str):
+    # Daily tumbling windows, map-side partial aggregation; value sums in
+    # integer cents so reordering cannot change the bits.
+    from raylink.ops.window import window_aggregate
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    df = window_aggregate(ev, 86400).to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df["value_cents"] = df["value_cents"].astype("int64")
+    return df.sort_values(["window_id", "event_type"]).reset_index(drop=True)
+
+
+def _q_asof_join(sf_dir: str):
+    # Distributed as-of join: each event's most recent STRICTLY-earlier
+    # purchase by the same user (ties → max event_id); -1 when none. The
+    # oracle states the identical argmax rule as a correlated subquery.
+    from raylink.ops.window import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    out = asof_join(
+        ev.select_columns(["event_id", "user_id", "ts"]),
+        purchases,
+        "user_id",
+        "ts",
+        "ts",
+        {"event_id": "prev_purchase_id"},
+        allow_exact_matches=False,
+        tie_cols=["event_id"],
+    )
+    df = out.to_pandas()
+    df["prev_purchase_id"] = (
+        df["prev_purchase_id"].fillna(-1).astype("int64")
+    )
+    return df[["event_id", "user_id", "prev_purchase_id"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
 def _q_simhash_dedup(sf_dir: str):
     from raylink.ops.dedup import simhash_near_dups
 
@@ -498,6 +549,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_clusters": _q_entity_clusters,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
+        "sessionize": _q_sessionize,
+        "window_agg": _q_window_agg,
+        "asof_join": _q_asof_join,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_near_dups": _q_embedding_near_dups,
         "lang_id": _q_lang_id,
@@ -724,6 +778,52 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE 2 * n_common >= n_union
             ORDER BY id_a, id_b
+        """,
+        # Gap sessionization replayed with lag + running-sum windows over
+        # the same (ts, event_id) order; session_id = MIN(event_id) in the
+        # session, so the compared values are pure integers.
+        "sessionize": """
+            WITH x AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 3600 SECOND
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            y AS (
+                SELECT event_id, user_id,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sgrp
+                FROM x
+            )
+            SELECT event_id, user_id,
+                   MIN(event_id) OVER (PARTITION BY user_id, sgrp) AS session_id
+            FROM y
+            ORDER BY event_id
+        """,
+        # Daily tumbling windows; integer-cents sums make the float-free.
+        "window_agg": """
+            SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS window_id,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        # As-of argmax stated verbatim: latest strictly-earlier purchase of
+        # the same user, ties to the larger event_id, -1 when none.
+        "asof_join": """
+            SELECT e.event_id, e.user_id,
+                   COALESCE((SELECT r.event_id FROM events r
+                             WHERE r.user_id = e.user_id
+                               AND r.event_type = 'purchase'
+                               AND r.ts < e.ts
+                             ORDER BY r.ts DESC, r.event_id DESC
+                             LIMIT 1), -1) AS prev_purchase_id
+            FROM events e
+            ORDER BY e.event_id
         """,
         # Inverted-index n-gram Jaccard: the df-cap candidate rule (share
         # >=1 gram with df in [2, 64]) is part of the declared semantics

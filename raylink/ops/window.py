@@ -1,0 +1,212 @@
+"""Time-ordered operators over event streams: gap-based sessionization,
+tumbling-window aggregation, and a distributed as-of join.
+
+Ray Data has no native window/as-of primitives; these are built from the
+repo's shuffle toolkit (``_tag_pid`` partition routing, ``shuffle_merge``)
+with the per-partition kernel vectorized in pandas:
+
+* :func:`sessionize` — ONE all-to-all keyed on a hash of the entity key;
+  each partition sessionizes ALL of its users in a single vectorized
+  sort + cumsum (no per-user Python loop). Partitioning assumption: one
+  entity's events fit one partition (skew bound = the hottest entity).
+* :func:`window_aggregate` — tumbling windows are just a derived integer
+  key, so this is map-side partial aggregation (per-batch pandas groupby)
+  followed by a SMALL global groupby over (window, type) — the classic
+  combiner shape: the all-to-all moves pre-reduced partials, never rows.
+* :func:`asof_join` — hash-partition both sides on the join key (one
+  exchange via ``shuffle_merge``), then ``pandas.merge_asof`` per
+  partition. Deterministic tie rule: among equal right timestamps the row
+  greatest in ``(right_ts, *tie_cols)`` sort order wins. Partitioning
+  assumption: co-partitioning by key makes per-partition time-sorting
+  local (no global sort barrier).
+
+The reference engine (fuzzylink) has no analogue for any of these; they
+belong to the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from raylink.ops.dedup import _default_partitions, _mix64
+
+
+def sessionize(
+    events: ray.data.Dataset,
+    gap_seconds: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Assign gap-based session ids: a new session starts when the time
+    since the entity's previous event exceeds ``gap_seconds`` (strict
+    ``>``, ordered by ``(ts, id)``). ``session_id`` is the MIN ``id_col``
+    within the session — deterministic and SQL-replayable with window
+    functions. Returns ``(id_col, key_col, session_id)`` rows.
+    """
+    P = np.uint64(num_partitions or _default_partitions())
+    gap = pd.Timedelta(seconds=gap_seconds)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        pid = (_mix64(keys.astype(np.uint64)) % P).astype(np.int64)
+        return pa.table(
+            {
+                "_pid": pa.array(pid),
+                id_col: batch.column(id_col),
+                key_col: batch.column(key_col),
+                ts_col: batch.column(ts_col),
+            }
+        )
+
+    def _sess(df: pd.DataFrame) -> pd.DataFrame:
+        # all users of this partition at once: sort, then one vectorized
+        # break/cumsum — no per-user loop
+        df = df.sort_values([key_col, ts_col, id_col], kind="stable")
+        new_user = df[key_col].ne(df[key_col].shift())
+        brk = new_user | (df[ts_col].diff() > gap)
+        sgrp = brk.cumsum()
+        sess = df.groupby(sgrp, sort=False)[id_col].transform("min")
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                key_col: df[key_col].to_numpy(),
+                "session_id": sess.to_numpy(),
+            }
+        )
+
+    return (
+        events.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(_sess, batch_format="pandas")
+    )
+
+
+def window_aggregate(
+    events: ray.data.Dataset,
+    width_seconds: int,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Tumbling-window aggregate: count and integer-cents value sum per
+    ``(window_id, event_type)`` where ``window_id = floor(epoch_us /
+    width)``. Map-side combiner: each batch pre-reduces to one partial row
+    per (window, type), so the all-to-all ships partials, not events; the
+    global groupby key cardinality is windows × types (small by
+    construction). Value sums are ``llround(value · 100)`` int64 — exact
+    under reordering, unlike float sums."""
+    width_us = int(width_seconds) * 1_000_000
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        us = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "window_id": us // width_us,
+                type_col: batch.column(type_col).to_numpy(zero_copy_only=False),
+                "n_events": np.int64(1),
+                "value_cents": np.rint(
+                    batch.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+                ).astype(np.int64),
+            }
+        )
+        out = df.groupby(["window_id", type_col], as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        events.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["window_id", type_col])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: dict[str, str],
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tie_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed as-of join: for every left row, attach the right row of
+    the same ``key_col`` whose ``right_ts`` is the latest ≤ ``left_ts``
+    (``direction='backward'``; ``'forward'`` mirrors; strict inequality
+    when ``allow_exact_matches=False``). ``right_cols`` maps right-side
+    column → output name; unmatched left rows carry nulls.
+
+    One all-to-all (both sides hash-partitioned on ``key_col`` through
+    ``shuffle_merge``), then a vectorized ``pandas.merge_asof`` per
+    partition over its time-sorted slices — there is never a global time
+    sort. Ambiguity rule, stated not silent: among right rows with equal
+    ``right_ts``, the one greatest under ``(right_ts, *tie_cols)``
+    ascending sort wins (pandas picks the last such row)."""
+    from raylink.util import shuffle_merge
+
+    tie = list(tie_cols or [])
+    lschema = left.schema()
+    rschema = right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    out_fields = [(n, ltypes[n]) for n in lschema.names]
+    out_fields += [(o, rtypes[c]) for c, o in right_cols.items()]
+    out_schema = pa.schema(out_fields)
+    lcols = list(lschema.names)
+    rneed = sorted({key_col, right_ts, *right_cols, *tie})
+
+    def _merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if len(ldf) == 0:
+            return pd.DataFrame({n: [] for n in out_schema.names})
+        if len(rdf) == 0:
+            out = ldf[lcols].copy()
+            for _, o in right_cols.items():
+                out[o] = None
+            return out
+        r = rdf[rneed].sort_values([right_ts] + tie, kind="stable")
+        ren = dict(right_cols)
+        if right_ts not in right_cols:
+            ren[right_ts] = "__rts__"
+        r = r.rename(columns=ren)
+        m = pd.merge_asof(
+            ldf.sort_values(left_ts, kind="stable"),
+            r,
+            left_on=left_ts,
+            right_on=ren[right_ts],
+            by=key_col,
+            direction=direction,
+            allow_exact_matches=allow_exact_matches,
+        )
+        keep = lcols + list(right_cols.values())
+        out = m[keep]
+        # merged int columns become float64 when any row missed: restore
+        # nullable integers so the pinned Arrow schema holds
+        for c, o in right_cols.items():
+            if pa.types.is_integer(rtypes[c]):
+                out = out.assign(**{o: out[o].astype("Int64")})
+        return out
+
+    return shuffle_merge(
+        left,
+        right.select_columns(rneed),
+        [key_col],
+        [key_col],
+        _merge,
+        out_schema,
+        num_partitions=num_partitions,
+        left_schema=pa.schema([(n, ltypes[n]) for n in lcols]),
+        right_schema=pa.schema([(n, rtypes[n]) for n in rneed]),
+    )

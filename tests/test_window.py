@@ -1,0 +1,169 @@
+"""Window/as-of operator tests: each distributed kernel vs a plain-pandas
+single-process replay of the declared semantics."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from raylink.ops.window import asof_join, sessionize, window_aggregate
+
+
+def _events(n=400, users=7, seed=3):
+    rng = np.random.default_rng(seed)
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 10 * 86400, size=n)), unit="s"
+    )
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, users, size=n).astype(np.int64),
+            "ts": ts.astype("datetime64[us]"),
+            "event_type": rng.choice(["click", "purchase", "view"], size=n),
+            "value": np.round(rng.uniform(0, 200, size=n), 2),
+        }
+    )
+
+
+def _sessionize_pandas(df, gap_s):
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    brk = df["user_id"].ne(df["user_id"].shift()) | (
+        df["ts"].diff() > pd.Timedelta(seconds=gap_s)
+    )
+    sgrp = brk.cumsum()
+    sess = df.groupby(sgrp)["event_id"].transform("min")
+    return (
+        pd.DataFrame(
+            {"event_id": df["event_id"], "user_id": df["user_id"], "session_id": sess}
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_sessionize_matches_pandas():
+    df = _events()
+    got = (
+        sessionize(rd.from_arrow(pa.Table.from_pandas(df)), 3600)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _sessionize_pandas(df, 3600))
+
+
+def test_sessionize_gap_is_strict():
+    # two events exactly gap apart stay in ONE session; gap+1us splits
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([0, 1, 2], dtype=np.int64),
+            "user_id": np.array([5, 5, 5], dtype=np.int64),
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 01:00:00",
+                 "2024-01-01 02:00:00.000001"], format="ISO8601"
+            ).astype("datetime64[us]"),
+        }
+    )
+    got = (
+        sessionize(rd.from_arrow(pa.Table.from_pandas(df)), 3600)
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert list(got["session_id"]) == [0, 0, 2]
+
+
+def test_window_aggregate_matches_pandas():
+    df = _events()
+    got = (
+        window_aggregate(rd.from_arrow(pa.Table.from_pandas(df)), 86400)
+        .to_pandas()
+        .sort_values(["window_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.assign(
+            window_id=df["ts"].astype("int64") // (86400 * 10**6),
+            value_cents=np.rint(df["value"] * 100).astype(np.int64),
+            n_events=1,
+        )
+        .groupby(["window_id", "event_type"], as_index=False)[
+            ["n_events", "value_cents"]
+        ]
+        .sum()
+        .sort_values(["window_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ["window_id", "n_events", "value_cents"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+    assert (got["event_type"].to_numpy() == exp["event_type"].to_numpy()).all()
+
+
+def test_asof_join_matches_merge_asof():
+    df = _events()
+    right = df[df["event_type"] == "purchase"]
+    got = (
+        asof_join(
+            rd.from_arrow(pa.Table.from_pandas(df[["event_id", "user_id", "ts"]])),
+            rd.from_arrow(pa.Table.from_pandas(right)),
+            "user_id",
+            "ts",
+            "ts",
+            {"event_id": "prev_purchase_id"},
+            allow_exact_matches=False,
+            tie_cols=["event_id"],
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # global single-process replay of the same rule
+    exp = pd.merge_asof(
+        df[["event_id", "user_id", "ts"]].sort_values("ts", kind="stable"),
+        right[["user_id", "ts", "event_id"]]
+        .sort_values(["ts", "event_id"], kind="stable")
+        .rename(columns={"event_id": "prev_purchase_id", "ts": "rts"}),
+        left_on="ts",
+        right_on="rts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=False,
+    ).sort_values("event_id")
+    a = got["prev_purchase_id"].fillna(-1).astype("int64").to_numpy()
+    b = exp["prev_purchase_id"].fillna(-1).astype("int64").to_numpy()
+    assert (a == b).all()
+    # at least one matched and one unmatched row exercised
+    assert (a == -1).any() and (a != -1).any()
+
+
+def test_asof_join_forward_direction():
+    df = _events(n=120, users=3)
+    right = df[df["event_type"] == "click"]
+    got = (
+        asof_join(
+            rd.from_arrow(pa.Table.from_pandas(df[["event_id", "user_id", "ts"]])),
+            rd.from_arrow(pa.Table.from_pandas(right)),
+            "user_id",
+            "ts",
+            "ts",
+            {"event_id": "next_click_id"},
+            direction="forward",
+            allow_exact_matches=False,
+            tie_cols=["event_id"],
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # brute-force: min-ts strictly-later click per user (ties -> pandas
+    # forward rule keeps the FIRST row in (ts, id) order)
+    def brute(row):
+        c = right[(right["user_id"] == row.user_id) & (right["ts"] > row.ts)]
+        if len(c) == 0:
+            return -1
+        c = c.sort_values(["ts", "event_id"], kind="stable")
+        return int(c["event_id"].iloc[0])
+
+    exp = [brute(r) for r in df[["event_id", "user_id", "ts"]].itertuples()]
+    a = got["next_click_id"].fillna(-1).astype("int64").to_numpy()
+    assert (a == np.array(exp)).all()
