@@ -448,14 +448,11 @@ def _q_knn_ivf(sf_dir: str):
     return pd.DataFrame({"rank": np.arange(1, len(hits) + 1, dtype=np.int64), "vec_id": hits})
 
 
-def _q_connected_components(sf_dir: str):
-    # Transitive closure over the SQL-reproducible duplicate graph: edges
-    # are exactly the minhash_dedup ground-truth pairs (Jaccard >= 0.5),
-    # clustering is the distributed label-propagation path (pointer
-    # jumping + shuffle-join relabels) — so the iterative clustering
-    # engine itself gets a bit-exact recursive-CTE oracle, not just a
-    # rows-only check. doc_ids ride as zero-padded strings so the string
-    # min-label equals the numeric min component id.
+def _cc_clusters_ds(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed duplicate-graph components as a Dataset of
+    ``(doc_id, cluster_id)`` int64 rows: minhash candidates → exact
+    Jaccard verify (≥ 0.5) → label propagation. Stays a Dataset so
+    downstream consumers (the survivors anti-join) never collect it."""
     from raylink.cluster import cluster_label_propagation
     from raylink.ops.dedup import minhash_lsh_candidates, verify_jaccard
 
@@ -480,15 +477,56 @@ def _q_connected_components(sf_dir: str):
     edges = pairs.map_batches(_to_edges, batch_format="pyarrow")
     # gate-scale edge set (tens of rows): 8 partitions keeps each LP
     # round's shuffle-join barrier cheap; production callers size P to CPUs
-    out = cluster_label_propagation(edges, num_partitions=8).to_pandas()
-    df = pd.DataFrame(
-        {
-            "doc_id": out["key"].astype("int64"),
-            # entity_id is "block|min-label"; strip the constant block ns
-            "cluster_id": out["entity_id"].str.split("|", n=1).str[1].astype("int64"),
-        }
-    )
+    out = cluster_label_propagation(edges, num_partitions=8)
+
+    def _ints(df: pd.DataFrame) -> pd.DataFrame:
+        # entity_id is "block|min-label"; strip the constant block ns
+        return pd.DataFrame(
+            {
+                "doc_id": df["key"].astype("int64"),
+                "cluster_id": df["entity_id"]
+                .str.split("|", n=1)
+                .str[1]
+                .astype("int64"),
+            }
+        )
+
+    return out.map_batches(_ints, batch_format="pandas")
+
+
+def _q_connected_components(sf_dir: str):
+    # Transitive closure over the SQL-reproducible duplicate graph: edges
+    # are exactly the minhash_dedup ground-truth pairs (Jaccard >= 0.5),
+    # clustering is the distributed label-propagation path (pointer
+    # jumping + shuffle-join relabels) — so the iterative clustering
+    # engine itself gets a bit-exact recursive-CTE oracle, not just a
+    # rows-only check. doc_ids ride as zero-padded strings so the string
+    # min-label equals the numeric min component id.
+    df = _cc_clusters_ds(sf_dir).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_dedup_survivors(sf_dir: str):
+    # The canonical training-data dedup pipeline end-to-end: minhash
+    # candidates -> exact Jaccard verify -> connected components -> keep
+    # only the min-id member of every duplicate cluster. The exclusion set
+    # is corpus-scale in the worst case, so survivors come from a
+    # distributed ANTI-JOIN (one hash-partitioned exchange of both sides)
+    # — the cluster table never touches the driver.
+    import pyarrow.compute as pc
+
+    from raylink.ops.relational import anti_join
+
+    clusters = _cc_clusters_ds(sf_dir)
+    non_survivors = clusters.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b.column("cluster_id"), b.column("doc_id"))
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    out = anti_join(docs, non_survivors, ["doc_id"], num_partitions=8)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_multimodal_decode(sf_dir: str):
@@ -549,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_clusters": _q_entity_clusters,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_survivors": _q_dedup_survivors,
         "sessionize": _q_sessionize,
         "window_agg": _q_window_agg,
         "asof_join": _q_asof_join,
@@ -918,6 +957,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, MIN(r) AS cluster_id
             FROM reach
             GROUP BY node
+            ORDER BY doc_id
+        """,
+        # End-to-end corpus dedup: drop every member of a duplicate
+        # component except its min id (same recursive-CTE reachability as
+        # connected_components); gates the minhash -> verify -> cluster ->
+        # anti-join composition as one pipeline.
+        "dedup_survivors": r"""
+            WITH RECURSIVE norm AS (
+                SELECT doc_id,
+                       array_to_string(regexp_extract_all(lower(text), '\S+'), ' ') AS t
+                FROM documents
+            ),
+            shing AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, GREATEST(length(t) - 3, 2)),
+                           i -> substr(t, i, 5))) AS s
+                FROM norm
+            ),
+            edges AS (
+                SELECT id_a, id_b
+                FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+                           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union
+                    FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+                )
+                WHERE 2 * n_common >= n_union
+            ),
+            bi AS (
+                SELECT id_a AS src, id_b AS dst FROM edges
+                UNION ALL
+                SELECT id_b, id_a FROM edges
+            ),
+            reach AS (
+                SELECT DISTINCT src AS node, src AS r FROM bi
+                UNION
+                SELECT reach.node, bi.dst
+                FROM reach JOIN bi ON bi.src = reach.r
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+                SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node
+            )
             ORDER BY doc_id
         """,
         # Embedding near-dup ground truth: ALL pairs with exact cosine >=

@@ -64,6 +64,61 @@ def semi_join(
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
+def anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_keys: list[str],
+    right_keys: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed anti-join: left rows whose key appears nowhere in
+    ``right``. Both sides go through ONE hash-partitioned exchange
+    (``shuffle_merge``) and each partition does a vectorized pandas
+    left-only merge — unlike :func:`semi_join` this never collects or
+    broadcasts the right side, so it holds when the exclusion set is
+    corpus-sized (e.g. dropping every non-survivor of a dedup pass)."""
+    from raylink.util import shuffle_merge
+
+    rk = right_keys or left_keys
+    lschema = left.schema()
+    out_schema = pa.schema(
+        [(n, t) for n, t in zip(lschema.names, lschema.types)]
+    )
+    lcols = list(lschema.names)
+    # right keys share the left keys' types (join compatibility), so the
+    # right schema is derivable WITHOUT Dataset.schema() — which on a lazy
+    # groupby-rooted right side would execute its whole lineage just to
+    # learn dtypes
+    ltype = dict(zip(lschema.names, lschema.types))
+    right_schema = pa.schema(
+        [(rn, ltype[ln]) for ln, rn in zip(left_keys, rk)]
+    )
+
+    def _anti(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if len(ldf) == 0 or len(rdf) == 0:
+            return ldf[lcols]
+        m = ldf.merge(
+            rdf[rk].drop_duplicates(),
+            how="left",
+            left_on=left_keys,
+            right_on=rk,
+            indicator="__in_right__",
+        )
+        return m[m["__in_right__"] == "left_only"][lcols]
+
+    return shuffle_merge(
+        left,
+        right.select_columns(rk),
+        left_keys,
+        rk,
+        _anti,
+        out_schema,
+        num_partitions=num_partitions,
+        left_schema=out_schema,
+        right_schema=right_schema,
+    )
+
+
 def broadcast_left_join(
     big: ray.data.Dataset,
     small_df: pd.DataFrame,

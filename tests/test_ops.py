@@ -443,3 +443,37 @@ def test_ngram_jaccard_max_df_prunes_all_common_grams():
     # df cap below 2 means no posting list can pair anything
     out = ngram_jaccard_dedup(_docs(), threshold=0.1, max_df=1).to_pandas()
     assert len(out) == 0
+
+
+def test_anti_join_matches_pandas():
+    from raylink.ops.relational import anti_join
+
+    left = pd.DataFrame(
+        {"k": np.arange(20, dtype=np.int64), "v": np.arange(20, dtype=np.int64) * 10}
+    )
+    right = pd.DataFrame({"k": np.array([1, 3, 3, 7, 19, 50], dtype=np.int64)})
+    got = (
+        anti_join(
+            rd.from_arrow(pa.Table.from_pandas(left)),
+            rd.from_arrow(pa.Table.from_pandas(right)),
+            ["k"],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = left[~left["k"].isin(right["k"])].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_anti_join_empty_right_keeps_all():
+    from raylink.ops.relational import anti_join
+
+    left = pd.DataFrame({"k": np.array([5, 6], dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([], dtype=np.int64)})
+    got = anti_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        ["k"],
+    ).to_pandas()
+    assert sorted(got["k"]) == [5, 6]
