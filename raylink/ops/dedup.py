@@ -135,8 +135,13 @@ def _hash_dedup(
     def _tag(batch: pa.Table) -> pa.Table:
         return _tag_pid(batch, key_cols, P)
 
-    def _dd(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=key_cols).drop(columns=["_pid"])
+    def _dd(df: pd.DataFrame) -> pa.Table:
+        # arrow out: mixed pandas/arrow block types in one Dataset trip
+        # Ray's sort/repartition machinery downstream (block-type assert)
+        return pa.Table.from_pandas(
+            df.drop_duplicates(subset=key_cols).drop(columns=["_pid"]),
+            preserve_index=False,
+        )
 
     return (
         ds.map_batches(_tag, batch_format="pyarrow")
@@ -396,15 +401,22 @@ def _grid_verify(
         for f in out_schema
     }
 
-    def _vgrid(df: pd.DataFrame) -> pd.DataFrame:
+    def _vgrid(df: pd.DataFrame) -> pa.Table:
         kind = df["_kind"].to_numpy()
         prs = df[kind == 1]
         if len(prs) == 0:
-            return pd.DataFrame(empty_cols)
-        docs = df[kind == 0]
-        pmap = dict(zip(docs["_id"].to_numpy(), docs["_payload"].to_numpy()))
-        cols = kernel(prs["id_a"].to_numpy(), prs["id_b"].to_numpy(), pmap)
-        return pd.DataFrame(cols)
+            cols = empty_cols
+        else:
+            docs = df[kind == 0]
+            pmap = dict(zip(docs["_id"].to_numpy(), docs["_payload"].to_numpy()))
+            cols = kernel(prs["id_a"].to_numpy(), prs["id_b"].to_numpy(), pmap)
+        # arrow out, typed by out_schema: keeps the Dataset's block type
+        # homogeneous with the empty-table union seed below
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], type=f.type, from_pandas=True)
+             for f in out_schema],
+            schema=out_schema,
+        )
 
     union = pairs.select_columns(["id_a", "id_b"]).map_batches(
         _tag_pairs, batch_format="pyarrow"
