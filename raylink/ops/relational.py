@@ -145,12 +145,13 @@ def grouped_topk(
     """K1 (R/fuzzylink.R:203-211): per-group top-k by value, keeping ties —
     ``slice_max`` semantics = rows with rank() <= k under descending value."""
 
-    def _topk(group: pd.DataFrame) -> pd.DataFrame:
+    def _topk(group: pd.DataFrame) -> pa.Table:
         ranks = group[value_col].rank(method="min", ascending=False)
         out = group[ranks <= k]
         if tiebreak:
             out = out.sort_values(tiebreak, kind="stable")
-        return out
+        # arrow out: keeps block types homogeneous for downstream shuffles
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return ds.groupby(group_col).map_groups(_topk, batch_format="pandas")
 

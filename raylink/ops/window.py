@@ -65,19 +65,21 @@ def sessionize(
             }
         )
 
-    def _sess(df: pd.DataFrame) -> pd.DataFrame:
+    def _sess(df: pd.DataFrame) -> pa.Table:
         # all users of this partition at once: sort, then one vectorized
-        # break/cumsum — no per-user loop
+        # break/cumsum — no per-user loop; arrow out so the Dataset's block
+        # type stays homogeneous (empty partitions forward input-typed
+        # blocks, and mixed types trip downstream sorts)
         df = df.sort_values([key_col, ts_col, id_col], kind="stable")
         new_user = df[key_col].ne(df[key_col].shift())
         brk = new_user | (df[ts_col].diff() > gap)
         sgrp = brk.cumsum()
         sess = df.groupby(sgrp, sort=False)[id_col].transform("min")
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: df[id_col].to_numpy(),
-                key_col: df[key_col].to_numpy(),
-                "session_id": sess.to_numpy(),
+                id_col: pa.array(df[id_col].to_numpy()),
+                key_col: pa.array(df[key_col].to_numpy()),
+                "session_id": pa.array(sess.to_numpy()),
             }
         )
 
