@@ -153,6 +153,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from raylink.ops.ann import knn_brute_force
     from raylink.ops.dedup import minhash_lsh_candidates, simhash_near_dups
     from raylink.ops.text import text_stats
+    from raylink.ops.window import asof_join, sessionize
     from raylink.ops.relational import preagg_sum_count
 
     def _headline_rep() -> tuple[float, dict]:
@@ -232,6 +233,32 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         qrow = embs.filter(expr="vec_id == 0").take(1)[0]
         knn_brute_force(embs, np.asarray(qrow["embedding"], dtype=np.float64), k=5)
         q["ann_topk"] = round(time.perf_counter() - t, 3)
+
+        t = time.perf_counter()
+        ev = rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+        sessionize(ev, 3600).map_batches(
+            lambda b: pa.table({"n": pa.array([len(b)], type=pa.int64())}),
+            batch_format="pyarrow",
+        ).to_pandas()
+        q["sessionize"] = round(time.perf_counter() - t, 3)
+
+        t = time.perf_counter()
+        ev2 = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+        asof_join(
+            ev2.select_columns(["event_id", "user_id", "ts"]),
+            ev2.filter(expr="event_type == 'purchase'"),
+            "user_id", "ts", "ts", {"event_id": "prev_purchase_id"},
+            allow_exact_matches=False, tie_cols=["event_id"],
+        ).map_batches(
+            lambda b: pa.table({"n": pa.array([len(b)], type=pa.int64())}),
+            batch_format="pyarrow",
+        ).to_pandas()
+        q["asof_join"] = round(time.perf_counter() - t, 3)
         return q
 
     # ---- repetitions: median-of-N (host noise robust) --------------------
