@@ -431,6 +431,43 @@ def _q_fingerprint(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_quantile_filter(sf_dir: str):
+    # Percentile-threshold quality filter: the threshold is found by
+    # distributed exact k-th selection (bucket-histogram bisection, no
+    # sort, no shuffle — raylink/ops/sample.py select_kth), then rows at
+    # or above it survive. Threshold-by-value keeps ties, so the output
+    # is partitioning-independent and bit-checkable against SQL.
+    from raylink.ops.sample import quantile_filter
+    from raylink.ops.text import quality_scores
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _e6(batch):
+        import pyarrow as pa
+
+        q = np.round(batch.column("quality_score").to_numpy() * 1e6).astype(np.int64)
+        return batch.select(["doc_id"]).append_column("quality_e6", pa.array(q))
+
+    scored = quality_scores(docs).map_batches(_e6, batch_format="pyarrow")
+    _thr, kept = quantile_filter(scored, "quality_e6", 0.9)
+    return (
+        kept.to_pandas()[["doc_id", "quality_e6"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_stratified_sample(sf_dir: str):
+    # Deterministic per-language uniform sample: 40 docs per lang, chosen
+    # as the smallest (knuth-hash(doc_id), doc_id) per group so the
+    # sample is a pure function of the data (raylink/ops/sample.py).
+    from raylink.ops.sample import stratified_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = stratified_sample(docs, "lang", "doc_id", 40).to_pandas()
+    return out[["doc_id", "lang"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_knn_ivf(sf_dir: str):
     # Exhaustive probe (nprobe == num_centroids) makes IVF exact, so the
     # whole index path — k-means bucketing, map-side bucket filter,
@@ -580,6 +617,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jw_kernel": _q_jw,
         "ann_topk": _q_ann_topk,
         "knn_ivf": _q_knn_ivf,
+        "quantile_filter": _q_quantile_filter,
+        "stratified_sample": _q_stratified_sample,
         "connected_components": _q_connected_components,
         # rows-only (iterative / model-driven / sketch-based)
         "fuzzylink_linked": _q_fuzzylink_linked,
@@ -640,6 +679,25 @@ def _lang_id_sql() -> str:
         )
         ORDER BY doc_id
     """
+
+
+# shared by the quality_scores and quantile_filter oracles: per-doc
+# quality_e6 exactly as raylink/ops/text.py QualityScore computes it
+_QUALITY_E6_SQL = r"""
+            SELECT doc_id,
+                   CAST(ROUND(
+                     (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END)
+                   * (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+                   * (1.0 - LEAST(pr * 2, 0.8)) * 1000000) AS BIGINT) AS quality_e6
+            FROM (
+                SELECT doc_id, text,
+                       length(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                         / GREATEST(1, length(text)) AS pr,
+                       length(regexp_replace(text, '\s', '', 'g')) * 1.0
+                         / GREATEST(1, length(regexp_extract_all(text, '\S+'))) AS mwl
+                FROM documents
+            )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -723,21 +781,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         # quality score: pure arithmetic over RE2-compatible ASCII classes
         # (raylink/ops/text.py QualityScore mirrors these exactly)
-        "quality_scores": r"""
-            SELECT doc_id,
-                   CAST(ROUND(
-                     (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END)
-                   * (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
-                   * (1.0 - LEAST(pr * 2, 0.8)) * 1000000) AS BIGINT) AS quality_e6
-            FROM (
-                SELECT doc_id, text,
-                       length(regexp_extract_all(text, '[^\w\s]')) * 1.0
-                         / GREATEST(1, length(text)) AS pr,
-                       length(regexp_replace(text, '\s', '', 'g')) * 1.0
-                         / GREATEST(1, length(regexp_extract_all(text, '\S+'))) AS mwl
-                FROM documents
+        "quality_scores": f"""
+            {_QUALITY_E6_SQL}
+            ORDER BY doc_id
+        """,
+        # percentile filter replay: threshold = ceil(0.9*n)-th smallest
+        # quality_e6 by VALUE (not rank), exactly select_kth's contract —
+        # DuckDB's DECIMAL 0.9*n and the Ray side's epsilon-guarded
+        # ceil(p*n) land on the same k (sample.py quantile_filter).
+        "quantile_filter": f"""
+            WITH s AS ({_QUALITY_E6_SQL}),
+            r AS (
+                SELECT doc_id, quality_e6,
+                       row_number() OVER (ORDER BY quality_e6, doc_id) AS rn,
+                       count(*) OVER () AS n
+                FROM s
+            )
+            SELECT doc_id, quality_e6 FROM r
+            WHERE quality_e6 >= (
+                SELECT quality_e6 FROM r
+                WHERE rn = CAST(ceil(0.9 * n) AS BIGINT) LIMIT 1
             )
             ORDER BY doc_id
+        """,
+        # deterministic per-group sample replay: the 40 smallest
+        # (fold16(knuth32(doc_id)), doc_id) per lang — the HUGEINT
+        # arithmetic reproduces raylink.ops.sample.id_hash bit-for-bit
+        "stratified_sample": """
+            WITH h AS (
+                SELECT doc_id, lang,
+                       xor((doc_id::HUGEINT * 2654435761) % 4294967296,
+                           ((doc_id::HUGEINT * 2654435761) % 4294967296) >> 16) AS hv
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+                FROM h
+            )
+            SELECT doc_id, lang FROM r WHERE rn <= 40 ORDER BY doc_id
         """,
         # rolling polynomial fingerprint h = (h*B + ord(c)) mod (2^61-1),
         # replayed with list_reduce over codepoints (HUGEINT intermediate)

@@ -1,0 +1,162 @@
+"""Distributed selection and sampling primitives for training-data curation.
+
+Three operators a 100-TB pipeline needs that the reference has no analogue
+for (they extend the LLM-data-ops suite alongside ``ops/dedup.py`` /
+``ops/text.py``):
+
+  - :func:`select_kth` — exact k-th smallest of an integer column via
+    iterated bucket histograms: O(log_B(range)) streaming passes, the
+    driver holds only a B-bucket count array per pass, nothing sorts and
+    nothing shuffles.  This is the scale path for "give me the exact
+    90th-percentile quality score over 10^12 documents" — a global
+    ``sort`` would be an all-to-all exchange of the full table; this is a
+    handful of map-only passes with a 512 KiB driver footprint.
+  - :func:`quantile_filter` — keep rows at/above the p-quantile of a score
+    column (threshold-by-VALUE, so ties are kept deterministically and
+    the output is independent of partitioning).
+  - :func:`stratified_sample` — deterministic per-group uniform sample
+    without replacement: the n rows with the smallest multiplicative hash
+    of their id per group.  Hash-ordered selection makes the sample a pure
+    function of the data (resumable, oracle-replayable in SQL) and the
+    per-batch partial top-n bounds the shuffle to <= n rows per group per
+    batch.
+
+The hash is Knuth multiplicative (mod 2^32) with one xor-fold — chosen
+over a stronger mixer because DuckDB can replay it exactly with HUGEINT
+arithmetic (see ``__ray_entry__.oracle_sql``'s ``stratified_sample``
+entry), keeping the operator inside the bit-exact correctness gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def id_hash(ids: np.ndarray) -> np.ndarray:
+    """h = fold16(Knuth32(id)): uint64 in [0, 2^32), SQL-replayable as
+    ``xor((id::HUGEINT * 2654435761) % 4294967296, (...) >> 16)``."""
+    h = (ids.astype(np.uint64) * _KNUTH) & _M32
+    return h ^ (h >> np.uint64(16))
+
+
+def _column_i64(batch: pa.Table, col: str) -> np.ndarray:
+    return batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def select_kth(
+    ds: ray.data.Dataset,
+    value_col: str,
+    k: int,
+    num_buckets: int = 1 << 16,
+) -> int:
+    """Exact k-th smallest (1-indexed) value of an int64 column.
+
+    One aggregate pass for (count, min, max), then bucket-histogram
+    bisection: each pass maps the column to ``num_buckets`` equal-width
+    buckets over the current [lo, hi] range, emits per-batch SPARSE
+    (bucket, count) partial rows (the ``histogram_pass`` pattern,
+    ``active_streaming.py:340``), sums them on the driver, and recurses
+    into the bucket containing rank k.  Converges in
+    ceil(log_B(hi - lo + 1)) passes — 1 pass for any range <= 2^16,
+    4 passes for the full int64 domain.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    stats = ds.aggregate(
+        Count(), Min(value_col, alias_name="lo"), Max(value_col, alias_name="hi")
+    )
+    n, lo, hi = int(stats["count()"]), int(stats["lo"]), int(stats["hi"])
+    if k > n:
+        raise ValueError(f"k={k} exceeds row count {n}")
+    while hi > lo:
+        span = hi - lo + 1
+        width = max(1, -(-span // num_buckets))  # ceil
+        nb = -(-span // width)
+        clo, chi, cw = lo, hi, width  # bind loop state for the closure
+
+        def _hist(batch: pa.Table) -> pa.Table:
+            v = _column_i64(batch, value_col)
+            v = v[(v >= clo) & (v <= chi)]
+            if len(v) == 0:
+                return pa.table(
+                    {"b": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())}
+                )
+            idx = (v - clo) // cw
+            counts = np.bincount(idx, minlength=nb)
+            nz = np.flatnonzero(counts)
+            return pa.table(
+                {"b": pa.array(nz.astype(np.int64)), "c": pa.array(counts[nz].astype(np.int64))}
+            )
+
+        parts = ds.map_batches(_hist, batch_format="pyarrow").to_pandas()
+        agg = parts.groupby("b")["c"].sum().sort_index()
+        cum = agg.cumsum()
+        pos = int(np.searchsorted(cum.to_numpy(), k, side="left"))
+        bucket = int(cum.index[pos])
+        k -= int(cum.iloc[pos - 1]) if pos > 0 else 0
+        lo, hi = lo + bucket * width, min(hi, lo + (bucket + 1) * width - 1)
+    return lo
+
+
+def quantile_filter(
+    ds: ray.data.Dataset,
+    value_col: str,
+    p: float,
+    num_buckets: int = 1 << 16,
+) -> tuple[int, ray.data.Dataset]:
+    """Keep rows with ``value_col`` >= the p-quantile (threshold = the
+    ceil(p*n)-th smallest VALUE, so ties at the threshold all survive and
+    the result is partitioning-independent).  Returns (threshold, ds)."""
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    n = ds.count()
+    # ceil(p*n) with a float-noise guard: 0.9*500 is 450.000000000000006
+    # in binary, which would ceil to 451 while SQL's DECIMAL 0.9*500
+    # ceils to 450 — the epsilon keeps both sides on the same integer.
+    k = max(1, int(math.ceil(p * n - 1e-9)))
+    thr = select_kth(ds, value_col, k, num_buckets=num_buckets)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column(value_col), pa.scalar(thr)))
+
+    return thr, ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+) -> ray.data.Dataset:
+    """Deterministic per-group uniform sample: the ``n_per_group`` rows
+    with the smallest (id_hash(id), id) per group.
+
+    Map side appends the hash and pre-truncates each batch to its own
+    per-group top-n (vectorized pandas groupby-head), so the single
+    groupby exchange moves <= n rows per group per batch instead of the
+    full table; the reduce side takes the global per-group top-n."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_h"] = id_hash(df[id_col].to_numpy()).astype(np.int64)
+        df = df.sort_values(["_h", id_col], kind="stable")
+        return df.groupby(group_col, sort=False).head(n_per_group)
+
+    def _final(group: pd.DataFrame) -> pa.Table:
+        out = group.sort_values(["_h", id_col], kind="stable").head(n_per_group)
+        return pa.Table.from_pandas(out.drop(columns=["_h"]), preserve_index=False)
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return partials.groupby(group_col).map_groups(_final, batch_format="pandas")

@@ -477,3 +477,55 @@ def test_anti_join_empty_right_keeps_all():
         ["k"],
     ).to_pandas()
     assert sorted(got["k"]) == [5, 6]
+
+
+# ---- sampling / selection (raylink/ops/sample.py) ----
+
+
+def test_select_kth_matches_numpy_sort():
+    from raylink.ops.sample import select_kth
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(-(10**9), 10**9, size=5003)
+    ds = rd.from_arrow(pa.table({"v": vals}))
+    srt = np.sort(vals)
+    for k in (1, 2, 2501, 5003):
+        assert select_kth(ds, "v", k) == int(srt[k - 1])
+    # tiny bucket count forces multiple bisection passes over the int64 range
+    assert select_kth(ds, "v", 2501, num_buckets=7) == int(srt[2500])
+
+
+def test_quantile_filter_threshold_by_value_keeps_ties():
+    from raylink.ops.sample import quantile_filter
+
+    # 10 rows, value 5 repeated around the 0.8-quantile boundary
+    vals = np.array([1, 2, 3, 4, 5, 5, 5, 5, 9, 10])
+    ds = rd.from_arrow(pa.table({"v": vals}))
+    thr, kept = quantile_filter(ds, "v", 0.8)
+    assert thr == 5  # ceil(0.8*10)=8th smallest = 5
+    got = sorted(kept.to_pandas()["v"])
+    assert got == [5, 5, 5, 5, 9, 10]  # ALL ties at the threshold survive
+
+
+def test_stratified_sample_is_deterministic_hash_topn():
+    from raylink.ops.sample import id_hash, stratified_sample
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n), "g": rng.choice(["x", "y", "z"], n)}
+    )
+    out = stratified_sample(rd.from_pandas(df), "g", "doc_id", 25).to_pandas()
+    assert sorted(out["g"].value_counts()) == [25, 25, 25]
+    exp = (
+        df.assign(_h=id_hash(df["doc_id"].to_numpy()).astype(np.int64))
+        .sort_values(["_h", "doc_id"], kind="stable")
+        .groupby("g", sort=False)
+        .head(25)
+    )
+    assert sorted(out["doc_id"]) == sorted(exp["doc_id"])
+    # repartitioning must not change the sample (pure function of the data)
+    out2 = stratified_sample(
+        rd.from_pandas(df).repartition(13), "g", "doc_id", 25
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
