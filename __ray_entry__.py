@@ -431,6 +431,25 @@ def _q_fingerprint(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_kmeans_assign(sf_dir: str):
+    # Distributed spherical k-means (full-data Lloyd's: broadcast
+    # centroids, map-side partial (sum, count) per cluster — k slim rows
+    # per batch to the driver, never the data). Deterministic hash-ordered
+    # init makes the fit a pure function of the table; single-process
+    # parity is pinned in tests/test_ops.py. Iterative → rows-only gate.
+    from raylink.ops.kmeans import assign_clusters, kmeans
+
+    embs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = kmeans(embs, k=8, iters=5)
+    return (
+        assign_clusters(embs, cent)
+        .select_columns(["vec_id", "cluster"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_quantile_filter(sf_dir: str):
     # Percentile-threshold quality filter: the threshold is found by
     # distributed exact k-th selection (bucket-histogram bisection, no
@@ -637,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "multimodal_decode": _q_multimodal_decode,
         "audio_features": _q_audio_features,
+        "kmeans_assign": _q_kmeans_assign,
     }
 
 

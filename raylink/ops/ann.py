@@ -126,6 +126,7 @@ def build_ivf_index(
     seed: int = 42,
     sample_size: int = 2048,
     iters: int = 5,
+    centroids: np.ndarray | None = None,
 ) -> tuple[np.ndarray, ray.data.Dataset]:
     """Coarse quantizer + bucketed dataset: seeded mini k-means on a driver
     sample, then one streaming pass assigns every vector to its nearest
@@ -133,7 +134,30 @@ def build_ivf_index(
 
     The sample is a seeded ``random_sample`` over the whole dataset —
     ``limit()`` would take the first blocks only and bias the centroids
-    toward however the input happens to be ordered."""
+    toward however the input happens to be ordered.
+
+    Pass ``centroids`` (e.g. from :func:`raylink.ops.kmeans.kmeans`, the
+    full-data distributed fit) to skip the sample fit entirely — the
+    right quantizer source at 10^12 rows, where a 2k-row sample
+    underrepresents the tail."""
+    if centroids is not None:
+        cent = _normalize(np.asarray(centroids, dtype=np.float64))
+        cent_ref0 = ray.put(cent)
+
+        class _AssignPre:
+            def __init__(self):
+                self.cent = ray.get(cent_ref0)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                mat = _normalize(_to_matrix(batch.column(emb_col)))
+                bucket = np.argmax(mat @ self.cent.T, axis=1)
+                return batch.append_column(
+                    "bucket", pa.array(bucket.astype(np.int64))
+                )
+
+        return cent, ds.map_batches(
+            _AssignPre, batch_format="pyarrow", concurrency=(1, actor_pool_size())
+        )
     n_total = ds.count()
     if n_total > sample_size:
         frac = min(1.0, (sample_size * 1.2) / max(n_total, 1))

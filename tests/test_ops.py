@@ -529,3 +529,73 @@ def test_stratified_sample_is_deterministic_hash_topn():
         rd.from_pandas(df).repartition(13), "g", "doc_id", 25
     ).to_pandas()
     assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+# ---- distributed spherical k-means (raylink/ops/kmeans.py) ----
+
+
+def _kmeans_reference(ids, emb, k, iters, tol=1e-6):
+    """Single-process replica of ops.kmeans.kmeans (same init, same
+    update rule, same stop metric)."""
+    from raylink.ops.sample import id_hash
+
+    mat = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    order = np.lexsort((ids, id_hash(ids).astype(np.int64)))[:k]
+    cent = mat[order].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        new = cent.copy()
+        shift = 0.0
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                total = members.sum(axis=0)
+                norm = np.linalg.norm(total)
+                if norm > 0:
+                    v = total / norm
+                    shift = max(shift, float(np.abs(v - cent[c]).max()))
+                    new[c] = v
+        cent = new
+        if shift < tol:
+            break
+    return cent, np.argmax(mat @ cent.T, axis=1)
+
+
+def test_kmeans_matches_single_process_reference():
+    from raylink.ops.kmeans import assign_clusters, kmeans
+
+    rng = np.random.default_rng(5)
+    n, d, k = 3000, 16, 6
+    emb = rng.normal(size=(n, d))
+    ids = np.arange(n)
+    ds = rd.from_arrow(
+        pa.table({"vec_id": ids, "embedding": pa.array(list(emb))})
+    ).repartition(7)
+    cent = kmeans(ds, k=k, iters=8)
+    ref_cent, ref_assign = _kmeans_reference(ids, emb, k, iters=8)
+    assert np.allclose(cent, ref_cent, atol=1e-8)
+    got = (
+        assign_clusters(ds, cent)
+        .select_columns(["vec_id", "cluster"])
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert (got["cluster"].to_numpy() == ref_assign).all()
+    # every cluster non-trivial on gaussian data
+    assert got["cluster"].nunique() == k
+
+
+def test_ivf_accepts_precomputed_centroids():
+    from raylink.ops.kmeans import kmeans
+
+    rng = np.random.default_rng(9)
+    emb = rng.normal(size=(500, 8))
+    ds = rd.from_arrow(
+        pa.table({"vec_id": np.arange(500), "embedding": pa.array(list(emb))})
+    )
+    cent = kmeans(ds, k=4, iters=4)
+    out_cent, bucketed = build_ivf_index(ds, centroids=cent)
+    assert np.allclose(out_cent, cent)
+    df = bucketed.to_pandas().sort_values("vec_id")
+    mat = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    assert (df["bucket"].to_numpy() == np.argmax(mat @ cent.T, axis=1)).all()
