@@ -603,6 +603,21 @@ def _q_multimodal_decode(sf_dir: str):
     return df[["media_id", "kind", "feat0_e6"]].sort_values("media_id").reset_index(drop=True)
 
 
+def _q_video_frames(sf_dir: str):
+    # REAL video decode: Y4M payloads (uncompressed YUV4MPEG2, pure-stdlib
+    # parse) are frame-sampled every 500ms and each sampled row carries
+    # actual pixel work (the frame's mean luma). The analytic luma values
+    # are pinned in tests/test_imagecodec.py; binary decode is not
+    # SQL-expressible → rows-only gate.
+    from raylink.ops.multimodal import fake_media_table, sample_frames
+
+    rd = _rd()
+    media = rd.from_arrow(fake_media_table(64, seed=42))
+    videos = media.filter(expr="kind == 'video' and format == 'y4m'")
+    df = sample_frames(videos, every_ms=500, fake=False).to_pandas()
+    return df.sort_values(["media_id", "frame_ms"]).reset_index(drop=True)
+
+
 def _q_audio_features(sf_dir: str):
     # real PCM WAV decode + sample-domain features (rms / zero-crossing /
     # spectral centroid) over deterministic sine payloads
@@ -656,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "multimodal_decode": _q_multimodal_decode,
         "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
         "kmeans_assign": _q_kmeans_assign,
     }
 

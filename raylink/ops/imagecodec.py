@@ -236,6 +236,86 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 
 # --------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — uncompressed video; plain-text header + raw planes,
+# decodable with nothing beyond numpy. This makes the video frame-sample
+# kernel REAL for the one video container a deterministic pipeline can
+# generate in-sandbox (compressed containers — mp4/webm — still need
+# external codecs and stay behind the fake path).
+
+
+def encode_y4m(frames: np.ndarray, fps_num: int = 25, fps_den: int = 1) -> bytes:
+    """(n, h, w) uint8 luma frames → Y4M C420jpeg bytes (neutral chroma).
+    Width/height must be even (4:2:0 subsampling)."""
+    if frames.ndim != 3 or frames.dtype != np.uint8:
+        raise ValueError("frames must be (n, h, w) uint8")
+    n, h, w = frames.shape
+    if h % 2 or w % 2:
+        raise ValueError("C420 needs even width/height")
+    header = f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C420jpeg\n".encode()
+    chroma = np.full((h // 2) * (w // 2), 128, np.uint8).tobytes()
+    parts = [header]
+    for f in frames:
+        parts.append(b"FRAME\n")
+        parts.append(f.tobytes())
+        parts.append(chroma)
+        parts.append(chroma)
+    return b"".join(parts)
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Y4M → ((n, h, w) uint8 luma frames, fps_num, fps_den). Chroma planes
+    are skipped (every consumer here is luma-only). Supports C420*/C444/
+    C422 plane geometries, progressive, any frame rate."""
+    nl = data.index(b"\n")
+    tokens = data[:nl].decode("ascii", "replace").split(" ")
+    if tokens[0] != "YUV4MPEG2":
+        raise ValueError("not a Y4M stream")
+    w = h = 0
+    fps_num, fps_den = 25, 1
+    colorspace = "420"
+    for t in tokens[1:]:
+        if not t:
+            continue
+        tag, val = t[0], t[1:]
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            a, b = val.split(":")
+            fps_num, fps_den = int(a), int(b)
+        elif tag == "C":
+            colorspace = val
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M missing W/H")
+    if colorspace.startswith("420"):
+        chroma_sz = 2 * ((w // 2) * (h // 2))
+    elif colorspace.startswith("422"):
+        chroma_sz = 2 * ((w // 2) * h)
+    elif colorspace.startswith("444"):
+        chroma_sz = 2 * (w * h)
+    elif colorspace.startswith("mono"):
+        chroma_sz = 0
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {colorspace}")
+    luma_sz = w * h
+    pos = nl + 1
+    frames = []
+    while pos < len(data):
+        fe = data.index(b"\n", pos)
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M: expected FRAME marker")
+        pos = fe + 1
+        if pos + luma_sz > len(data):
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            np.frombuffer(data, dtype=np.uint8, count=luma_sz, offset=pos).reshape(h, w)
+        )
+        pos += luma_sz + chroma_sz
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps_num, fps_den
+
+
+# --------------------------------------------------------------------------
 # Sniffing
 
 
@@ -249,4 +329,6 @@ def sniff_format(data: bytes) -> str | None:
         return "ppm"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data.startswith(b"YUV4MPEG2 "):
+        return "y4m"
     return None

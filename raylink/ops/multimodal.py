@@ -2,10 +2,11 @@
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
 The decode kernels are REAL for every format a pure-stdlib codec can
-handle — PPM/BMP/PNG images and PCM WAV audio (``raylink.ops.imagecodec``:
-zlib inflate + PNG unfiltering, struct headers) — so ``DecodeImage`` and
-``ExtractAudioFeatures`` do actual pixel/sample work. Formats that
-genuinely require external codecs (JPEG, MP3, video containers) raise
+handle — PPM/BMP/PNG images, PCM WAV audio, and uncompressed Y4M video
+(``raylink.ops.imagecodec``: zlib inflate + PNG unfiltering, struct
+headers, raw YUV planes) — so ``DecodeImage``, ``ExtractAudioFeatures``
+and ``FrameSample`` do actual pixel/sample work. Formats that
+genuinely require external codecs (JPEG, MP3, mp4/webm containers) raise
 ``NotImplementedError`` unless ``fake=True``, in which case a
 deterministic digest stand-in keeps the Ray-side plumbing — schema, batch
 sizing, actor signature, output layout — exercised and honest.
@@ -30,10 +31,12 @@ from raylink.ops.imagecodec import (
     decode_png,
     decode_ppm,
     decode_wav,
+    decode_y4m,
     encode_bmp,
     encode_png,
     encode_ppm,
     encode_wav,
+    encode_y4m,
     sniff_format,
 )
 
@@ -62,11 +65,22 @@ def _test_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def _test_video(rng: np.random.Generator, w: int, h: int, n: int) -> np.ndarray:
+    """Deterministic (n, h, w) uint8 luma frames: horizontal gradient
+    brightening by 5/frame (wraps mod 256) so per-frame mean luma is
+    predictable by regenerating."""
+    x = np.linspace(0, 200, w, dtype=np.float64)[None, :]
+    base = np.broadcast_to(x, (h, w))
+    return np.stack([(base + 5.0 * f) % 256 for f in range(n)]).astype(np.uint8)
+
+
 def fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
     """Deterministic media rows. Image payloads are REAL encoded PNG / BMP
-    / PPM (cycling), audio payloads are real PCM WAV — so the decode
-    kernels run for real; video payloads stay opaque bytes (no stdlib
-    container codec), exercising the fake/stub path."""
+    / PPM (cycling), audio payloads are real PCM WAV, and two of every
+    three video payloads are real uncompressed Y4M — so the decode kernels
+    run for real; the remaining video rows stay opaque 'mp4' bytes (no
+    stdlib codec for compressed containers), keeping the fake/stub path
+    exercised."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     img_fmts = ["png", "bmp", "ppm"]
@@ -89,11 +103,18 @@ def fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
             wave = np.sin(2 * np.pi * freq * t / 8000) * 0.5
             payload = encode_wav((wave * 32767).astype(np.int16))
             w = h = 0
-        else:
+        elif (i // 3) % 3 == 2:
             fmt = "mp4"
             dur = int(rng.integers(100, 5000))
             payload = rng.bytes(int(rng.integers(256, 2048)))
             w, h = 64, 48
+        else:
+            fmt = "y4m"
+            w, h = 32, 24
+            fps = 8
+            nfr = int(rng.integers(4, 12))
+            payload = encode_y4m(_test_video(rng, w, h, nfr), fps, 1)
+            dur = nfr * 1000 // fps
         rows["format"].append(fmt)
         rows["width"].append(w)
         rows["height"].append(h)
@@ -220,34 +241,63 @@ class ExtractAudioFeatures:
 
 
 class FrameSample:
-    """Video frame sampling stub: emits one row per sampled frame index
-    (real frame extraction needs container codecs; plumbing = row
-    expansion)."""
+    """Video frame sampling: one row per sampled timestamp.
+
+    REAL decode for Y4M (uncompressed YUV4MPEG2 — plain-text header + raw
+    planes, parsed by ``imagecodec.decode_y4m``): the sampled row carries
+    the actual frame index and the frame's mean luma, i.e. genuine pixel
+    work per sampled frame. Compressed containers (mp4/webm) need codecs
+    this sandbox lacks: they raise unless ``fake=True``, which emits
+    digest stand-in rows (frame_idx = -1) over the metadata duration with
+    the same output schema."""
 
     def __init__(self, every_ms: int = 1000, fake: bool = False):
         self.every_ms = every_ms
         self.fake = fake
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _rows(self, mid: int, dur: int, payload: bytes):
+        if sniff_format(payload) == "y4m":
+            frames, num, den = decode_y4m(payload)
+            if len(frames) == 0:
+                return
+            total_ms = len(frames) * 1000 * den // num
+            means = frames.mean(axis=(1, 2))
+            for t in range(0, max(total_ms, 1), self.every_ms):
+                idx = min(len(frames) - 1, t * num // (1000 * den))
+                yield mid, t, idx, int(round(float(means[idx]) * 1000))
+            return
         if not self.fake:
             raise NotImplementedError(
-                "video decoding requires codecs not present in this sandbox; "
-                "construct with fake=True for plumbing tests"
+                "compressed video containers require codecs not present in "
+                "this sandbox (Y4M decodes natively; construct with "
+                "fake=True to stub mp4/webm)"
             )
+        for t in range(0, dur, self.every_ms):
+            dig = hashlib.blake2b(
+                payload + t.to_bytes(8, "little"), digest_size=4
+            ).digest()
+            yield mid, t, -1, int(int.from_bytes(dig, "little") % 256000)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
         durs = batch.column("duration_ms").to_pylist()
         kinds = batch.column("kind").to_pylist()
-        out_id, out_frame = [], []
-        for i, d, k in zip(ids, durs, kinds):
+        payloads = batch.column("payload").to_pylist()
+        out = {"media_id": [], "frame_ms": [], "frame_idx": [], "mean_luma_e3": []}
+        for i, d, k, p in zip(ids, durs, kinds, payloads):
             if k != "video":
                 continue
-            for t in range(0, d, self.every_ms):
-                out_id.append(i)
-                out_frame.append(t)
+            for mid, t, idx, luma in self._rows(i, d, p):
+                out["media_id"].append(mid)
+                out["frame_ms"].append(t)
+                out["frame_idx"].append(idx)
+                out["mean_luma_e3"].append(luma)
         return pa.table(
             {
-                "media_id": pa.array(out_id, type=pa.int64()),
-                "frame_ms": pa.array(out_frame, type=pa.int32()),
+                "media_id": pa.array(out["media_id"], type=pa.int64()),
+                "frame_ms": pa.array(out["frame_ms"], type=pa.int32()),
+                "frame_idx": pa.array(out["frame_idx"], type=pa.int32()),
+                "mean_luma_e3": pa.array(out["mean_luma_e3"], type=pa.int64()),
             }
         )
 

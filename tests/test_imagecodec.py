@@ -155,3 +155,40 @@ def test_multimodal_stage_real_decode(ray_session):
     af = extract_audio_features(audio, fake=False).to_pandas()
     assert len(af) == 6 and (af["rms"] > 0.1).all()
     assert (af["centroid_hz"].between(50, 2000)).all()
+
+
+def test_y4m_roundtrip_and_sniff():
+    from raylink.ops.imagecodec import decode_y4m, encode_y4m, sniff_format
+
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, size=(5, 24, 32)).astype(np.uint8)
+    data = encode_y4m(frames, fps_num=8, fps_den=1)
+    assert sniff_format(data) == "y4m"
+    got, num, den = decode_y4m(data)
+    assert (num, den) == (8, 1)
+    assert got.shape == frames.shape and (got == frames).all()
+
+
+def test_frame_sample_real_y4m_luma(ray_session):
+    from raylink.ops.multimodal import _test_video, sample_frames
+
+    media = rd.from_arrow(fake_media_table(18, seed=3))
+    # fake=False: the Y4M rows decode for real; the one mp4 row in 18 is
+    # filtered out first (it would raise, as documented)
+    videos = media.filter(expr="kind == 'video' and format == 'y4m'")
+    frames = sample_frames(videos, every_ms=250, fake=False).to_pandas()
+    assert len(frames) > 0
+    assert (frames["frame_idx"] >= 0).all()
+    # replay the generator: frame f of a 32x24 test video has mean luma
+    # mean((linspace(0,200,32) + 5f) % 256)
+    x = np.linspace(0, 200, 32)
+    for _, row in frames.head(8).iterrows():
+        f = int(row["frame_idx"])
+        expect = float(np.mean((x + 5.0 * f) % 256))
+        assert abs(row["mean_luma_e3"] / 1000 - expect) < 0.5
+    # mp4 rows still raise without fake=True, and stub with it
+    mp4 = media.filter(expr="format == 'mp4'")
+    with pytest.raises(Exception):
+        sample_frames(mp4, fake=False).take(1)
+    stub = sample_frames(mp4, every_ms=1000, fake=True).to_pandas()
+    assert (stub["frame_idx"] == -1).all() and len(stub) > 0
