@@ -265,10 +265,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "3")))
     runs: list[dict[str, float]] = []
     counts: dict = {}
+    headline_only = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1"
     for _ in range(reps):
         headline, counts = _headline_rep()
         q = {"linkage_stream": round(headline, 3)}
-        q.update(_secondary_rep())
+        if not headline_only:
+            q.update(_secondary_rep())
         runs.append(q)
 
     def _med(name: str) -> float:

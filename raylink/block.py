@@ -126,27 +126,21 @@ def tile_plan(
     return tile_plan_from_hist(na, nb, tile_rows)
 
 
-def _spread_blocks(both: ray.data.Dataset, plan: dict) -> ray.data.Dataset:
-    """Ensure the expanded key rows reach the groupby sort in enough blocks.
+def _want_sort_blocks(plan: dict) -> int:
+    """Target input-block count for the pair-gen groupby sort.
 
     The sort shuffle behind groupby sizes its output partitioning from the
-    input block count; a distinct-key table arriving in 1-2 blocks would
-    serialize the fused pairgen→features→scoring chain. The repartition
-    (an extra barrier) is only inserted when the input really is
-    under-partitioned."""
+    input block count; tile-size skew makes coarse partitions straggle,
+    while fine partitions multiply per-task scheduling cost. Measured sweep
+    at 16 CPUs, sf0.1 r256 (same accepted count, same host window):
+    4 blocks/CPU → 42.5s, 8 → 37.3s, 16 → 50.9s, 32 → 71.8s. 8/CPU is the
+    sweet spot even though the max fused task runs ~3× the mean — the tail
+    loss is smaller than the task-overhead slope on this host."""
     try:
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         n_cpus = 8
     total_groups = sum(ta * tb for ta, tb in plan.values()) or 1
-    # The sort behind groupby emits one output partition per input block,
-    # and each partition's groups run serially inside one task — tile-size
-    # skew makes coarse partitions straggle, while fine partitions multiply
-    # per-task scheduling cost. Measured sweep at 16 CPUs, sf0.1 r256
-    # (same accepted count, same host window): 4 blocks/CPU → 42.5s,
-    # 8 → 37.3s, 16 → 50.9s, 32 → 71.8s. 8/CPU is the sweet spot even
-    # though the max fused task runs ~3× the mean — the tail loss is
-    # smaller than the task-overhead slope on this host.
     try:
         per_cpu = max(1, int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "8")))
     except ValueError:
@@ -154,12 +148,45 @@ def _spread_blocks(both: ray.data.Dataset, plan: dict) -> ray.data.Dataset:
             "GRAFT_BLOCKS_PER_CPU must be a positive integer, got "
             f"{os.environ.get('GRAFT_BLOCKS_PER_CPU')!r}"
         ) from None
-    want = min(max(per_cpu * n_cpus, 16), max(total_groups, 16))
+    return min(max(per_cpu * n_cpus, 16), max(total_groups, 16))
+
+
+def _presplit_side(
+    ds: ray.data.Dataset, want_half: int
+) -> tuple[ray.data.Dataset, bool]:
+    """Split an under-partitioned side table BEFORE tile expansion.
+
+    Expansion is a map stage, so block count is preserved through it: giving
+    the slim pre-expansion rows enough blocks means the groupby sort already
+    sees a well-partitioned input and the post-expansion repartition barrier
+    (a second all-to-all over the tiles-replicated rows) is never inserted.
+    Returns (dataset, guaranteed) — guaranteed=False when the lazy block
+    count is unknowable and the caller must keep the post-expansion net.
+    ``GRAFT_PRESPLIT=0`` forces the legacy post-expansion repartition."""
+    if os.environ.get("GRAFT_PRESPLIT", "1") == "0":
+        return ds, False
+    try:
+        have = ds.num_blocks()
+    except Exception:
+        return ds, False
+    if have is None:
+        return ds, False
+    if have >= want_half:
+        return ds, True
+    return ds.repartition(want_half), True
+
+
+def _spread_blocks(both: ray.data.Dataset, plan: dict) -> ray.data.Dataset:
+    """Post-expansion safety net: repartition the EXPANDED rows only when
+    the pre-expansion split could not be applied (unknown lazy block count).
+    Prefer :func:`_presplit_side` — it moves the same barrier before the
+    tile replication, shuffling N rows instead of N×tiles."""
+    want = _want_sort_blocks(plan)
     try:
         have = both.num_blocks()
     except Exception:
         have = 0
-    if have >= want:
+    if have and have >= want:
         return both
     return both.repartition(want)
 
@@ -274,9 +301,14 @@ def generate_pairs(
         plan = tile_plan(keys_emb_a, keys_emb_b, tile_rows)
     plan_ref = ray.put(_plan_with_bases(plan))
 
+    want_half = -(-_want_sort_blocks(plan) // 2)
+    keys_emb_a, ok_a = _presplit_side(keys_emb_a, want_half)
+    keys_emb_b, ok_b = _presplit_side(keys_emb_b, want_half)
     ea = _expand_side(keys_emb_a, plan_ref, "a")
     eb = _expand_side(keys_emb_b, plan_ref, "b")
-    both = _spread_blocks(ea.union(eb), plan)
+    both = ea.union(eb)
+    if not (ok_a and ok_b):
+        both = _spread_blocks(both, plan)
 
     def _pairgen(group: pa.Table) -> pa.Table:
         side = group.column("side")
@@ -360,9 +392,14 @@ def generate_scored_pairs(
         labels_by_a.setdefault(a, {})[b] = lab
     labels_ref = ray.put(labels_by_a)
 
+    want_half = -(-_want_sort_blocks(plan) // 2)
+    keys_emb_a, ok_a = _presplit_side(keys_emb_a, want_half)
+    keys_emb_b, ok_b = _presplit_side(keys_emb_b, want_half)
     ea = _expand_side(keys_emb_a, plan_ref, "a")
     eb = _expand_side(keys_emb_b, plan_ref, "b")
-    both = _spread_blocks(ea.union(eb), plan)
+    both = ea.union(eb)
+    if not (ok_a and ok_b):
+        both = _spread_blocks(both, plan)
 
     out_schema = pa.schema(
         [
