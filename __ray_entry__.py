@@ -487,6 +487,28 @@ def _q_stratified_sample(sf_dir: str):
     return out[["doc_id", "lang"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_vocab_topk(sf_dir: str):
+    # Global top-50 tokens by corpus frequency: map-side per-batch Counter
+    # partials (one (token, cnt) row per distinct token per batch), a
+    # distributed groupby sum, per-block local top-k, then a blocks×k-row
+    # final sort (raylink/ops/text.py vocab_topk).
+    from raylink.ops.text import vocab_topk
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = vocab_topk(docs, k=50).to_pandas()
+    return out[["token", "cnt"]].reset_index(drop=True)
+
+
+def _q_split_by_hash(sf_dir: str):
+    # Deterministic train/test split: a pure map stage, assignment is a
+    # pure function of doc_id (raylink/ops/sample.py split_by_hash).
+    from raylink.ops.sample import split_by_hash
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    out = split_by_hash(docs, "doc_id", test_pct=10).to_pandas()
+    return out[["doc_id", "split"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_knn_ivf(sf_dir: str):
     # Exhaustive probe (nprobe == num_centroids) makes IVF exact, so the
     # whole index path — k-means bucketing, map-side bucket filter,
@@ -654,6 +676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter": _q_quantile_filter,
         "stratified_sample": _q_stratified_sample,
         "connected_components": _q_connected_components,
+        "vocab_topk": _q_vocab_topk,
+        "split_by_hash": _q_split_by_hash,
         # rows-only (iterative / model-driven / sketch-based)
         "fuzzylink_linked": _q_fuzzylink_linked,
         "fuzzylink_accepted": _q_fuzzylink_accepted,
@@ -843,6 +867,31 @@ def oracle_sql() -> dict[str, str]:
         # deterministic per-group sample replay: the 40 smallest
         # (fold16(knuth32(doc_id)), doc_id) per lang — the HUGEINT
         # arithmetic reproduces raylink.ops.sample.id_hash bit-for-bit
+        # tokens are ASCII-only ([0-9A-Za-z_]+ runs) so DuckDB's unicode
+        # lower() and Python's str.lower agree; tie order (cnt desc, token)
+        # is a total order per token
+        "vocab_topk": """
+            SELECT token, cnt FROM (
+                SELECT lower(token) AS token, count(*)::BIGINT AS cnt
+                FROM (
+                    SELECT unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS token
+                    FROM documents
+                )
+                GROUP BY lower(token)
+            )
+            ORDER BY cnt DESC, token LIMIT 50
+        """,
+        "split_by_hash": """
+            WITH h AS (
+                SELECT doc_id,
+                       xor((doc_id::HUGEINT * 2654435761) % 4294967296,
+                           ((doc_id::HUGEINT * 2654435761) % 4294967296) >> 16) AS hv
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN hv % 100 < 10 THEN 'test' ELSE 'train' END AS split
+            FROM h ORDER BY doc_id
+        """,
         "stratified_sample": """
             WITH h AS (
                 SELECT doc_id, lang,

@@ -160,3 +160,29 @@ def stratified_sample(
 
     partials = ds.map_batches(_partial, batch_format="pandas")
     return partials.groupby(group_col).map_groups(_final, batch_format="pandas")
+
+
+def split_by_hash(
+    ds: ray.data.Dataset,
+    id_col: str,
+    test_pct: int = 10,
+) -> ray.data.Dataset:
+    """Deterministic train/test split: ``'test'`` iff
+    ``id_hash(id) % 100 < test_pct``, else ``'train'``.
+
+    A pure map stage — no shuffle, no RNG state: the assignment is a pure
+    function of the row id, so it is stable under repartitioning, resume,
+    and re-runs, and any slice of the corpus can be split independently on
+    a 256-node cluster with zero coordination. SQL-replayable with the same
+    HUGEINT expression as :func:`stratified_sample`'s oracle.
+    """
+    if not (0 <= test_pct <= 100):
+        raise ValueError(f"test_pct must be in [0, 100], got {test_pct}")
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        ids = _column_i64(batch, id_col)
+        h = id_hash(ids) % np.uint64(100)
+        split = np.where(h < np.uint64(test_pct), "test", "train")
+        return batch.append_column("split", pa.array(split, type=pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")

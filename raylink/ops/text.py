@@ -184,3 +184,59 @@ def lang_id(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
 
 def fingerprints(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     return ds.map_batches(Fingerprint(text_col=text_col), batch_format="pyarrow")
+
+
+def vocab_topk(
+    ds: ray.data.Dataset,
+    k: int = 50,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Global top-k token vocabulary by corpus frequency.
+
+    The wide step is shaped for 100-TB corpora: the map side tokenizes
+    (ASCII ``\\w+`` runs, per-token ASCII lowercase — the exact tokens
+    DuckDB's ``regexp_extract_all(text, '[0-9A-Za-z_]+')`` + ``lower``
+    replays, keeping the operator inside the bit-exact oracle gate) and
+    pre-aggregates counts per batch, so the groupby all-to-all moves one
+    ``(token, cnt)`` row per DISTINCT token per batch — Zipf makes that a
+    tiny fraction of the occurrence stream. After the distributed sum,
+    every block forwards only its LOCAL top-k (any global top-k token is
+    in some block's local top-k of the summed table, since each token
+    lives in exactly one post-groupby block), so the final total-order
+    sort sees ≤ blocks×k rows, not the vocabulary.
+
+    Ties are broken (count desc, token asc) — a total order, so the k-row
+    result is a pure function of the corpus.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(map(str.lower, _WORD_RE.findall(t)))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), type=pa.string()),
+                "cnt": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) <= k:
+            return batch
+        df = batch.to_pandas()
+        df = df.sort_values(["cnt", "token"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    summed = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return (
+        summed.map_batches(_local_topk, batch_format="pyarrow")
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+    )

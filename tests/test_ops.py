@@ -599,3 +599,53 @@ def test_ivf_accepts_precomputed_centroids():
     df = bucketed.to_pandas().sort_values("vec_id")
     mat = emb / np.linalg.norm(emb, axis=1, keepdims=True)
     assert (df["bucket"].to_numpy() == np.argmax(mat @ cent.T, axis=1)).all()
+
+
+def test_vocab_topk_counts_and_tie_order():
+    from raylink.ops.text import vocab_topk
+
+    docs = rd.from_items(
+        [
+            {"text": "the cat sat on the MAT"},
+            {"text": "the mat, the cat!"},
+            {"text": "Dog dog dog bird"},
+        ]
+    ).repartition(3)
+    out = vocab_topk(docs, k=4).to_pandas()
+    # counts: the=4, cat=2, mat=2, dog=3, others 1 → top4 by (cnt desc, tok)
+    assert list(out["token"]) == ["the", "dog", "cat", "mat"]
+    assert list(out["cnt"]) == [4, 3, 2, 2]
+
+
+def test_vocab_topk_k_larger_than_vocab():
+    from raylink.ops.text import vocab_topk
+
+    docs = rd.from_items([{"text": "a b a"}])
+    out = vocab_topk(docs, k=10).to_pandas()
+    assert list(out["token"]) == ["a", "b"]
+    assert list(out["cnt"]) == [2, 1]
+
+
+def test_split_by_hash_deterministic_and_partition_invariant():
+    from raylink.ops.sample import id_hash, split_by_hash
+
+    ids = np.arange(1000, dtype=np.int64)
+    tbl = pa.table({"doc_id": ids})
+    for nparts in (1, 7):
+        out = (
+            split_by_hash(rd.from_arrow(tbl).repartition(nparts), "doc_id", 25)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        expect = np.where(id_hash(ids) % 100 < 25, "test", "train")
+        assert (out["split"].to_numpy() == expect).all()
+    frac = (expect == "test").mean()
+    assert 0.15 < frac < 0.35  # roughly pct-sized split
+
+
+def test_split_by_hash_rejects_bad_pct():
+    from raylink.ops.sample import split_by_hash
+
+    with pytest.raises(ValueError):
+        split_by_hash(rd.from_items([{"doc_id": 1}]), "doc_id", 101)
