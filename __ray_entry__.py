@@ -499,6 +499,21 @@ def _q_vocab_topk(sf_dir: str):
     return out[["token", "cnt"]].reset_index(drop=True)
 
 
+_BM25_QUERY = "window scan order"
+
+
+def _q_bm25_topk(sf_dir: str):
+    # Top-20 docs by BM25 for a fixed 3-term query: stats pass (N, avgdl,
+    # per-term df partials) -> broadcast idf -> scoring pass with per-batch
+    # local top-k (raylink/ops/text.py bm25_topk). Micro-unit scores keep
+    # the DuckDB replay bit-exact.
+    from raylink.ops.text import bm25_topk
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bm25_topk(docs, _BM25_QUERY, k=20).to_pandas()
+    return out[["doc_id", "bm25_e6"]].reset_index(drop=True)
+
+
 def _q_split_by_hash(sf_dir: str):
     # Deterministic train/test split: a pure map stage, assignment is a
     # pure function of doc_id (raylink/ops/sample.py split_by_hash).
@@ -678,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_connected_components,
         "vocab_topk": _q_vocab_topk,
         "split_by_hash": _q_split_by_hash,
+        "bm25_topk": _q_bm25_topk,
         # rows-only (iterative / model-driven / sketch-based)
         "fuzzylink_linked": _q_fuzzylink_linked,
         "fuzzylink_accepted": _q_fuzzylink_accepted,
@@ -880,6 +896,46 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY lower(token)
             )
             ORDER BY cnt DESC, token LIMIT 50
+        """,
+        # BM25 (k1=1.5, b=0.75) over ASCII word-run tokens; dl = token
+        # count, N counts all docs, df/tf only for the query terms. Scores
+        # in integer micro-units: DuckDB's ln/÷ agree with numpy to ~1e-15,
+        # six decimals are 9 orders coarser, so the replay is bit-exact.
+        "bm25_topk": """
+            WITH tok AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(text, '[0-9A-Za-z_]+'))) AS token
+                FROM documents
+            ),
+            corpus AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            dls AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+            avg AS (
+                SELECT (SELECT coalesce(sum(dl), 0) FROM dls) / (SELECT n FROM corpus) AS avgdl
+            ),
+            q(term) AS (VALUES ('window'), ('scan'), ('order')),
+            df AS (
+                SELECT token, count(DISTINCT doc_id)::DOUBLE AS df
+                FROM tok WHERE token IN (SELECT term FROM q) GROUP BY token
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*)::DOUBLE AS tf
+                FROM tok WHERE token IN (SELECT term FROM q) GROUP BY doc_id, token
+            ),
+            scored AS (
+                SELECT tf.doc_id,
+                       sum(
+                           ln(1 + ((SELECT n FROM corpus) - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * (1.5 + 1.0)
+                           / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dls.dl / (SELECT avgdl FROM avg)))
+                       ) AS score
+                FROM tf
+                JOIN df USING (token)
+                JOIN dls ON tf.doc_id = dls.doc_id
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS bm25_e6
+            FROM scored
+            ORDER BY bm25_e6 DESC, doc_id LIMIT 20
         """,
         "split_by_hash": """
             WITH h AS (

@@ -240,3 +240,104 @@ def vocab_topk(
         .sort(["cnt", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def bm25_topk(
+    ds: ray.data.Dataset,
+    query: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> ray.data.Dataset:
+    """Top-k documents by BM25 score for a short query string.
+
+    Two streaming passes, both scale-shaped:
+
+      1. *Corpus stats*: one map pass emits a single partial row per batch
+         — (n_docs, sum_dl, per-query-term document frequencies) — so the
+         driver reduces ≤ blocks tiny rows into (N, avgdl, df). At 100 TB
+         these are table statistics you'd maintain incrementally; here the
+         pass IS the maintenance.
+      2. *Scoring*: the (N, avgdl, df)-derived idf weights are closed over
+         (broadcast-by-capture, they are a handful of floats), each batch
+         scores its own docs vectorized-per-doc and forwards only its local
+         top-k, so the final total-order sort sees ≤ blocks×k rows.
+
+    Scores are fixed to integer micro-units (``bm25_e6``) and ranked by
+    ``(bm25_e6 desc, id asc)`` — a total order a DuckDB oracle reproduces
+    bit-exactly (ln/÷ in float64 agree to ~1e-15, six decimals are 9
+    orders of magnitude coarser). Duplicate query terms are deduplicated
+    (standard bag-of-terms BM25 over distinct terms).
+    """
+    terms = list(dict.fromkeys(map(str.lower, _WORD_RE.findall(query))))
+    if not terms:
+        raise ValueError(f"query has no tokens: {query!r}")
+    nt = len(terms)
+    term_ix = {t: i for i, t in enumerate(terms)}
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        dfs = np.zeros(nt, dtype=np.int64)
+        n_docs = len(batch)
+        sum_dl = 0
+        for t in batch.column(text_col).to_pylist():
+            toks = [w.lower() for w in _WORD_RE.findall(t)]
+            sum_dl += len(toks)
+            seen = set(toks)
+            for term, i in term_ix.items():
+                if term in seen:
+                    dfs[i] += 1
+        return pa.table(
+            {
+                "n_docs": pa.array([n_docs], type=pa.int64()),
+                "sum_dl": pa.array([sum_dl], type=pa.int64()),
+                "df": pa.array([dfs.tolist()], type=pa.list_(pa.int64())),
+            }
+        )
+
+    parts = ds.map_batches(_stats, batch_format="pyarrow").to_pandas()
+    n = float(parts["n_docs"].sum())
+    sum_dl = float(parts["sum_dl"].sum())
+    df = np.sum(np.stack(parts["df"].to_numpy()), axis=0).astype(np.float64) if len(parts) else np.zeros(nt)
+    empty = pa.table(
+        {id_col: pa.array([], type=pa.int64()),
+         "bm25_e6": pa.array([], type=pa.int64())}
+    )
+    if n == 0 or sum_dl == 0:
+        return ray.data.from_arrow(empty)
+    avgdl = sum_dl / n
+    idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_ids, out_scores = [], []
+        for i, t in enumerate(texts):
+            toks = [w.lower() for w in _WORD_RE.findall(t)]
+            dl = len(toks)
+            score = 0.0
+            hit = False
+            for term, j in term_ix.items():
+                tf = toks.count(term)
+                if tf:
+                    hit = True
+                    score += idf[j] * tf * (k1 + 1.0) / (
+                        tf + k1 * (1.0 - b + b * dl / avgdl)
+                    )
+            if hit:
+                out_ids.append(int(ids[i]))
+                out_scores.append(int(round(score * 1e6)))
+        if not out_ids:
+            return empty
+        order = sorted(range(len(out_ids)), key=lambda x: (-out_scores[x], out_ids[x]))[:k]
+        return pa.table(
+            {id_col: pa.array([out_ids[x] for x in order], type=pa.int64()),
+             "bm25_e6": pa.array([out_scores[x] for x in order], type=pa.int64())}
+        )
+
+    return (
+        ds.map_batches(_score, batch_format="pyarrow")
+        .sort(["bm25_e6", id_col], descending=[True, False])
+        .limit(k)
+    )

@@ -649,3 +649,51 @@ def test_split_by_hash_rejects_bad_pct():
 
     with pytest.raises(ValueError):
         split_by_hash(rd.from_items([{"doc_id": 1}]), "doc_id", 101)
+
+
+def test_bm25_topk_matches_naive_reference():
+    import math
+    import re as _re
+
+    from raylink.ops.text import bm25_topk
+
+    docs = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "apple apple apple durian"),
+        (4, "cherry cherry banana banana"),
+        (5, ""),
+        (6, "unrelated words only"),
+    ]
+    query, k1, b = "apple banana", 1.5, 0.75
+    toks = {i: [w.lower() for w in _re.findall(r"\w+", t, _re.ASCII)] for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    expect = {}
+    for term in ["apple", "banana"]:
+        df = sum(1 for v in toks.values() if term in v)
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for i, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                expect[i] = expect.get(i, 0.0) + idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(v) / avgdl)
+                )
+    want = sorted(
+        ((int(round(s * 1e6)), i) for i, s in expect.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:3]
+    for nparts in (1, 4):
+        ds = rd.from_items(
+            [{"doc_id": i, "text": t} for i, t in docs]
+        ).repartition(nparts)
+        out = bm25_topk(ds, query, k=3).to_pandas()
+        got = list(zip(out["bm25_e6"], out["doc_id"]))
+        assert got == want, (got, want, nparts)
+
+
+def test_bm25_topk_empty_query_raises():
+    from raylink.ops.text import bm25_topk
+
+    with pytest.raises(ValueError):
+        bm25_topk(rd.from_items([{"doc_id": 1, "text": "x"}]), "!!!")
