@@ -323,6 +323,9 @@ def main():
             # per leg — the scaling protocol already takes best-of-2 legs
             env.setdefault("GRAFT_BENCH_REPLICATE", "256")
             env.setdefault("GRAFT_BENCH_REPS", "1")
+            # headline-only: secondaries don't feed the scaling number and
+            # skipping them keeps the paired legs inside one host window
+            env.setdefault("GRAFT_BENCH_HEADLINE_ONLY", "1")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,
