@@ -168,7 +168,14 @@ def _presplit_side(
     try:
         have = ds.num_blocks()
     except Exception:
-        return ds, False
+        # lazy lineage: num_blocks() raises NotImplementedError, but map
+        # stages preserve the plan's initial block count, which IS the
+        # number of blocks the expand map will emit (plan-level metadata,
+        # no execution triggered)
+        try:
+            have = ds._plan.initial_num_blocks()
+        except Exception:
+            return ds, False
     if have is None:
         return ds, False
     if have >= want_half:
