@@ -303,6 +303,37 @@ def _q_minhash_dedup(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    # Daily-increment dedup: the "new shard" is the doc_id % 10 == 0 slice
+    # of documents; its band table is broadcast once and a single
+    # shuffle-free streaming pass over the corpus band table emits
+    # (id_new, id_corpus) candidates, exact-verified by shingle Jaccard
+    # (raylink/ops/dedup.py minhash_incremental_candidates). Same recall
+    # argument as minhash_dedup: every J >= 0.5 pair on this corpus has
+    # J >= 0.9, and identity hits share every band by construction.
+    import numpy as np
+    import pyarrow as pa
+
+    from raylink.ops.dedup import minhash_incremental_candidates, verify_jaccard
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    new = docs.map_batches(_shard, batch_format="pyarrow")
+    cands = minhash_incremental_candidates(new, docs, num_perm=32, bands=8)
+    as_ab = cands.map_batches(
+        lambda b: b.rename_columns(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+    out = verify_jaccard(as_ab, docs, threshold=0.5, emit_counts=True).to_pandas()
+    out = out.rename(columns={"id_a": "id_new", "id_b": "id_corpus"})
+    return out[["id_new", "id_corpus", "n_common", "n_union"]].sort_values(
+        ["id_new", "id_corpus"]
+    ).reset_index(drop=True)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     # Inverted-index candidate generation (no sketch): semantics are
     # "pair shares >=1 gram with document frequency in [2, max_df] AND
@@ -699,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzylink_accepted": _q_fuzzylink_accepted,
         "entity_clusters": _q_entity_clusters,
         "minhash_dedup": _q_minhash_dedup,
+        "incremental_dedup": _q_incremental_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_survivors": _q_dedup_survivors,
         "sessionize": _q_sessionize,
@@ -1040,6 +1072,33 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE 2 * n_common >= n_union
             ORDER BY id_a, id_b
+        """,
+        # Incremental (new-shard vs corpus) dedup ground truth: the shard
+        # keeps its role (id_new), so symmetric shard-shard pairs appear in
+        # both directions and identity hits (the "already in the corpus"
+        # case) are included — exactly what the broadcast probe emits.
+        "incremental_dedup": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       array_to_string(regexp_extract_all(lower(text), '\S+'), ' ') AS t
+                FROM documents
+            ),
+            shing AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, GREATEST(length(t) - 3, 2)),
+                           i -> substr(t, i, 5))) AS s
+                FROM norm
+            )
+            SELECT id_new, id_corpus, n_common, n_union
+            FROM (
+                SELECT a.doc_id AS id_new, b.doc_id AS id_corpus,
+                       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+                       CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union
+                FROM shing a JOIN shing b ON a.doc_id % 10 = 0
+            )
+            WHERE 2 * n_common >= n_union
+            ORDER BY id_new, id_corpus
         """,
         # Gap sessionization replayed with lag + running-sum windows over
         # the same (ts, event_id) order; session_id = MIN(event_id) in the

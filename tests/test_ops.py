@@ -697,3 +697,42 @@ def test_bm25_topk_empty_query_raises():
 
     with pytest.raises(ValueError):
         bm25_topk(rd.from_items([{"doc_id": 1, "text": "x"}]), "!!!")
+
+
+def test_minhash_incremental_matches_selfjoin_restriction():
+    """Broadcast-probe incremental candidates == the (shard-role ×
+    corpus) restriction of what the self-join LSH emits, plus identity
+    hits. Built from a corpus with known near-dup pairs."""
+    from raylink.ops.dedup import (
+        minhash_incremental_candidates,
+        minhash_lsh_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank "
+    rows = []
+    for i in range(20):
+        if i % 4 == 0:
+            rows.append({"doc_id": i, "text": base + f"variant {i % 2}"})
+        else:
+            rows.append({"doc_id": i, "text": f"unique document {i} " + "z" * i})
+    corpus = rd.from_items(rows).repartition(3)
+    shard_ids = {i for i in range(20) if i % 5 == 0}
+
+    def _shard(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(np.isin(ids, list(shard_ids))))
+
+    new = corpus.map_batches(_shard, batch_format="pyarrow")
+    inc = minhash_incremental_candidates(new, corpus, num_perm=32, bands=8)
+    got = {tuple(r) for r in inc.to_pandas()[["id_new", "id_corpus"]].to_numpy()}
+
+    self_pairs = minhash_lsh_candidates(corpus, num_perm=32, bands=8).to_pandas()
+    expect = {(i, i) for i in shard_ids}
+    for a, b in self_pairs[["id_a", "id_b"]].to_numpy():
+        if a in shard_ids:
+            expect.add((a, b))
+        if b in shard_ids:
+            expect.add((b, a))
+    assert got == expect
+    # the identity hits prove every shard doc finds its corpus copy
+    assert {(i, i) for i in shard_ids} <= got
