@@ -169,6 +169,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             drop_missing(prepare_corpus(from_arrow_blocks(cb)), ["key", "lang"]), ["lang"]
         )
         jw_counter = CounterActor.remote()
+        # in-tile encode wins on this host: the A/B alternative
+        # (GRAFT_EMBED_AT=expand — encode once pre-replication, ship the
+        # 1 KB embedding through the sort) measured 46.9s vs 13.2-13.5s
+        # in-tile at r64, identical accepted count: ~2 GB through the
+        # sort costs far more here than the ~150 core-s of duplicate
+        # in-tile encodes it saves. The flag stays for encoders whose
+        # cost ≫ shuffle bandwidth (any real model encoder).
+        embed_at = os.environ.get("GRAFT_EMBED_AT", "tile")
         accepted = generate_scored_pairs(
             dsa.select_columns(["key", "block"]),
             dsb.select_columns(["key", "block"]),
@@ -178,7 +186,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             cutoff=0.5,
             emit="accepted",
             plan=plan,
-            embed_in_tile=True,
+            embed_in_tile=(embed_at == "tile"),
+            embed_in_expand=(embed_at == "expand"),
             dedup_in_tile=True,
             jw_counter=jw_counter,
         )

@@ -213,7 +213,10 @@ def _plan_with_bases(plan: dict) -> dict:
 
 
 def _expand_side(
-    ds: ray.data.Dataset, plan_ref: "ray.ObjectRef", side: str
+    ds: ray.data.Dataset,
+    plan_ref: "ray.ObjectRef",
+    side: str,
+    encode_dim: int | None = None,
 ) -> ray.data.Dataset:
     """Tag rows with (side, gid), replicating across the other side's
     tile axis. Input: distinct (key, block, embedding) rows; ``plan_ref``
@@ -221,7 +224,15 @@ def _expand_side(
 
     The shuffled row is deliberately slim: one int64 tile-group id and an
     int8 side flag ride along with the payload columns — no composite
-    (block, ta, tb) string key ever reaches the sort."""
+    (block, ta, tb) string key ever reaches the sort.
+
+    ``encode_dim``: encode each key's embedding HERE, pre-replication, and
+    let the ``take`` replicate the bytes. Each raw row is encoded exactly
+    once across the whole run (vs once per tile copy per worker for the
+    in-tile path) at the cost of shipping dim×4 B per expanded row through
+    the sort — the right side of the trade whenever encode cost ≫ shuffle
+    bandwidth (profiled: the in-tile encode was ~430 core-s of the 32-CPU
+    headline run vs ~2 GB of extra shuffle ≈ 1-2 s)."""
 
     # Stateless task stage; the tile plan is a broadcast zero-copy read.
     # Fully vectorized: the replication across the other side's tile axis is
@@ -230,6 +241,13 @@ def _expand_side(
     def _expand(batch: pa.Table) -> pa.Table:
         plan: dict[str, tuple[int, int, int]] = ray.get(plan_ref)
         keys = batch.column("key").to_pylist()
+        if encode_dim is not None and "embedding" not in batch.column_names:
+            from raylink.embed import matrix_to_arrow, worker_embedder
+
+            we = worker_embedder(encode_dim)
+            batch = batch.append_column(
+                "embedding", matrix_to_arrow(we.encode_many(keys))
+            )
         blocks = batch.column("block").to_pylist()
         n = len(keys)
         _z = (0, 0, 0)
@@ -367,6 +385,7 @@ def generate_scored_pairs(
     emit: str = "accepted",
     plan: dict | None = None,
     embed_in_tile: bool = False,
+    embed_in_expand: bool = False,
     dedup_in_tile: bool = False,
     sim_floor: float | None = None,
     jw_counter=None,
@@ -399,11 +418,14 @@ def generate_scored_pairs(
         labels_by_a.setdefault(a, {})[b] = lab
     labels_ref = ray.put(labels_by_a)
 
+    if embed_in_expand and embed_in_tile:
+        raise ValueError("embed_in_expand and embed_in_tile are exclusive")
+    enc_dim = dim if embed_in_expand else None
     want_half = -(-_want_sort_blocks(plan) // 2)
     keys_emb_a, ok_a = _presplit_side(keys_emb_a, want_half)
     keys_emb_b, ok_b = _presplit_side(keys_emb_b, want_half)
-    ea = _expand_side(keys_emb_a, plan_ref, "a")
-    eb = _expand_side(keys_emb_b, plan_ref, "b")
+    ea = _expand_side(keys_emb_a, plan_ref, "a", encode_dim=enc_dim)
+    eb = _expand_side(keys_emb_b, plan_ref, "b", encode_dim=enc_dim)
     both = ea.union(eb)
     if not (ok_a and ok_b):
         both = _spread_blocks(both, plan)

@@ -79,6 +79,34 @@ def _stable_bucket_seed(gram: str) -> int:
     return int.from_bytes(hashlib.blake2b(gram.encode(), digest_size=8).digest(), "little")
 
 
+# process-global gram → blake2b-seed cache. The 2/3-gram space of natural
+# keys is tiny (tens of thousands) while the encode path was paying one
+# Python-level hashlib call PER GRAM PER STRING — profiled at ~430 core-s
+# of the 32-CPU headline run, ~40× the actual matmul+JW kernel work. Seeds
+# are dim-independent, so one cache serves every embedder instance.
+_GRAM_SEEDS: dict[str, int] = {}
+_GRAM_SEEDS_MAX = 4_000_000
+
+
+def _seed_slow(g: str) -> int:
+    h = _stable_bucket_seed(g)
+    if len(_GRAM_SEEDS) < _GRAM_SEEDS_MAX:
+        _GRAM_SEEDS[g] = h
+    return h
+
+
+def _gram_seeds(grams: list[str]) -> np.ndarray:
+    """Vectorizable seeds for a list of grams (cached blake2b).
+    ``np.fromiter`` keeps the per-gram cost at one dict probe — a numpy
+    scalar store per item is ~6× slower."""
+    seeds = _GRAM_SEEDS
+    return np.fromiter(
+        (seeds[g] if g in seeds else _seed_slow(g) for g in grams),
+        dtype=np.uint64,
+        count=len(grams),
+    )
+
+
 class HashedNgramEmbedder:
     """Deterministic feature-hashing text encoder.
 
@@ -115,12 +143,16 @@ class HashedNgramEmbedder:
         v[h % self.dim] += w if (h >> 32) & 1 else -w
 
     def _char_vec(self, s: str) -> np.ndarray:
-        v = np.zeros(self.dim, dtype=np.float64)
-        padded = "\x02" + s + "\x03"
-        for n in self.ngrams:
-            for i in range(len(padded) - n + 1):
-                self._hash_into(v, padded[i : i + n])
-        return v
+        """Bit-identical to the per-gram ``_hash_into`` loop: each bucket
+        accumulates an integer count of ±1s, which float64 addition
+        represents exactly in any order."""
+        grams = self._grams_of(s)
+        if not grams:
+            return np.zeros(self.dim, dtype=np.float64)
+        h = _gram_seeds(grams)
+        idx = (h % np.uint64(self.dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(32)) & np.uint64(1) != 0, 1.0, -1.0)
+        return np.bincount(idx, weights=sign, minlength=self.dim)
 
     def _token_vec(self, w: str) -> np.ndarray:
         cached = self._tok_cache.get(w)
@@ -170,10 +202,111 @@ class HashedNgramEmbedder:
             self._cache[s] = out
         return out
 
+    def _grams_of(self, s: str) -> list[str]:
+        padded = "\x02" + s + "\x03"
+        return [
+            padded[i : i + n]
+            for n in self.ngrams
+            for i in range(len(padded) - n + 1)
+        ]
+
+    def _char_vec_batch(self, strings: list[str]) -> np.ndarray:
+        """(m, dim) float64 of unnormalized char vectors — ONE flat seed
+        lookup and ONE ``np.add.at`` for the whole batch instead of
+        per-string numpy setup. Bit-identical to ``_char_vec`` per row:
+        every bucket holds an exact small-integer count in float64, so
+        accumulation order cannot change the value."""
+        m = len(strings)
+        v = np.zeros(m * self.dim, dtype=np.float64)
+        grams: list[str] = []
+        counts = np.empty(m, dtype=np.int64)
+        for j, s in enumerate(strings):
+            g = self._grams_of(s)
+            counts[j] = len(g)
+            grams.extend(g)
+        if grams:
+            h = _gram_seeds(grams)
+            idx = (h % np.uint64(self.dim)).astype(np.int64)
+            idx += np.repeat(np.arange(m, dtype=np.int64) * self.dim, counts)
+            sign = np.where((h >> np.uint64(32)) & np.uint64(1) != 0, 1.0, -1.0)
+            # bincount, not add.at: buffered C summation; values stay exact
+            # (small-integer counts in float64)
+            v = np.bincount(idx, weights=sign, minlength=m * self.dim)
+        return v.reshape(m, self.dim)
+
     def encode_many(self, strings) -> np.ndarray:
-        out = np.empty((len(strings), self.dim), dtype=np.float32)
+        """Batch encode: cached rows are copied, new rows share one
+        vectorized char-gram pass (whole strings AND their uncached
+        canonical tokens), then the per-string blend/normalize chain runs
+        exactly as in ``encode_one`` — outputs are bit-identical to the
+        scalar path and feed the same per-instance caches."""
+        n = len(strings)
+        out = np.empty((n, self.dim), dtype=np.float32)
+        todo: list[tuple[int, str]] = []
         for i, s in enumerate(strings):
-            out[i] = self.encode_one(str(s))
+            s = str(s)
+            cached = self._cache.get(s)
+            if cached is not None:
+                out[i] = cached
+            else:
+                todo.append((i, s))
+        if not todo:
+            return out
+        lows = [s.lower() for _, s in todo]
+        toks_per = [_tokenize(_CAMEL_RE.sub(" ", s).lower()) for _, s in todo]
+        # batch the char pass for the whole strings and for every uncached
+        # canonical token (deduped, first-seen order)
+        new_canons: list[str] = []
+        seen: set[str] = set()
+        for toks in toks_per:
+            for w in toks:
+                if w not in self._tok_cache:
+                    canon = _SYNONYM_CANON.get(w, w)
+                    if canon not in seen:
+                        seen.add(canon)
+                        new_canons.append(canon)
+        char_mat = self._char_vec_batch(lows + new_canons)
+        # finish the token vectors (W:-feature, skeleton, normalize) and
+        # populate the token cache keyed by the ORIGINAL token
+        canon_vec: dict[str, np.ndarray] = {}
+        for j, canon in enumerate(new_canons):
+            v = char_mat[len(lows) + j]
+            self._hash_into(v, "W:" + canon, 12.0)
+            sk = canon[0] + "".join(c for c in canon[1:] if c not in "aeiou")
+            if sk != canon:
+                self._hash_into(v, "W:" + sk, 12.0)
+            nv = np.linalg.norm(v)
+            if nv > 0:
+                v = v / nv
+            canon_vec[canon] = v
+        for toks in toks_per:
+            for w in toks:
+                if w not in self._tok_cache and len(self._tok_cache) < 500_000:
+                    self._tok_cache[w] = canon_vec[_SYNONYM_CANON.get(w, w)]
+        # per-string blend/normalize, same op sequence as encode_one
+        for j, (i, s) in enumerate(todo):
+            char_part = char_mat[j]
+            nv = np.linalg.norm(char_part)
+            if nv > 0:
+                char_part = char_part / nv
+            toks = toks_per[j]
+            if toks:
+                tok_part = np.zeros(self.dim, dtype=np.float64)
+                for w in toks:
+                    tok_part += self._tok_cache.get(w) if w in self._tok_cache else canon_vec[_SYNONYM_CANON.get(w, w)]
+                nv = np.linalg.norm(tok_part)
+                if nv > 0:
+                    tok_part = tok_part / nv
+                v = self.token_blend * tok_part + (1.0 - self.token_blend) * char_part
+            else:
+                v = char_part
+            nv = np.linalg.norm(v)
+            if nv > 0:
+                v = v / nv
+            row = v.astype(np.float32)
+            out[i] = row
+            if len(self._cache) < 500_000:
+                self._cache[s] = row
         return out
 
     # -- map_batches UDF ---------------------------------------------------
