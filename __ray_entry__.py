@@ -653,6 +653,20 @@ def _q_dedup_survivors(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_curation(sf_dir: str):
+    # The curation capstone: lang filter -> quality floor -> exact dedup
+    # -> near-dup survivors -> deterministic split, composed from the
+    # individually gated operators (raylink/ops/curate.py) and replayed by
+    # ONE DuckDB oracle so the composition itself is bit-exact-checked.
+    from raylink.ops.curate import curate_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = curate_documents(docs, num_partitions=8).to_pandas()
+    return out[["doc_id", "quality_e6", "split"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
 def _q_multimodal_decode(sf_dir: str):
     # REAL decode: the image rows carry actual PNG/BMP/PPM payloads and the
     # kernel inflates + unfilters + mean-pools them (fake=False). Video
@@ -733,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_survivors": _q_dedup_survivors,
+        "curation": _q_curation,
         "sessionize": _q_sessionize,
         "window_agg": _q_window_agg,
         "asof_join": _q_asof_join,
@@ -746,6 +761,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": _q_video_frames,
         "kmeans_assign": _q_kmeans_assign,
     }
+
+
+def _curation_sql() -> str:
+    """The curation pipeline replayed end-to-end: language vote + quality
+    floor (reusing the gated lang_id / quality_scores SQL), exact dedup
+    (min id per identical text), near-dup survivors (the dedup_survivors
+    recursive-CTE transitive closure, restricted to the FILTERED set —
+    edges among dropped docs cannot eliminate kept ones), then the
+    stratified_sample HUGEINT hash replay for the split."""
+    return rf"""
+        WITH RECURSIVE lq AS ({_lang_id_sql()}),
+        q AS ({_QUALITY_E6_SQL}),
+        kept0 AS (
+            SELECT d.doc_id, d.text, q.quality_e6
+            FROM documents d
+            JOIN q ON q.doc_id = d.doc_id
+            JOIN lq ON lq.doc_id = d.doc_id
+            WHERE lq.lang_pred = 'en' AND q.quality_e6 >= 500000
+        ),
+        kept1 AS (
+            SELECT * FROM kept0
+            WHERE doc_id IN (SELECT MIN(doc_id) FROM kept0 GROUP BY text)
+        ),
+        norm AS (
+            SELECT doc_id,
+                   array_to_string(regexp_extract_all(lower(text), '\S+'), ' ') AS t
+            FROM kept1
+        ),
+        shing AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, GREATEST(length(t) - 3, 2)),
+                       i -> substr(t, i, 5))) AS s
+            FROM norm
+        ),
+        edges AS (
+            SELECT id_a, id_b
+            FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+                       CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union
+                FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+            )
+            WHERE 2 * n_common >= n_union
+        ),
+        bi AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL
+            SELECT id_b, id_a FROM edges
+        ),
+        reach AS (
+            SELECT DISTINCT src AS node, src AS r FROM bi
+            UNION
+            SELECT reach.node, bi.dst
+            FROM reach JOIN bi ON bi.src = reach.r
+        ),
+        surv AS (
+            SELECT doc_id, quality_e6 FROM kept1
+            WHERE doc_id NOT IN (
+                SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node
+            )
+        )
+        SELECT doc_id, quality_e6,
+               CASE WHEN xor((doc_id::HUGEINT * 2654435761) % 4294967296,
+                             ((doc_id::HUGEINT * 2654435761) % 4294967296) >> 16)
+                         % 100 < 10
+                    THEN 'test' ELSE 'train' END AS split
+        FROM surv
+        ORDER BY doc_id
+    """
 
 
 def _lang_id_sql() -> str:
@@ -1073,6 +1158,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE 2 * n_common >= n_union
             ORDER BY id_a, id_b
         """,
+        "curation": _curation_sql(),
         # Incremental (new-shard vs corpus) dedup ground truth: the shard
         # keeps its role (id_new), so symmetric shard-shard pairs appear in
         # both directions and identity hits (the "already in the corpus"

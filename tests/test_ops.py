@@ -736,3 +736,36 @@ def test_minhash_incremental_matches_selfjoin_restriction():
     assert got == expect
     # the identity hits prove every shard doc finds its corpus copy
     assert {(i, i) for i in shard_ids} <= got
+
+
+def test_curate_documents_end_to_end():
+    """Hand-built corpus: a German doc (lang filter), an exact duplicate
+    (min-id survives), a near-duplicate pair (min-id survives), and clean
+    docs. Split must replay the id_hash rule."""
+    from raylink.ops.curate import curate_documents
+    from raylink.ops.sample import id_hash
+
+    base = (
+        "the cat and the dog went to the market and it was a fine day for "
+        "everyone that is walking with a basket of apples "
+    )
+    rows = [
+        {"doc_id": 0, "text": base + "alpha"},
+        {"doc_id": 1, "text": base + "alpha"},            # exact dup of 0
+        {"doc_id": 2, "text": base + "alpha beta"},       # near-dup of 0/1
+        {"doc_id": 3, "text": "der hund und die katze ist nicht ein mit für von auf den " * 3},
+        {"doc_id": 4, "text": "it is that the for with was on as " + "fresh words here " * 6},
+    ]
+    ds = rd.from_items(rows).repartition(2)
+    out = (
+        curate_documents(ds, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # 1 drops as exact dup, 2 as near-dup (component {0,1,2} -> min 0),
+    # 3 drops by lang; 0 and 4 survive
+    assert list(out["doc_id"]) == [0, 4]
+    ids = out["doc_id"].to_numpy()
+    expect_split = np.where(id_hash(ids) % 100 < 10, "test", "train")
+    assert (out["split"].to_numpy() == expect_split).all()
