@@ -653,6 +653,32 @@ def _q_dedup_survivors(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_pii_scrub(sf_dir: str):
+    # Redaction gate over deterministically CONSTRUCTED PII (the synthetic
+    # docs contain none): each doc_id yields an email + IPv4 + phone line,
+    # scrubbed by the fixed regex chain (raylink/ops/text.py PiiScrub) and
+    # replayed in DuckDB with the same RE2 patterns via regexp_replace.
+    from raylink.ops.text import pii_scrub
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = [
+            f"id {int(i)} contact user{int(i)}@example.com or "
+            f"10.0.{int(i) % 256}.7 or +1 555-010-{int(i) % 1000:03d} ok"
+            for i in ids
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "text": pa.array(txt, type=pa.string())}
+        )
+
+    ds = docs.map_batches(_mk, batch_format="pyarrow")
+    out = pii_scrub(ds).select_columns(["doc_id", "text_scrubbed"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_curation(sf_dir: str):
     # The curation capstone: lang filter -> quality floor -> exact dedup
     # -> near-dup survivors -> deterministic split, composed from the
@@ -748,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_survivors": _q_dedup_survivors,
         "curation": _q_curation,
+        "pii_scrub": _q_pii_scrub,
         "sessionize": _q_sessionize,
         "window_agg": _q_window_agg,
         "asof_join": _q_asof_join,
@@ -1159,6 +1186,29 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "curation": _curation_sql(),
+        # PII redaction replay: same constructed text, same RE2 patterns in
+        # the same order (emails before the narrower IP/phone classes)
+        "pii_scrub": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       'id ' || doc_id || ' contact user' || doc_id ||
+                       '@example.com or 10.0.' || (doc_id % 256) ||
+                       '.7 or +1 555-010-' ||
+                       lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' ok' AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\+\d{1,3}[ -]\d{3}[ -]\d{3}[ -]\d{3}\b', '<PHONE>', 'g'
+                   ) AS text_scrubbed
+            FROM t ORDER BY doc_id
+        """,
         # Incremental (new-shard vs corpus) dedup ground truth: the shard
         # keeps its role (id_new), so symmetric shard-shard pairs appear in
         # both directions and identity hits (the "already in the corpus"

@@ -341,3 +341,43 @@ def bm25_topk(
         .sort(["bm25_e6", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+# PII scrub patterns: ASCII classes only (re.ASCII) so DuckDB's RE2
+# regexp_replace(..., 'g') replays each substitution bit-exactly; applied
+# in list order (emails first — they contain dots and digits that the
+# narrower patterns would otherwise mangle).
+_PII_PATTERNS: list[tuple[str, "re.Pattern[str]", str]] = [
+    ("email", re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", re.ASCII), "<EMAIL>"),
+    ("ip", re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", re.ASCII), "<IP>"),
+    ("phone", re.compile(r"\+\d{1,3}[ -]\d{3}[ -]\d{3}[ -]\d{3}\b", re.ASCII), "<PHONE>"),
+]
+
+
+class PiiScrub:
+    """Redact emails, IPv4 addresses and +international phone numbers.
+
+    A stateless vectorized map stage (patterns compiled once per worker at
+    class construction); each document is rewritten by the fixed pattern
+    chain. The stand-in for the redaction pass every training-data
+    pipeline runs before tokenization."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "text_scrubbed"):
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        for _, pat, repl in _PII_PATTERNS:
+            texts = [pat.sub(repl, t) for t in texts]
+        return set_column(batch, self.out_col, pa.array(texts, type=pa.string()))
+
+
+def pii_scrub(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    out_col: str = "text_scrubbed",
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        PiiScrub(text_col=text_col, out_col=out_col), batch_format="pyarrow"
+    )

@@ -769,3 +769,24 @@ def test_curate_documents_end_to_end():
     ids = out["doc_id"].to_numpy()
     expect_split = np.where(id_hash(ids) % 100 < 10, "test", "train")
     assert (out["split"].to_numpy() == expect_split).all()
+
+
+def test_pii_scrub_patterns():
+    from raylink.ops.text import pii_scrub
+
+    rows = [
+        {"doc_id": 0, "text": "mail a.b+c%d@sub.example.org now"},
+        {"doc_id": 1, "text": "ip 192.168.001.255 and 1.2.3.4, not 1.2.3"},
+        {"doc_id": 2, "text": "call +49 030-555-123 or +1 555 010 007"},
+        {"doc_id": 3, "text": "clean text without identifiers"},
+    ]
+    out = (
+        pii_scrub(rd.from_items(rows))
+        .to_pandas()
+        .sort_values("doc_id")["text_scrubbed"]
+        .tolist()
+    )
+    assert out[0] == "mail <EMAIL> now"
+    assert out[1] == "ip <IP> and <IP>, not 1.2.3"
+    assert out[2] == "call <PHONE> or <PHONE>"
+    assert out[3] == "clean text without identifiers"
