@@ -653,6 +653,19 @@ def _q_dedup_survivors(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_hopping_window(sf_dir: str):
+    # Overlapping 6h windows hopping hourly: membership explosion is
+    # integer arithmetic in the map task, partials pre-reduced per batch
+    # (raylink/ops/window.py hopping_window_aggregate).
+    from raylink.ops.window import hopping_window_aggregate
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = hopping_window_aggregate(ev, width_seconds=21600, hop_seconds=3600)
+    return out.to_pandas().sort_values(["window_id", "event_type"]).reset_index(
+        drop=True
+    )
+
+
 def _q_pii_scrub(sf_dir: str):
     # Redaction gate over deterministically CONSTRUCTED PII (the synthetic
     # docs contain none): each doc_id yields an email + IPv4 + phone line,
@@ -775,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": _q_dedup_survivors,
         "curation": _q_curation,
         "pii_scrub": _q_pii_scrub,
+        "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
         "window_agg": _q_window_agg,
         "asof_join": _q_asof_join,
@@ -1186,6 +1200,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "curation": _curation_sql(),
+        # Hopping-window replay: every event joins its dense window range
+        # via generate_series; identical integer-cents arithmetic
+        "hopping_window": """
+            SELECT window_id, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM (
+                SELECT unnest(generate_series(
+                           CAST(FLOOR((epoch_us(ts) - 21600000000) / 3600000000.0) AS BIGINT) + 1,
+                           CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                       )) AS window_id,
+                       event_type, value
+                FROM events
+            )
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
         # PII redaction replay: same constructed text, same RE2 patterns in
         # the same order (emails before the narrower IP/phone classes)
         "pii_scrub": r"""

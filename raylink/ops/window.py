@@ -36,6 +36,16 @@ import ray.data
 from raylink.ops.dedup import _default_partitions, _mix64
 
 
+def _epoch_us(col: "pa.ChunkedArray | pa.Array") -> "np.ndarray":
+    """Epoch MICROSECONDS regardless of the column's timestamp unit —
+    a raw int64 cast of timestamp[ns] silently yields nanoseconds (the
+    test tables are [us], which masked this; pandas-born data is [ns])."""
+    t = col.type
+    if pa.types.is_timestamp(t) and t.unit != "us":
+        col = col.cast(pa.timestamp("us", tz=t.tz))
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
 def sessionize(
     events: ray.data.Dataset,
     gap_seconds: float,
@@ -107,7 +117,7 @@ def window_aggregate(
     width_us = int(width_seconds) * 1_000_000
 
     def _partial(batch: pa.Table) -> pa.Table:
-        us = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        us = _epoch_us(batch.column(ts_col))
         df = pd.DataFrame(
             {
                 "window_id": us // width_us,
@@ -211,4 +221,74 @@ def asof_join(
         num_partitions=num_partitions,
         left_schema=pa.schema([(n, ltypes[n]) for n in lcols]),
         right_schema=pa.schema([(n, rtypes[n]) for n in rneed]),
+    )
+
+
+def hopping_window_aggregate(
+    events: ray.data.Dataset,
+    width_seconds: int,
+    hop_seconds: int,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Hopping (sliding) window aggregate: count and integer-cents value
+    sum per ``(window_id, event_type)`` where window ``w`` covers
+    ``[w·hop, w·hop + width)`` — each event belongs to up to
+    ``ceil(width/hop)`` overlapping windows.
+
+    Scale shape mirrors :func:`window_aggregate`: the membership explosion
+    is pure integer arithmetic inside the map task (``np.repeat`` over the
+    per-event window ranges, never a Python loop) and each batch
+    pre-reduces to one partial row per (window, type), so the all-to-all
+    ships partials whose cardinality is windows × types — independent of
+    the event count. ``width % hop == 0`` is required so every event's
+    window set is a dense integer range (the standard streaming-engine
+    restriction; arbitrary offsets need an interval join instead).
+    """
+    if width_seconds % hop_seconds != 0:
+        raise ValueError(
+            f"width ({width_seconds}s) must be a multiple of hop "
+            f"({hop_seconds}s) for dense hopping windows"
+        )
+    width_us = int(width_seconds) * 1_000_000
+    hop_us = int(hop_seconds) * 1_000_000
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        us = _epoch_us(batch.column(ts_col))
+        # window w contains t iff w·hop <= t < w·hop + width:
+        # w in ( (t - width) / hop , t / hop ] — integer range
+        w_hi = us // hop_us  # last window containing t
+        w_lo = (us - width_us) // hop_us + 1  # first window containing t
+        rep = (w_hi - w_lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(us), dtype=np.int64), rep)
+        ends = np.cumsum(rep)
+        offs = np.arange(int(ends[-1]) if len(us) else 0, dtype=np.int64) - np.repeat(
+            ends - rep, rep
+        )
+        win = np.repeat(w_lo, rep) + offs
+        cents = np.rint(
+            batch.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "window_id": win,
+                type_col: batch.column(type_col)
+                .to_numpy(zero_copy_only=False)[idx],
+                "n_events": np.int64(1),
+                "value_cents": cents[idx],
+            }
+        )
+        out = df.groupby(["window_id", type_col], as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        events.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["window_id", type_col])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
     )

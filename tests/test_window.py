@@ -167,3 +167,56 @@ def test_asof_join_forward_direction():
     exp = [brute(r) for r in df[["event_id", "user_id", "ts"]].itertuples()]
     a = got["next_click_id"].fillna(-1).astype("int64").to_numpy()
     assert (a == np.array(exp)).all()
+
+
+def test_hopping_window_matches_bruteforce():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raylink.ops.window import hopping_window_aggregate
+
+    rng = np.random.default_rng(3)
+    n = 500
+    ts_us = rng.integers(0, 48 * 3600, n) * 1_000_000 + 1_700_000_000_000_000
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(ts_us, unit="us"),
+            "event_type": rng.choice(["a", "b"], n),
+            "value": rng.uniform(0, 10, n).round(2),
+        }
+    )
+    width, hop = 7200, 1800  # 2h window hopping 30min -> 4 windows/event
+    out = (
+        hopping_window_aggregate(
+            rd.from_pandas(df).repartition(4), width, hop
+        )
+        .to_pandas()
+        .sort_values(["window_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    # brute force: explode each event into its windows
+    rows = []
+    for t, et, v in zip(ts_us, df["event_type"], df["value"]):
+        hi = t // (hop * 1_000_000)
+        lo = (t - width * 1_000_000) // (hop * 1_000_000) + 1
+        for w in range(lo, hi + 1):
+            rows.append((w, et, int(round(v * 100))))
+    bf = (
+        pd.DataFrame(rows, columns=["window_id", "event_type", "value_cents"])
+        .groupby(["window_id", "event_type"], as_index=False)
+        .agg(n_events=("value_cents", "size"), value_cents=("value_cents", "sum"))
+    ).sort_values(["window_id", "event_type"]).reset_index(drop=True)
+    assert (out["n_events"].to_numpy() == bf["n_events"].to_numpy()).all()
+    assert (out["value_cents"].to_numpy() == bf["value_cents"].to_numpy()).all()
+    assert len(out) == len(bf)
+
+
+def test_hopping_window_rejects_non_divisible():
+    import pytest
+    import ray.data as rd
+
+    from raylink.ops.window import hopping_window_aggregate
+
+    with pytest.raises(ValueError):
+        hopping_window_aggregate(rd.range(1), 100, 33)
