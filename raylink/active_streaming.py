@@ -427,7 +427,7 @@ def group_max_prob(
             .agg(p=("p", "max"), e=("e", "max"))
             .reset_index()
         )
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return pa.Table.from_pandas(part, preserve_index=False).replace_schema_metadata(None)
 
     grouped = (
         pairs.map_batches(_g, batch_format="pyarrow")

@@ -165,21 +165,26 @@ def _presplit_side(
     ``GRAFT_PRESPLIT=0`` forces the legacy post-expansion repartition."""
     if os.environ.get("GRAFT_PRESPLIT", "1") == "0":
         return ds, False
+    exact = True
     try:
         have = ds.num_blocks()
     except Exception:
-        # lazy lineage: num_blocks() raises NotImplementedError, but map
-        # stages preserve the plan's initial block count, which IS the
-        # number of blocks the expand map will emit (plan-level metadata,
-        # no execution triggered)
+        # lazy lineage: num_blocks() raises NotImplementedError. The plan's
+        # initial block count is only a HINT here — upstream filters or
+        # all-to-alls can leave fewer real blocks than the plan metadata
+        # claims (ADVICE r3), so it must never justify skipping the split.
+        exact = False
         try:
             have = ds._plan.initial_num_blocks()
         except Exception:
             return ds, False
     if have is None:
         return ds, False
-    if have >= want_half:
+    if exact and have >= want_half:
         return ds, True
+    # Hint-based (or exact-but-low) count: repartition the SLIM
+    # pre-expansion rows. Over-partitioning N slim rows costs one cheap
+    # exchange; trusting an inflated hint serializes the pair-gen sort.
     return ds.repartition(want_half), True
 
 

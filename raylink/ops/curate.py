@@ -112,7 +112,15 @@ def curate_documents(
     def _to_edges(batch: pa.Table) -> pa.Table:
         ida = batch.column("id_a").to_numpy(zero_copy_only=False)
         idb = batch.column("id_b").to_numpy(zero_copy_only=False)
-        assert len(ida) == 0 or min(ida.min(), idb.min()) >= 0
+        # zfill puts zeros BEFORE a '-' sign, so lexicographic min of the
+        # padded keys != numeric min for negative ids — fail loudly (a bare
+        # assert is stripped under python -O and would admit wrong survivors)
+        if len(ida) and min(ida.min(), idb.min()) < 0:
+            raise ValueError(
+                "curate_documents requires non-negative doc ids: the "
+                "zero-padded edge keys used for min-id survivor selection "
+                "do not order correctly for negative ids"
+            )
         return pa.table(
             {
                 "block": pa.array(np.full(len(ida), "g"), type=pa.string()),

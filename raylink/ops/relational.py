@@ -151,7 +151,7 @@ def grouped_topk(
         if tiebreak:
             out = out.sort_values(tiebreak, kind="stable")
         # arrow out: keeps block types homogeneous for downstream shuffles
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return ds.groupby(group_col).map_groups(_topk, batch_format="pandas")
 

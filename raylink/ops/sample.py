@@ -80,11 +80,17 @@ def select_kth(
     n, lo, hi = int(stats["count()"]), int(stats["lo"]), int(stats["hi"])
     if k > n:
         raise ValueError(f"k={k} exceeds row count {n}")
+    _BIAS = 1 << 63  # two's-complement bias: int64 x <-> uint64 x + 2^63
     while hi > lo:
-        span = hi - lo + 1
+        span = hi - lo + 1  # Python int: exact even when hi-lo spans > int64
         width = max(1, -(-span // num_buckets))  # ceil
         nb = -(-span // width)
-        clo, chi, cw = lo, hi, width  # bind loop state for the closure
+        clo, chi = lo, hi  # bind loop state for the closure
+        # offsets computed in uint64 (biased) — a plain int64 (v - clo)
+        # wraps when the column span exceeds the int64 range, yielding
+        # negative bucket indices (ADVICE r3)
+        uclo = np.uint64(clo + _BIAS)
+        ucw = np.uint64(width)
 
         def _hist(batch: pa.Table) -> pa.Table:
             v = _column_i64(batch, value_col)
@@ -93,7 +99,8 @@ def select_kth(
                 return pa.table(
                     {"b": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())}
                 )
-            idx = (v - clo) // cw
+            u = v.astype(np.uint64) + np.uint64(_BIAS)  # wraps negatives up
+            idx = ((u - uclo) // ucw).astype(np.int64)
             counts = np.bincount(idx, minlength=nb)
             nz = np.flatnonzero(counts)
             return pa.table(
@@ -156,7 +163,7 @@ def stratified_sample(
 
     def _final(group: pd.DataFrame) -> pa.Table:
         out = group.sort_values(["_h", id_col], kind="stable").head(n_per_group)
-        return pa.Table.from_pandas(out.drop(columns=["_h"]), preserve_index=False)
+        return pa.Table.from_pandas(out.drop(columns=["_h"]), preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(_partial, batch_format="pandas")
     return partials.groupby(group_col).map_groups(_final, batch_format="pandas")

@@ -228,7 +228,7 @@ def vocab_topk(
             return batch
         df = batch.to_pandas()
         df = df.sort_values(["cnt", "token"], ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     summed = (
         ds.map_batches(_partial, batch_format="pyarrow")

@@ -39,10 +39,17 @@ from raylink.ops.dedup import _default_partitions, _mix64
 def _epoch_us(col: "pa.ChunkedArray | pa.Array") -> "np.ndarray":
     """Epoch MICROSECONDS regardless of the column's timestamp unit —
     a raw int64 cast of timestamp[ns] silently yields nanoseconds (the
-    test tables are [us], which masked this; pandas-born data is [ns])."""
+    test tables are [us], which masked this; pandas-born data is [ns]).
+    Sub-microsecond components are FLOORED first: pyarrow's default
+    safe cast raises ArrowInvalid on any nonzero-ns value, and truncating
+    to the µs grid cannot change second-scale window assignment."""
     t = col.type
     if pa.types.is_timestamp(t) and t.unit != "us":
-        col = col.cast(pa.timestamp("us", tz=t.tz))
+        import pyarrow.compute as pc
+
+        col = pc.floor_temporal(col, unit="microsecond").cast(
+            pa.timestamp("us", tz=t.tz)
+        )
     return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
@@ -60,7 +67,13 @@ def sessionize(
     within the session — deterministic and SQL-replayable with window
     functions. Returns ``(id_col, key_col, session_id)`` rows.
     """
-    P = np.uint64(num_partitions or _default_partitions())
+    from raylink.util import sorted_partition_apply
+
+    # 2^31 pid values, not num_partitions: high cardinality keeps the range
+    # exchange's sampled boundaries collision-free so no empty (schema-less)
+    # sort partitions are emitted — see util.sorted_partition_apply
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
     gap = pd.Timedelta(seconds=gap_seconds)
 
     def _tag(batch: pa.Table) -> pa.Table:
@@ -75,11 +88,10 @@ def sessionize(
             }
         )
 
-    def _sess(df: pd.DataFrame) -> pa.Table:
+    def _sess(part: pa.Table) -> pa.Table:
         # all users of this partition at once: sort, then one vectorized
-        # break/cumsum — no per-user loop; arrow out so the Dataset's block
-        # type stays homogeneous (empty partitions forward input-typed
-        # blocks, and mixed types trip downstream sorts)
+        # break/cumsum — no per-user loop
+        df = part.to_pandas()
         df = df.sort_values([key_col, ts_col, id_col], kind="stable")
         new_user = df[key_col].ne(df[key_col].shift())
         brk = new_user | (df[ts_col].diff() > gap)
@@ -93,10 +105,15 @@ def sessionize(
             }
         )
 
-    return (
-        events.map_batches(_tag, batch_format="pyarrow")
-        .groupby("_pid")
-        .map_groups(_sess, batch_format="pandas")
+    eschema = events.schema()
+    etype = dict(zip(eschema.names, eschema.types))
+    out_schema = pa.schema(
+        [(id_col, etype[id_col]), (key_col, etype[key_col]),
+         ("session_id", etype[id_col])]
+    )
+    tagged = events.map_batches(_tag, batch_format="pyarrow")
+    return sorted_partition_apply(
+        tagged.repartition(nparts), "_pid", _sess, out_schema
     )
 
 
@@ -129,7 +146,7 @@ def window_aggregate(
             }
         )
         out = df.groupby(["window_id", type_col], as_index=False, sort=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
 
@@ -280,7 +297,7 @@ def hopping_window_aggregate(
             }
         )
         out = df.groupby(["window_id", type_col], as_index=False, sort=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
 

@@ -135,6 +135,53 @@ def hash_partition_ids(batch, key_cols: list[str], num_partitions: int):
     return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
 
 
+def sorted_partition_apply(
+    ds: ray.data.Dataset,
+    sort_key: str,
+    fn,
+    out_schema,
+) -> ray.data.Dataset:
+    """ONE range exchange (sort on ``sort_key``) + a whole-partition apply
+    with a PINNED output schema — the executor-clean replacement for
+    ``groupby(key).map_groups(fn)`` when the kernel is already vectorized
+    over all groups of a partition.
+
+    Why not map_groups: Ray 2.49's sort emits schema-less empty blocks for
+    empty range partitions, and its map_groups wrapper yields NOTHING for
+    them — both trigger ``RefBundle with a different schema`` executor
+    warnings, and on a Ray version that acts on the mismatch they become a
+    correctness hazard. Here (a) callers route on a HIGH-cardinality
+    integer ``sort_key`` (hash of the group key mod 2^31, not mod
+    #partitions) so sampled sort boundaries essentially never collide and
+    empty sort partitions don't occur, and (b) every map output — including
+    an empty partition's — is ``out_schema``-typed.
+
+    ``fn(table: pa.Table) -> pa.Table`` receives a WHOLE sort partition
+    (all groups whose key hashes into its range, each group complete) and
+    must handle multiple groups per call; it runs once per partition, not
+    once per group, which also drops map_groups' per-group Python call
+    overhead."""
+    import pyarrow as pa
+
+    def _apply(block: pa.Table):
+        if block.num_rows == 0:
+            yield out_schema.empty_table()
+            return
+        out = fn(block)
+        if out.schema != out_schema:
+            out = pa.Table.from_arrays(
+                [out.column(f.name).cast(f.type) for f in out_schema],
+                schema=out_schema,
+            )
+        yield out
+
+    return (
+        ds.sort(sort_key)
+        .map_batches(_apply, batch_size=None, batch_format="pyarrow")
+        .union(ray.data.from_arrow(out_schema.empty_table()))
+    )
+
+
 def shuffle_merge(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -149,17 +196,23 @@ def shuffle_merge(
     """Distributed hash join without ``Dataset.join`` (which crashes on
     sparse partitions in Ray 2.49 — see :func:`hash_join`).
 
-    Both sides are tagged with ``_pid = hash(join keys) % P`` under one
+    Both sides are tagged with ``_pid = hash(join keys) % 2^31`` under one
     union schema (right-side columns prefixed ``__r__`` to avoid clashes,
     absent columns null-padded — typed nulls, so Arrow schemas stay exact
-    through the union), shuffled once by ``groupby(_pid)``, and each
-    partition is merged by ``merge_fn(left_df, right_df) -> pandas.DataFrame``
-    (a vectorized pandas hash join per partition). ``out_schema`` pins the
-    output Arrow schema so all-NA payload partitions cannot drift types.
+    through the union), exchanged once via :func:`sorted_partition_apply`
+    on ``_pid`` (equal join keys share a ``_pid`` so every key group lands
+    whole in one range partition), and each PARTITION is merged by
+    ``merge_fn(left_df, right_df) -> pandas.DataFrame`` — a vectorized
+    pandas hash join over all of the partition's key groups at once.
+    ``out_schema`` pins the output Arrow schema so all-NA payload
+    partitions cannot drift types (and empty partitions emit typed empty
+    tables instead of Ray's schema-less blocks).
 
-    Scale contract: ONE all-to-all exchange of both inputs; per-partition
-    memory = (|L|+|R|)/P plus merge output. Skewed join keys concentrate in
-    a partition — P defaults to ~8× cluster CPUs to dilute.
+    Scale contract: ONE all-to-all exchange of both inputs;
+    ``num_partitions`` (default ~2× cluster CPUs; large-join callers
+    override upward) bounds per-partition memory at (|L|+|R|)/P plus merge
+    output via a pre-sort streaming repartition. Skewed join keys
+    concentrate in a partition — the bound is the hottest key.
     """
     import pyarrow as pa
 
@@ -201,9 +254,15 @@ def shuffle_merge(
         (n, _pa_type(t)) for n, t in zip(l_names, l_schema.types)
     ] + [(f"__r__{n}", _pa_type(t)) for n, t in zip(r_names, r_schema.types)]
 
+    # 2^31 pid values (NOT num_partitions): the range exchange samples sort
+    # boundaries from the pid column, and a low-cardinality pid makes
+    # boundary collisions — hence empty, schema-less sort partitions — a
+    # birthday certainty once blocks outnumber distinct pids
+    _PID_SPACE = 1 << 31
+
     def _tag(side: int, keys: list[str]):
         def _t(batch: pa.Table) -> pa.Table:
-            pid = hash_partition_ids(batch, keys, num_partitions)
+            pid = hash_partition_ids(batch, keys, _PID_SPACE)
             cols: dict[str, pa.Array] = {}
             for name, typ in union_fields:
                 if side == 0 and not name.startswith("__r__") and name in batch.column_names:
@@ -224,12 +283,12 @@ def shuffle_merge(
         right.map_batches(_tag(1, right_keys), batch_format="pyarrow")
     )
 
-    def _merge(group: pa.Table) -> pa.Table:
+    def _merge(part: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        is_left = pc.equal(group.column("_side"), 0)
-        ldf = group.filter(is_left).select(l_names).to_pandas()
-        rtab = group.filter(pc.invert(is_left)).select(
+        is_left = pc.equal(part.column("_side"), 0)
+        ldf = part.filter(is_left).select(l_names).to_pandas()
+        rtab = part.filter(pc.invert(is_left)).select(
             [f"__r__{n}" for n in r_names]
         )
         rdf = rtab.rename_columns(r_names).to_pandas()
@@ -243,7 +302,9 @@ def shuffle_merge(
         ]
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
-    return tagged.groupby("_pid").map_groups(_merge, batch_format="pyarrow")
+    return sorted_partition_apply(
+        tagged.repartition(num_partitions), "_pid", _merge, out_schema
+    )
 
 
 def hash_join(  # noqa: D401 — see warning below
