@@ -263,24 +263,336 @@ def _q_ann_topk(sf_dir: str):
     )
 
 
-# ---- rows-only (non-SQL-expressible) queries -----------------------------
+# ---- flagship gate queries (SQL-oracled via frozen-state replay) ---------
+#
+# The flagship is iterative (active learning drives which pairs get oracle
+# labels), so the LEARNED state — glm coefficients, the label map, the
+# expected-F1 cutoff — cannot itself be an SQL expression. But with that
+# state frozen after the run (all of it ≤ max_labels-sized, exportable as
+# SQL literals), the FINAL pass is pure arithmetic DuckDB replays exactly:
+# within-block pair generation over the distinct key sets, cosine over the
+# per-key embedding table (the deterministic hashed-n-gram encoder's output,
+# float32 widened to float64 — the "model weights" temp table), stringdist
+# Jaro-Winkler (DuckDB's jaro_similarity + the unconditional Winkler boost
+# the reference's stringdist semantics use, reference R/fuzzylink.R:176),
+# sigmoid + label/exact overrides + strict-cutoff filter
+# (R/fuzzylink.R:391,471-474), the dfA-complete payload join
+# (R/fuzzylink.R:475-480) and the entity-cluster closure (recursive CTE).
+#
+# Float safety: value columns travel as *_e6 integers computed from a
+# float64 replay of the scoring arithmetic on BOTH sides (the engine's
+# in-pipeline float32 tile matmul decides membership with a measured
+# decision margin of 0.087 probability — 4 orders of magnitude above the
+# ~3e-6 float32/float64 discrepancy, so membership can never flip; see
+# tests/test_gate_pins.py::test_flagship_decision_margin).
+
+_FLAGSHIP_DIM = 256  # LinkConfig.embedding_dim default used by _run_linkage
+_GATE_SF = "/root/testdata/sf0.01"  # the sf the driver runs oracle SQL at
+_FLAGSHIP_STATE: dict[str, dict] = {}
+
+
+def _flagship_state(sf_dir: str) -> dict:
+    """Frozen final-pass state of the flagship run at ``sf_dir``."""
+    if sf_dir in _FLAGSHIP_STATE:
+        return _FLAGSHIP_STATE[sf_dir]
+    from raylink.embed import HashedNgramEmbedder
+    from raylink.schema import add_content_sha256, add_key_from_path
+    from raylink.synth import corpus_from_documents
+
+    res, _ = _run_linkage(sf_dir)
+    sp = res.scored_pairs.select_columns(
+        ["block", "key_a", "key_b", "match"]
+    ).to_pandas()
+    ka = sp[["block", "key_a"]].drop_duplicates().rename(columns={"key_a": "key"})
+    kb = sp[["block", "key_b"]].drop_duplicates().rename(columns={"key_b": "key"})
+    # the label map as the scoring pass saw it, restricted to candidate
+    # pairs (labels for non-candidates are unreachable on both sides);
+    # exact pairs are handled by the CASE key_a = key_b override
+    labels = (
+        sp.loc[
+            sp["match"].notna() & (sp["key_a"] != sp["key_b"]),
+            ["key_a", "key_b", "match"],
+        ].drop_duplicates()
+    )
+    keys = list(pd.unique(pd.concat([ka["key"], kb["key"]], ignore_index=True)))
+    emb = HashedNgramEmbedder(dim=_FLAGSHIP_DIM, text_col="key")
+    emb64 = emb.encode_many(keys).astype(np.float64)
+
+    # corpora for the payload-join replay: the same key/sha derivation the
+    # pipeline's prepare_corpus applies, run driver-side on the small gate
+    # corpus (content itself never enters the SQL — content_sha256 is its
+    # injective proxy, so literals stay small)
+    ca, cb, _t = corpus_from_documents(sf_dir, seed=42)
+
+    def _prep(tbl: pa.Table) -> pd.DataFrame:
+        df = add_content_sha256(add_key_from_path(tbl)).to_pandas()
+        df["block"] = df["lang"]
+        return df[["repo", "path", "commit", "lang", "block", "key", "content_sha256"]]
+
+    state = {
+        "coef": [float(c) for c in res.model_state["coef"]],
+        "cutoff": float(res.cutoff),
+        "ka": ka,
+        "kb": kb,
+        "labels": labels,
+        "keys": keys,
+        "emb64": emb64,
+        "kidx": {k: i for i, k in enumerate(keys)},
+        "dfa": _prep(ca),
+        "dfb": _prep(cb),
+    }
+    _FLAGSHIP_STATE[sf_dir] = state
+    return state
+
+
+def _e6(x: np.ndarray) -> np.ndarray:
+    """round-half-up micro-units — FLOOR(x*1e6 + 0.5) on the SQL side."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+
+
+def _flagship_pair_e6(sf_dir: str, key_a, key_b, jw) -> tuple:
+    """(sim_e6, jw_e6, p_e6) for pair rows, replayed in float64 from the
+    frozen state — the arithmetic the DuckDB oracle runs, so both sides of
+    the gate compute the VALUE columns the same way while the engine's own
+    float32 pipeline decides membership."""
+    st = _flagship_state(sf_dir)
+    kidx, emb64 = st["kidx"], st["emb64"]
+    coef = st["coef"]
+    ia = np.asarray([kidx[k] for k in key_a], dtype=np.int64)
+    ib = np.asarray([kidx[k] for k in key_b], dtype=np.int64)
+    sim64 = np.einsum("ij,ij->i", emb64[ia], emb64[ib])
+    jw = np.asarray(jw, dtype=np.float64)
+    p64 = 1.0 / (1.0 + np.exp(-(coef[0] + coef[1] * sim64 + coef[2] * jw)))
+    exact = np.asarray(key_a, dtype=object) == np.asarray(key_b, dtype=object)
+    p64 = np.where(exact, 1.0, p64)
+    return _e6(sim64), _e6(jw), _e6(p64)
 
 
 def _q_fuzzylink_linked(sf_dir: str):
     res, _ = _run_linkage(sf_dir)
-    return res.linked
+    df = res.linked.to_pandas()
+    n = len(df)
+    m = df["key_b"].notna().to_numpy()
+    sim_e6 = np.full(n, -1, dtype=np.int64)
+    jw_e6 = np.full(n, -1, dtype=np.int64)
+    p_e6 = np.full(n, -1, dtype=np.int64)
+    if m.any():
+        s6, j6, p6 = _flagship_pair_e6(
+            sf_dir,
+            df.loc[m, "key"].to_numpy(),
+            df.loc[m, "key_b"].to_numpy(),
+            df.loc[m, "jw"].to_numpy(),
+        )
+        sim_e6[m], jw_e6[m], p_e6[m] = s6, j6, p6
+    out = pd.DataFrame(
+        {
+            "repo": df["repo"],
+            "path": df["path"],
+            "commit": df["commit"],
+            "lang": df["lang"],
+            "block": df["block"],
+            "key": df["key"],
+            "content_sha256": df["content_sha256"],
+            "key_b": df["key_b"].fillna(""),
+            "match": df["match"].fillna(""),
+            "sim_e6": sim_e6,
+            "jw_e6": jw_e6,
+            "p_e6": p_e6,
+            "repo_b": df["repo_b"].fillna(""),
+            "path_b": df["path_b"].fillna(""),
+            "commit_b": df["commit_b"].fillna(""),
+            "lang_b": df["lang_b"].fillna(""),
+            "content_sha256_b": df["content_sha256_b"].fillna(""),
+        }
+    )
+    return out.sort_values(list(out.columns), kind="stable").reset_index(drop=True)
 
 
 def _q_fuzzylink_accepted(sf_dir: str):
     res, _ = _run_linkage(sf_dir)
-    return res.accepted.select_columns(
-        ["block", "key_a", "key_b", "sim", "jw", "match", "match_probability"]
+    acc = res.accepted.select_columns(
+        ["block", "key_a", "key_b", "jw", "match"]
+    ).to_pandas()
+    sim_e6, jw_e6, p_e6 = _flagship_pair_e6(
+        sf_dir, acc["key_a"].to_numpy(), acc["key_b"].to_numpy(), acc["jw"].to_numpy()
+    )
+    out = pd.DataFrame(
+        {
+            "block": acc["block"],
+            "key_a": acc["key_a"],
+            "key_b": acc["key_b"],
+            "match": acc["match"].fillna(""),
+            "sim_e6": sim_e6,
+            "jw_e6": jw_e6,
+            "p_e6": p_e6,
+        }
+    )
+    return out.sort_values(["block", "key_a", "key_b"], kind="stable").reset_index(
+        drop=True
     )
 
 
 def _q_entity_clusters(sf_dir: str):
     res, _ = _run_linkage(sf_dir)
     return res.clusters
+
+
+# ---- flagship oracle SQL builders ----------------------------------------
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _flagship_cte(sf_dir: str, with_corpus: bool = False) -> str:
+    """Shared WITH body: literal key / embedding / label tables + the
+    scored CTE replaying pair-gen → cosine → Jaro-Winkler (stringdist
+    semantics: jaro + unconditional 0.1·prefix boost — DuckDB's
+    jaro_winkler_similarity gates the boost at 0.7, the engine does not) →
+    sigmoid with exact/label overrides."""
+    st = _flagship_state(sf_dir)
+    b0, b1, b2 = st["coef"]
+
+    def _vals_keys(df):
+        return ",".join(
+            f"('{_sq(b)}','{_sq(k)}')" for b, k in zip(df["block"], df["key"])
+        )
+
+    emb_rows = ",".join(
+        "('%s',[%s]::DOUBLE[])"
+        % (_sq(k), ",".join(repr(float(x)) for x in v))
+        for k, v in zip(st["keys"], st["emb64"])
+    )
+    lab = st["labels"]
+    if len(lab):
+        lab_rows = ",".join(
+            f"('{_sq(a)}','{_sq(b)}','{m}')"
+            for a, b, m in zip(lab["key_a"], lab["key_b"], lab["match"])
+        )
+        lab_cte = f"lab(key_a, key_b, label) AS (VALUES {lab_rows})"
+    else:
+        lab_cte = (
+            "lab(key_a, key_b, label) AS "
+            "(SELECT '', '', '' WHERE 1 = 0)"
+        )
+    corpus = ""
+    if with_corpus:
+
+        def _vals_corpus(df):
+            return ",".join(
+                "('%s','%s','%s','%s','%s','%s','%s')"
+                % tuple(_sq(str(v)) for v in row)
+                for row in df.itertuples(index=False)
+            )
+
+        corpus = f""",
+        dfa(repo, path, commit, lang, block, key, content_sha256) AS (
+            VALUES {_vals_corpus(st["dfa"])}),
+        dfb(repo, path, commit, lang, block, key, content_sha256) AS (
+            VALUES {_vals_corpus(st["dfb"])})"""
+    return f"""
+        ka(block, key) AS (VALUES {_vals_keys(st["ka"])}),
+        kb(block, key) AS (VALUES {_vals_keys(st["kb"])}),
+        emb(key, v) AS (VALUES {emb_rows}),
+        {lab_cte}{corpus},
+        feat AS (
+            SELECT ka.block, ka.key AS key_a, kb.key AS key_b,
+                   list_dot_product(ea.v, eb.v) AS sim,
+                   jaro_similarity(lower(ka.key), lower(kb.key)) AS j,
+                   lower(ka.key) AS la, lower(kb.key) AS lb
+            FROM ka JOIN kb ON ka.block = kb.block
+            JOIN emb ea ON ea.key = ka.key
+            JOIN emb eb ON eb.key = kb.key
+        ),
+        jw_t AS (
+            SELECT *,
+                (CASE WHEN substr(la,1,4)=substr(lb,1,4) AND length(la)>=4 AND length(lb)>=4 THEN 4
+                      WHEN substr(la,1,3)=substr(lb,1,3) AND length(la)>=3 AND length(lb)>=3 THEN 3
+                      WHEN substr(la,1,2)=substr(lb,1,2) AND length(la)>=2 AND length(lb)>=2 THEN 2
+                      WHEN substr(la,1,1)=substr(lb,1,1) AND length(la)>=1 AND length(lb)>=1 THEN 1
+                      ELSE 0 END) AS pl
+            FROM feat
+        ),
+        scored AS (
+            SELECT jw_t.block, jw_t.key_a, jw_t.key_b, jw_t.sim,
+                   j + 0.1 * pl * (1.0 - j) AS jw,
+                   CASE WHEN jw_t.key_a = jw_t.key_b THEN 'Yes' ELSE lab.label END AS match,
+                   CASE WHEN jw_t.key_a = jw_t.key_b THEN 1.0
+                        ELSE 1.0/(1.0+exp(-({b0!r} + {b1!r}*sim + {b2!r}*(j + 0.1 * pl * (1.0 - j))))) END AS p
+            FROM jw_t LEFT JOIN lab
+              ON lab.key_a = jw_t.key_a AND lab.key_b = jw_t.key_b
+        ),
+        acc AS (
+            SELECT block, key_a, key_b, match, sim, jw, p FROM scored
+            WHERE match = 'Yes' OR (match IS NULL AND p > {st["cutoff"]!r})
+        )"""
+
+
+def _flagship_accepted_sql(sf_dir: str) -> str:
+    return f"""
+        WITH {_flagship_cte(sf_dir)}
+        SELECT block, key_a, key_b, COALESCE(match, '') AS match,
+               CAST(FLOOR(sim*1000000 + 0.5) AS BIGINT) AS sim_e6,
+               CAST(FLOOR(jw*1000000 + 0.5) AS BIGINT) AS jw_e6,
+               CAST(FLOOR(p*1000000 + 0.5) AS BIGINT) AS p_e6
+        FROM acc
+        ORDER BY block, key_a, key_b
+    """
+
+
+def _entity_clusters_sql(sf_dir: str) -> str:
+    # min-label transitive closure over the replayed accepted edge set —
+    # same recursive-CTE device as connected_components, namespaced by block
+    return f"""
+        WITH RECURSIVE {_flagship_cte(sf_dir)},
+        bi AS (
+            SELECT block, key_a AS src, key_b AS dst FROM acc
+            UNION ALL
+            SELECT block, key_b, key_a FROM acc
+        ),
+        reach AS (
+            SELECT DISTINCT block, src AS node, src AS r FROM bi
+            UNION
+            SELECT reach.block, reach.node, bi.dst
+            FROM reach JOIN bi ON bi.src = reach.r AND bi.block = reach.block
+        )
+        SELECT block, node AS key, block || '|' || MIN(r) AS entity_id
+        FROM reach GROUP BY block, node
+        ORDER BY block, key
+    """
+
+
+def _fuzzylink_linked_sql(sf_dir: str) -> str:
+    # right_join(dfA) → left_join(dfB) replay (R/fuzzylink.R:475-480):
+    # every dfA row survives; accepted pairs expand m:m; dfB payload rides
+    # in suffixed _b. NULL-free projection (''/-1 fills) so the cross-engine
+    # hash never depends on engine null conventions.
+    return f"""
+        WITH {_flagship_cte(sf_dir, with_corpus=True)},
+        acc6 AS (
+            SELECT block, key_a, key_b, match,
+                   CAST(FLOOR(sim*1000000 + 0.5) AS BIGINT) AS sim_e6,
+                   CAST(FLOOR(jw*1000000 + 0.5) AS BIGINT) AS jw_e6,
+                   CAST(FLOOR(p*1000000 + 0.5) AS BIGINT) AS p_e6
+            FROM acc
+        )
+        SELECT a.repo, a.path, a.commit, a.lang, a.block, a.key,
+               a.content_sha256,
+               COALESCE(s.key_b, '') AS key_b,
+               COALESCE(s.match, '') AS match,
+               COALESCE(s.sim_e6, -1) AS sim_e6,
+               COALESCE(s.jw_e6, -1) AS jw_e6,
+               COALESCE(s.p_e6, -1) AS p_e6,
+               COALESCE(b.repo, '') AS repo_b,
+               COALESCE(b.path, '') AS path_b,
+               COALESCE(b.commit, '') AS commit_b,
+               COALESCE(b.lang, '') AS lang_b,
+               COALESCE(b.content_sha256, '') AS content_sha256_b
+        FROM dfa a
+        LEFT JOIN acc6 s ON s.key_a = a.key AND s.block = a.block
+        LEFT JOIN dfb b ON b.key = s.key_b AND b.block = s.block
+        ORDER BY ALL
+    """
 
 
 def _q_minhash_dedup(sf_dir: str):
@@ -778,10 +1090,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "split_by_hash": _q_split_by_hash,
         "bm25_topk": _q_bm25_topk,
-        # rows-only (iterative / model-driven / sketch-based)
+        # flagship: SQL-gated via frozen-state replay (learned state as
+        # literals, final pass replayed bit-exactly — see _flagship_cte)
         "fuzzylink_linked": _q_fuzzylink_linked,
         "fuzzylink_accepted": _q_fuzzylink_accepted,
         "entity_clusters": _q_entity_clusters,
+        # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1471,4 +1785,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE c >= 0.45
             ORDER BY id_a, id_b
         """,
+        # Flagship final-pass replay (frozen learned state exported as SQL
+        # literals; see the builder docstrings). Built against the
+        # correctness gate's sf0.01 tables — the one sf the driver runs
+        # oracle SQL at; building them requires one (memoized) flagship run.
+        "fuzzylink_accepted": _flagship_accepted_sql(_GATE_SF),
+        "entity_clusters": _entity_clusters_sql(_GATE_SF),
+        "fuzzylink_linked": _fuzzylink_linked_sql(_GATE_SF),
     }

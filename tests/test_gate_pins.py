@@ -1,28 +1,30 @@
-"""Content-hash pins for the flagship gate outputs (r2 VERDICT #7).
+"""Content-hash pins + decision-margin guard for the flagship gate outputs.
 
-The three fuzzylink gate queries are iterative/model-driven and have no SQL
-oracle; their regression pin was previously row counts only (658/462/639,
-stable r1→r2). These tests pin the full sorted-table content by sha256, so
-any silent value drift — probabilities, pair membership, cluster
-assignment — fails loudly. Hashes verified identical across fresh
-processes, at num_cpus ∈ {4, 16, 32}, and under OPENBLAS/OMP thread-count
-variation (the originally committed linked/accepted hashes were never
-reproducible from the committed tree — likely computed from a dirty
-working state; entity_clusters, which derives from accepted-pair
-membership, matched throughout, so only float probability formatting
-could have differed).
+The three fuzzylink gate queries are iterative/model-driven, so the learned
+state (coefficients, labels, cutoff) is frozen after the run and the final
+pass is replayed by a DuckDB oracle (``__ray_entry__._flagship_cte``). These
+tests pin the full sorted-table content by sha256 — any silent drift in
+probabilities, pair membership, payload join or cluster assignment fails
+loudly — and assert the property the oracle's bit-exactness rests on: the
+acceptance decision margin is orders of magnitude wider than the
+float32-pipeline vs float64-replay discrepancy, so membership can never
+flip between the engine and the SQL replay.
+
+Row counts 658/462/639 are stable r1→r4; hashes changed in r4 when the
+gate projection moved from raw floats to the e6 replay columns.
 """
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
 
 PINS = {
-    "fuzzylink_linked": (658, "0532776ec532763d"),
-    "fuzzylink_accepted": (462, "ddfddd391a517e4e"),
+    "fuzzylink_linked": (658, "16bf567f02dc2140"),
+    "fuzzylink_accepted": (462, "fc79a07b8f38d63d"),
     "entity_clusters": (639, "c2660e1a719c12fa"),
 }
 
@@ -43,3 +45,40 @@ def test_flagship_content_pin(name):
     want_rows, want_hash = PINS[name]
     assert len(res) == want_rows
     assert _canon_hash(res) == want_hash
+
+
+def test_flagship_decision_margin():
+    """The engine decides acceptance on probabilities from the float32 tile
+    matmul; the DuckDB oracle replays them in float64. Bit-exact row
+    membership requires the minimum |p - cutoff| over unlabeled candidate
+    pairs to dwarf the f32/f64 discrepancy — measured ~0.087 vs ~3e-6 at
+    sf0.01. Guard both at a 100× safety factor so a corpus or encoder
+    change that erodes the margin fails here before it flakes the gate."""
+    import __ray_entry__ as gate
+
+    res, _ = gate._run_linkage(SF)
+    sp = res.scored_pairs.to_pandas()
+    cutoff = float(res.cutoff)
+    unlabeled = sp["match"].isna().to_numpy()
+    p_engine = sp["match_probability"].to_numpy()
+    margin = np.abs(p_engine[unlabeled] - cutoff).min()
+
+    # float64 replay of p over all candidate pairs (the oracle's arithmetic)
+    st = gate._flagship_state(SF)
+    coef = st["coef"]
+    kidx, emb64 = st["kidx"], st["emb64"]
+    ia = sp["key_a"].map(kidx).to_numpy()
+    ib = sp["key_b"].map(kidx).to_numpy()
+    sim64 = np.einsum("ij,ij->i", emb64[ia], emb64[ib])
+    p64 = 1.0 / (1.0 + np.exp(-(coef[0] + coef[1] * sim64 + coef[2] * sp["jw"].to_numpy())))
+    exact = (sp["key_a"] == sp["key_b"]).to_numpy()
+    p64 = np.where(exact, 1.0, p64)
+    disc = np.abs(p64 - p_engine).max()
+
+    assert margin > 100 * max(disc, 1e-9), (margin, disc)
+
+    # and the replayed decision set is bit-identical to the engine's
+    yes = sp["match"].eq("Yes").to_numpy()
+    keep64 = yes | (unlabeled & (p64 > cutoff))
+    keep_eng = yes | (unlabeled & (p_engine > cutoff))
+    assert (keep64 == keep_eng).all()
