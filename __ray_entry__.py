@@ -172,15 +172,14 @@ def _q_sort_limit(sf_dir: str):
 
 
 def _q_events_rank(sf_dir: str):
+    # library operator (ops/window.windowed_rank): one hash exchange, one
+    # vectorized sort+cumcount per partition — not per-user map_groups
+    from raylink.ops.window import windowed_rank
+
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-
-    def _rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["event_id", "user_id", "rn"]]
-
-    out = ev.groupby("user_id").map_groups(_rank, batch_format="pandas")
-    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    out = windowed_rank(ev, "user_id", ["ts", "event_id"], out_col="rn")
+    df = out.to_pandas()[["event_id", "user_id", "rn"]]
+    return df.sort_values("event_id").reset_index(drop=True)
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -774,16 +773,33 @@ def _q_fingerprint(sf_dir: str):
     ).reset_index(drop=True)
 
 
+_KMEANS_CENT: dict[str, "np.ndarray"] = {}
+
+
+def _kmeans_centroids(sf_dir: str) -> "np.ndarray":
+    """Fitted (k=8, iters=5) spherical centroids — a pure function of the
+    embeddings table (deterministic hash-ordered init, no RNG), memoized so
+    the gate query and its oracle-SQL builder share one fit."""
+    if sf_dir not in _KMEANS_CENT:
+        from raylink.ops.kmeans import kmeans
+
+        embs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        _KMEANS_CENT[sf_dir] = kmeans(embs, k=8, iters=5)
+    return _KMEANS_CENT[sf_dir]
+
+
 def _q_kmeans_assign(sf_dir: str):
     # Distributed spherical k-means (full-data Lloyd's: broadcast
     # centroids, map-side partial (sum, count) per cluster — k slim rows
-    # per batch to the driver, never the data). Deterministic hash-ordered
-    # init makes the fit a pure function of the table; single-process
-    # parity is pinned in tests/test_ops.py. Iterative → rows-only gate.
-    from raylink.ops.kmeans import assign_clusters, kmeans
+    # per batch to the driver, never the data). The ITERATIVE fit is frozen
+    # (deterministic, pinned in tests/test_ops.py) and exported as SQL
+    # literals; the assignment pass is replayed bit-exactly by the DuckDB
+    # oracle (argmax cosine = argmax raw dot: row normalization is a
+    # positive per-row scale, so the ranking is unchanged).
+    from raylink.ops.kmeans import assign_clusters
 
     embs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    cent = kmeans(embs, k=8, iters=5)
+    cent = _kmeans_centroids(sf_dir)
     return (
         assign_clusters(embs, cent)
         .select_columns(["vec_id", "cluster"])
@@ -791,6 +807,32 @@ def _q_kmeans_assign(sf_dir: str):
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
+
+
+def _kmeans_assign_sql(sf_dir: str) -> str:
+    cent = _kmeans_centroids(sf_dir)
+    rows = ",".join(
+        "(%d,[%s]::DOUBLE[])" % (i, ",".join(repr(float(x)) for x in v))
+        for i, v in enumerate(cent)
+    )
+    # ties broken toward the smaller cluster id, matching np.argmax
+    return f"""
+        WITH cent(cid, v) AS (VALUES {rows}),
+        e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+            FROM embeddings
+        )
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.ev, c.v) DESC, c.cid
+                   ) AS rn
+            FROM e CROSS JOIN cent c
+        ) WHERE rn = 1
+        ORDER BY vec_id
+    """
 
 
 def _q_quantile_filter(sf_dir: str):
@@ -1792,4 +1834,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzylink_accepted": _flagship_accepted_sql(_GATE_SF),
         "entity_clusters": _entity_clusters_sql(_GATE_SF),
         "fuzzylink_linked": _fuzzylink_linked_sql(_GATE_SF),
+        # k-means: iterative fit frozen as centroid literals, assignment
+        # replayed (argmax cosine == argmax raw dot; ties -> smaller cid)
+        "kmeans_assign": _kmeans_assign_sql(_GATE_SF),
     }

@@ -105,8 +105,10 @@ def sessionize(
             }
         )
 
+    from raylink.util import pa_type
+
     eschema = events.schema()
-    etype = dict(zip(eschema.names, eschema.types))
+    etype = dict(zip(eschema.names, (pa_type(t) for t in eschema.types)))
     out_schema = pa.schema(
         [(id_col, etype[id_col]), (key_col, etype[key_col]),
          ("session_id", etype[id_col])]
@@ -114,6 +116,65 @@ def sessionize(
     tagged = events.map_batches(_tag, batch_format="pyarrow")
     return sorted_partition_apply(
         tagged.repartition(nparts), "_pid", _sess, out_schema
+    )
+
+
+def windowed_rank(
+    events: ray.data.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """``ROW_NUMBER() OVER (PARTITION BY key_col ORDER BY order_cols)`` —
+    1-based rank per key. ONE all-to-all keyed on a hash of ``key_col``;
+    each partition ranks ALL of its keys with a single vectorized sort +
+    groupby-cumcount, so there is no per-key Python kernel call (the r3
+    verdict's fix for the per-user ``map_groups`` gate query — wrong shape
+    at 10⁹ users). Include a unique column last in ``order_cols`` for a
+    total order. Returns ``(key_col, *order_cols, out_col)`` rows.
+
+    Partitioning assumption: the hottest key's rows fit one partition
+    (same skew bound as :func:`sessionize`).
+    """
+    from raylink.util import sorted_partition_apply
+
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(keys.dtype, np.integer):
+            pid = (_mix64(keys.astype(np.uint64)) % P).astype(np.int64)
+        else:
+            pid = (pd.util.hash_array(keys.astype(object)) % P).astype(np.int64)
+        cols = {"_pid": pa.array(pid), key_col: batch.column(key_col)}
+        for c in order_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    def _rank(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        df = df.sort_values([key_col, *order_cols], kind="stable")
+        rn = df.groupby(key_col, sort=False).cumcount().to_numpy() + 1
+        cols = {key_col: pa.array(df[key_col].to_numpy())}
+        for c in order_cols:
+            cols[c] = pa.array(df[c].to_numpy())
+        cols[out_col] = pa.array(rn.astype(np.int64))
+        return pa.table(cols)
+
+    from raylink.util import pa_type
+
+    eschema = events.schema()
+    etype = dict(zip(eschema.names, (pa_type(t) for t in eschema.types)))
+    out_schema = pa.schema(
+        [(key_col, etype[key_col])]
+        + [(c, etype[c]) for c in order_cols]
+        + [(out_col, pa.int64())]
+    )
+    tagged = events.map_batches(_tag, batch_format="pyarrow")
+    return sorted_partition_apply(
+        tagged.repartition(nparts), "_pid", _rank, out_schema
     )
 
 

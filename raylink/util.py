@@ -135,6 +135,24 @@ def hash_partition_ids(batch, key_cols: list[str], num_partitions: int):
     return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
 
 
+def pa_type(t) -> "pa.DataType":
+    """Pandas-backed datasets report numpy dtypes / Python classes in
+    Schema.types; normalize everything to Arrow DataTypes (object →
+    string, the only ambiguous case)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        dt = np.dtype(t)
+        if dt == np.dtype(object):
+            return pa.string()
+        return pa.from_numpy_dtype(dt)
+    except (TypeError, pa.ArrowNotImplementedError):
+        return pa.string()
+
+
 def sorted_partition_apply(
     ds: ray.data.Dataset,
     sort_key: str,
@@ -227,21 +245,7 @@ def shuffle_merge(
             cpus = 8
         num_partitions = max(16, cpus * 2)
 
-    def _pa_type(t):
-        """Pandas-backed datasets report numpy dtypes / Python classes in
-        Schema.types; normalize everything to Arrow DataTypes (object →
-        string, the only ambiguous case)."""
-        if isinstance(t, pa.DataType):
-            return t
-        import numpy as np
-
-        try:
-            dt = np.dtype(t)
-            if dt == np.dtype(object):
-                return pa.string()
-            return pa.from_numpy_dtype(dt)
-        except (TypeError, pa.ArrowNotImplementedError):
-            return pa.string()
+    _pa_type = pa_type
 
     # Dataset.schema() on a LAZY input executes part of its lineage just to
     # learn the dtypes (a full sort for groupby-rooted lineages) — callers

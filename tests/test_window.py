@@ -220,3 +220,53 @@ def test_hopping_window_rejects_non_divisible():
 
     with pytest.raises(ValueError):
         hopping_window_aggregate(rd.range(1), 100, 33)
+
+
+def test_windowed_rank_million_rows():
+    """ROW_NUMBER() semantics at 10^6 rows / 10^4 keys: one hash exchange,
+    vectorized per-partition ranking; parity vs pandas groupby-cumcount."""
+    from raylink.ops.window import windowed_rank
+
+    n, n_users = 1_000_000, 10_000
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, n_users, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**6, n) * 1_000_000, unit="us"
+            ),
+        }
+    )
+    out = (
+        windowed_rank(
+            rd.from_pandas(df).repartition(8), "user_id", ["ts", "event_id"]
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["user_id", "ts", "event_id"], kind="stable").copy()
+    want["rn"] = want.groupby("user_id", sort=False).cumcount() + 1
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert len(out) == n
+    assert (out["rn"].to_numpy() == want["rn"].to_numpy()).all()
+    assert (out["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+
+
+def test_windowed_rank_string_keys():
+    from raylink.ops.window import windowed_rank
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "b", "a", "a", "b"],
+            "v": np.array([3, 1, 1, 2, 2], dtype=np.int64),
+        }
+    )
+    out = (
+        windowed_rank(rd.from_pandas(df), "k", ["v"])
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert out["rn"].tolist() == [1, 2, 3, 1, 2]
