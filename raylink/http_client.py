@@ -41,13 +41,57 @@ from raylink.oracle import normalize_label, render_prompt
 
 _RETRYABLE = {429, 500, 502, 503, 504}
 
+# Provider wire formats, mirroring the reference's model-name dispatch
+# (R/check_match.R:127-203, R/get_embeddings.R:26-108): 'mistral|mixtral'
+# → Mistral, 'claude' → Anthropic /v1/messages, a '/' in the model name →
+# OpenRouter (OpenAI-shaped), else OpenAI. Each format carries its default
+# API-key env var (the reference's per-provider *_api_key() installers,
+# raylink.keys) and auth header style.
+_WIRE_FORMATS = {
+    "openai": {"key_env": "OPENAI_API_KEY", "auth": "bearer"},
+    "openrouter": {"key_env": "OPENROUTER_API_KEY", "auth": "bearer"},
+    "mistral": {"key_env": "MISTRAL_API_KEY", "auth": "bearer"},
+    "anthropic": {"key_env": "ANTHROPIC_API_KEY", "auth": "x-api-key"},
+}
+
+# the reference's system prompt for every chat provider (R/check_match.R:131)
+_SYSTEM_PROMPT = 'Respond with "Yes" or "No".'
+
+
+def detect_wire_format(model: str) -> str:
+    """Model-name pattern dispatch, reference order (R/check_match.R:127,
+    145, 163: mistral/mixtral before claude before the OpenRouter slash
+    test, with OpenAI as the fallthrough)."""
+    low = model.lower()
+    if "mistral" in low or "mixtral" in low:
+        return "mistral"
+    if "claude" in low:
+        return "anthropic"
+    if "/" in model:
+        return "openrouter"
+    return "openai"
+
+
+def _resolve_wire(wire_format: str, model: str, api_key_env: str | None):
+    fmt = detect_wire_format(model) if wire_format == "auto" else wire_format
+    if fmt not in _WIRE_FORMATS:
+        raise ValueError(
+            f"unknown wire_format {fmt!r}; expected one of "
+            f"{sorted(_WIRE_FORMATS)} or 'auto'"
+        )
+    spec = _WIRE_FORMATS[fmt]
+    return fmt, api_key_env or spec["key_env"], spec["auth"]
+
 
 class HttpSession:
     """Minimal JSON-POST session with exponential backoff.
 
     Mirrors the reference's retry loop (``R/get_embeddings.R:131-144``:
     retry on 429/5xx, sleep-and-retry with growing delay, honor
-    ``Retry-After`` when present, give up after ``max_retries``)."""
+    ``Retry-After`` when present, give up after ``max_retries``).
+
+    ``auth_style``: 'bearer' (``Authorization: Bearer <key>``) or
+    'x-api-key' (Anthropic's header + required ``anthropic-version``)."""
 
     def __init__(
         self,
@@ -56,12 +100,14 @@ class HttpSession:
         max_retries: int = 5,
         backoff: float = 0.5,
         timeout: float = 30.0,
+        auth_style: str = "bearer",
     ):
         self.base_url = base_url.rstrip("/")
         self.api_key_env = api_key_env
         self.max_retries = max_retries
         self.backoff = backoff
         self.timeout = timeout
+        self.auth_style = auth_style
         self.requests_sent = 0
         self.retries = 0
 
@@ -70,7 +116,11 @@ class HttpSession:
         body = json.dumps(payload).encode()
         headers = {"Content-Type": "application/json"}
         key = os.environ.get(self.api_key_env)
-        if key:
+        if self.auth_style == "x-api-key":
+            if key:
+                headers["x-api-key"] = key
+            headers["anthropic-version"] = "2023-06-01"
+        elif key:
             headers["Authorization"] = f"Bearer {key}"
         last_err: Exception | None = None
         for attempt in range(self.max_retries + 1):
@@ -129,15 +179,28 @@ class HttpEmbedder:
         model: str = "text-embedding-3-large",
         dim: int | None = None,
         text_col: str = "key",
-        api_key_env: str = "OPENAI_API_KEY",
+        api_key_env: str | None = None,
         char_budget: int = 100_000,
         max_items: int = 2048,
         max_retries: int = 5,
         backoff: float = 0.5,
         timeout: float = 30.0,
+        wire_format: str = "auto",
     ):
+        # Mistral's embeddings endpoint is OpenAI-shaped (same request and
+        # response JSON); formats differ only in key env + auth header.
+        # Model-name dispatch mirrors R/get_embeddings.R:26,47 (mistral vs
+        # openai; anthropic has no embeddings endpoint to dispatch to).
+        self.wire_format, key_env, auth = _resolve_wire(
+            wire_format, model, api_key_env
+        )
+        if self.wire_format == "anthropic":
+            raise ValueError(
+                "anthropic exposes no embeddings endpoint; use an "
+                "OpenAI-compatible embeddings provider"
+            )
         self.session = HttpSession(
-            base_url, api_key_env, max_retries, backoff, timeout
+            base_url, key_env, max_retries, backoff, timeout, auth_style=auth
         )
         self.model = model
         self.dim = dim
@@ -212,34 +275,70 @@ class HttpOracle:
         model: str = "gpt-4o",
         record_type: str = "entity",
         instructions: str | None = None,
-        api_key_env: str = "OPENAI_API_KEY",
+        api_key_env: str | None = None,
         parallelism: int = 20,
         max_retries: int = 5,
         backoff: float = 0.5,
         timeout: float = 30.0,
+        wire_format: str = "auto",
+        system: str | None = _SYSTEM_PROMPT,
+        max_tokens: int = 8,
     ):
+        self.wire_format, key_env, auth = _resolve_wire(
+            wire_format, model, api_key_env
+        )
         self.session = HttpSession(
-            base_url, api_key_env, max_retries, backoff, timeout
+            base_url, key_env, max_retries, backoff, timeout, auth_style=auth
         )
         self.model = model
         self.record_type = record_type
         self.instructions = instructions
         self.parallelism = parallelism
+        self.system = system
+        self.max_tokens = max_tokens
         self.journal: dict[tuple[str, str], str] = {}
         self.calls = 0
         self.labels_spent = 0
 
     def _ask(self, a: str, b: str) -> str:
         prompt = render_prompt(a, b, self.record_type, self.instructions)
-        resp = self.session.post_json(
-            "chat/completions",
-            {
+        if self.wire_format == "anthropic":
+            # Anthropic /v1/messages: system is a top-level field,
+            # max_tokens is required, and the reply is a content-block
+            # list (R/check_match.R:145-161 via ellmer::chat_anthropic)
+            payload = {
                 "model": self.model,
+                "max_tokens": self.max_tokens,
                 "messages": [{"role": "user", "content": prompt}],
                 "temperature": 0,
-            },
-        )
-        raw = resp["choices"][0]["message"]["content"]
+            }
+            if self.system:
+                payload["system"] = self.system
+            resp = self.session.post_json("messages", payload)
+            raw = next(
+                (
+                    blk.get("text", "")
+                    for blk in resp.get("content", [])
+                    if blk.get("type") == "text"
+                ),
+                "",
+            )
+        else:
+            # OpenAI-compatible chat (OpenAI / Mistral / OpenRouter share
+            # the shape; they differ in base URL + key env + model names)
+            messages = []
+            if self.system:
+                messages.append({"role": "system", "content": self.system})
+            messages.append({"role": "user", "content": prompt})
+            resp = self.session.post_json(
+                "chat/completions",
+                {
+                    "model": self.model,
+                    "messages": messages,
+                    "temperature": 0,
+                },
+            )
+            raw = resp["choices"][0]["message"]["content"]
         return normalize_label(raw) or "No"
 
     def label(self, pairs: list[tuple[str, str]]) -> list[str]:

@@ -25,6 +25,12 @@ def _fake_embedding(text: str) -> list[float]:
     return [float(x) for x in rng.normal(size=DIM)]
 
 
+def _same(prompt: str) -> bool:
+    # parse "Name A: ...\nName B: ..." out of a rendered prompt
+    lines = dict(ln.split(": ", 1) for ln in prompt.splitlines() if ": " in ln)
+    return lines["Name A"].lower().rstrip(" .") == lines["Name B"].lower().rstrip(" .")
+
+
 class _Handler(BaseHTTPRequestHandler):
     state: dict = {}
 
@@ -49,16 +55,29 @@ class _Handler(BaseHTTPRequestHandler):
                 st["embed_batches"].append(list(texts))
             body = {"data": [{"embedding": _fake_embedding(t)} for t in texts]}
         elif self.path.endswith("/chat/completions"):
-            prompt = payload["messages"][0]["content"]
-            # parse "Name A: ...\nName B: ..."
-            lines = dict(
-                ln.split(": ", 1) for ln in prompt.splitlines() if ": " in ln
+            user = next(
+                m["content"] for m in payload["messages"] if m["role"] == "user"
             )
-            same = lines["Name A"].lower().rstrip(" .") == lines[
-                "Name B"
-            ].lower().rstrip(" .")
-            text = "yes, definitely" if same else "no way"
+            with st["lock"]:
+                st["chat_payloads"].append(payload)
+            text = "yes, definitely" if _same(user) else "no way"
             body = {"choices": [{"message": {"content": text}}]}
+        elif self.path.endswith("/messages"):
+            # Anthropic wire shape: top-level system, content-block reply
+            with st["lock"]:
+                st["anthropic_payloads"].append(payload)
+                st["anthropic_headers"].append(
+                    {
+                        "x-api-key": self.headers.get("x-api-key"),
+                        "anthropic-version": self.headers.get("anthropic-version"),
+                    }
+                )
+            user = payload["messages"][0]["content"]
+            text = "Yes." if _same(user) else "No."
+            body = {
+                "content": [{"type": "text", "text": text}],
+                "stop_reason": "end_turn",
+            }
         else:  # legacy batched completions: prompt is a LIST
             prompts = payload["prompt"]
             with st["lock"]:
@@ -90,6 +109,9 @@ def fake_server():
         "requests": [],
         "embed_batches": [],
         "batch_sizes": [],
+        "chat_payloads": [],
+        "anthropic_payloads": [],
+        "anthropic_headers": [],
         "fail_remaining": 0,
     }
     _Handler.state = state
@@ -219,3 +241,67 @@ def test_http_embedder_through_fuzzylink_seam(fake_server):
     assert len(linked) == 5  # dfA-complete
     with state["lock"]:
         assert any(p.endswith("/embeddings") for p in state["requests"])
+
+
+def test_detect_wire_format_reference_dispatch():
+    """Model-name pattern dispatch order matches R/check_match.R:127-203."""
+    from raylink.http_client import detect_wire_format as d
+
+    assert d("mistral-large-latest") == "mistral"
+    assert d("open-mixtral-8x7b") == "mistral"
+    assert d("claude-sonnet-4-20250514") == "anthropic"
+    assert d("meta-llama/llama-3-70b") == "openrouter"
+    assert d("mistralai/mistral-7b") == "mistral"  # mistral outranks slash
+    assert d("gpt-4o") == "openai"
+
+
+def test_http_oracle_anthropic_wire(fake_server, monkeypatch):
+    """claude-* model auto-dispatches to the /messages shape: x-api-key +
+    anthropic-version headers, top-level system, max_tokens required,
+    content-block response parsing (R/check_match.R:145-161)."""
+    base, state = fake_server
+    monkeypatch.setenv("ANTHROPIC_API_KEY", "sk-ant-test")
+    o = HttpOracle(base, model="claude-sonnet-4-20250514", parallelism=2)
+    assert o.wire_format == "anthropic"
+    got = o.label([("Joe", "joe."), ("Joe", "Ann"), ("Joe", "Joe")])
+    assert got == ["Yes", "No", "Yes"]
+    assert all(p.endswith("/messages") for p in state["requests"])
+    for h in state["anthropic_headers"]:
+        assert h["x-api-key"] == "sk-ant-test"
+        assert h["anthropic-version"] == "2023-06-01"
+    for p in state["anthropic_payloads"]:
+        assert p["system"] == 'Respond with "Yes" or "No".'
+        assert p["max_tokens"] > 0
+        assert p["messages"][0]["role"] == "user"
+
+
+def test_http_oracle_mistral_wire(fake_server, monkeypatch):
+    """mistral-* models speak the OpenAI chat shape with the MISTRAL key
+    env and the reference's system prompt (R/check_match.R:127-143)."""
+    base, state = fake_server
+    monkeypatch.setenv("MISTRAL_API_KEY", "mk-test")
+    o = HttpOracle(base, model="mistral-large-latest")
+    assert o.wire_format == "mistral"
+    assert o.session.api_key_env == "MISTRAL_API_KEY"
+    assert o.label([("Joe", "joe.")]) == ["Yes"]
+    payload = state["chat_payloads"][-1]
+    assert payload["messages"][0] == {
+        "role": "system",
+        "content": 'Respond with "Yes" or "No".',
+    }
+    assert payload["messages"][1]["role"] == "user"
+
+
+def test_http_embedder_rejects_anthropic():
+    from raylink.http_client import HttpEmbedder
+
+    with pytest.raises(ValueError):
+        HttpEmbedder("http://localhost", model="claude-embed")
+
+
+def test_http_embedder_mistral_key_env(fake_server, monkeypatch):
+    base, _ = fake_server
+    monkeypatch.setenv("MISTRAL_API_KEY", "mk-test")
+    emb = HttpEmbedder(base, model="mistral-embed", dim=DIM)
+    assert emb.session.api_key_env == "MISTRAL_API_KEY"
+    assert emb.encode_many(["alpha"]).shape == (1, DIM)
