@@ -190,6 +190,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             embed_in_expand=(embed_at == "expand"),
             dedup_in_tile=True,
             jw_counter=jw_counter,
+            hist=(na, nb),
         )
         n_accepted = accepted.count()
         headline = time.perf_counter() - t0

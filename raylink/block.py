@@ -217,6 +217,95 @@ def _plan_with_bases(plan: dict) -> dict:
     return out
 
 
+# Per-row (encode) vs per-pair (matmul + pruned JW) cost ratio of the fused
+# tile kernel, from the r3 profile (BASELINE.md): ~150 core-s of in-tile
+# encode over ~8M tile rows (~19 µs/row) vs ~45 core-s of JW+matmul over
+# 375M candidate pairs (~0.12 µs/pair). Only the RATIO matters for packing.
+_ROW_COST = 160.0
+
+
+def _pack_boundaries(
+    plan_b: dict, na: dict, nb: dict, n_bins: int
+) -> list[int]:
+    """Equal-COST contiguous partition boundaries in tile-group-id space.
+
+    Ray's sampled sort boundaries equalize ROWS per partition, but the fused
+    kernel's cost per tile is ``pairs + _ROW_COST × rows`` — partial tiles
+    (blocks whose side count just crosses a tile_rows multiple) carry ~4×
+    less pair mass per row than full tiles, so equal-row partitions straggle
+    (measured at 16 CPUs r256: max fused task 10.2s vs 3.9s mean, 2.6×).
+    Expected per-tile cost is known exactly from the block histograms (key
+    ownership is a uniform hash, so a block's rows spread ~evenly over its
+    tile axis): cut the gid axis where the cost cumsum crosses multiples of
+    total/n_bins.
+
+    Contiguity is load-bearing, not a simplification: a key's replicas sit
+    at CONSECUTIVE gids (a-side; stride tb_n for b-side within one block's
+    range), so contiguous ranges keep every replica of a key in ONE task
+    and the per-worker encode/JW memo caches hot. A first implementation
+    that LPT-scattered individual tiles across bins balanced cost perfectly
+    but re-encoded every key per tile — measured 3-4× MORE core-s than the
+    row-balanced fallback (1,950 vs 420-840 core-s at 16 CPUs r256).
+
+    Driver cost: one O(T) pass over T tiles (~4M at 10¹²-pair scale).
+    Returns strictly-increasing gid cutpoints (may be fewer than n_bins-1
+    when a single hot tile exceeds the per-bin budget — a tile is the
+    unsplittable unit either way).
+    """
+    total = sum(max(ta, 1) * max(tb, 1) for ta, tb, _ in plan_b.values())
+    cost = np.empty(total, dtype=np.float64)
+    for b, (ta, tb, base) in plan_b.items():
+        ta_, tb_ = max(ta, 1), max(tb, 1)
+        ma = na.get(b, 0) / ta_
+        mb = nb.get(b, 0) / tb_
+        cost[base : base + ta_ * tb_] = ma * mb + _ROW_COST * (ma + mb)
+    cum = np.cumsum(cost)
+    if total < 2 or cum[-1] <= 0:
+        return []
+    targets = cum[-1] * np.arange(1, n_bins) / n_bins
+    cuts = np.unique(np.searchsorted(cum, targets, side="left") + 1)
+    return [int(c) for c in cuts if 0 < c < total]
+
+
+def _tile_group_apply(
+    both: ray.data.Dataset,
+    tile_fn,
+    out_schema: pa.Schema,
+    cuts: "list[int] | None",
+) -> ray.data.Dataset:
+    """Route expanded (side, gid) rows to per-tile kernel calls.
+
+    Packed path (``cuts`` present): ONE range exchange with EXPLICIT
+    cost-equalized boundaries — ``sort('gid', boundaries=cuts)`` — then a
+    single task per partition slices its (already gid-sorted) rows per gid
+    and runs ``tile_fn`` on each whole tile. Every output — including an
+    empty partition's — is ``out_schema``-typed, so the executor never sees
+    schema-less blocks (the sorted_partition_apply discipline).
+
+    Fallback (no histograms, or nothing to cut): Ray's sort-based
+    ``groupby(gid).map_groups`` — same tile semantics, row-sampled
+    partitions. ``GRAFT_PACK=0`` forces this path for A/B runs.
+    """
+    if not cuts:
+        return both.groupby("gid").map_groups(tile_fn, batch_format="pyarrow")
+
+    def _part(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            yield out_schema.empty_table()
+            return
+        g = tbl.column("gid").to_numpy()
+        bounds = np.flatnonzero(np.diff(g)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(g)]])
+        yield pa.concat_tables(
+            tile_fn(tbl.slice(int(s), int(e - s))) for s, e in zip(starts, ends)
+        )
+
+    return both.sort("gid", boundaries=cuts).map_batches(
+        _part, batch_size=None, batch_format="pyarrow"
+    )
+
+
 def _expand_side(
     ds: ray.data.Dataset,
     plan_ref: "ray.ObjectRef",
@@ -321,17 +410,28 @@ def generate_pairs(
     tile_rows: int,
     sim_floor: float | None = None,
     plan: dict | None = None,
+    hist: tuple[dict, dict] | None = None,
 ) -> ray.data.Dataset:
     """J2: within-block cross product with cosine similarity, tiled.
 
     Inputs are the per-side distinct ``(key, block, embedding)`` datasets.
     Output streams ``(block, key_a, key_b, sim)`` pair rows.
+    ``hist``: the per-side block histograms the plan was derived from;
+    enables size-aware LPT tile packing (computed here when plan is None).
     """
     if plan is None:
-        plan = tile_plan(keys_emb_a, keys_emb_b, tile_rows)
-    plan_ref = ray.put(_plan_with_bases(plan))
+        hist = block_histograms(keys_emb_a, keys_emb_b)
+        plan = tile_plan_from_hist(hist[0], hist[1], tile_rows)
+    plan_b = _plan_with_bases(plan)
+    want = _want_sort_blocks(plan)
+    cuts = (
+        _pack_boundaries(plan_b, hist[0], hist[1], want)
+        if hist is not None and os.environ.get("GRAFT_PACK", "1") != "0"
+        else None
+    )
+    plan_ref = ray.put(plan_b)
 
-    want_half = -(-_want_sort_blocks(plan) // 2)
+    want_half = -(-want // 2)
     keys_emb_a, ok_a = _presplit_side(keys_emb_a, want_half)
     keys_emb_b, ok_b = _presplit_side(keys_emb_b, want_half)
     ea = _expand_side(keys_emb_a, plan_ref, "a")
@@ -374,9 +474,7 @@ def generate_pairs(
             schema=_PAIR_SCHEMA,
         )
 
-    return both.groupby("gid").map_groups(
-        _pairgen, batch_format="pyarrow"
-    )
+    return _tile_group_apply(both, _pairgen, _PAIR_SCHEMA, cuts)
 
 
 def generate_scored_pairs(
@@ -394,6 +492,7 @@ def generate_scored_pairs(
     dedup_in_tile: bool = False,
     sim_floor: float | None = None,
     jw_counter=None,
+    hist: tuple[dict, dict] | None = None,
 ) -> ray.data.Dataset:
     """Fused tile stage: pair-gen + lexical features + scoring + acceptance
     in ONE ``map_groups`` task per tile.
@@ -413,8 +512,20 @@ def generate_scored_pairs(
     from raylink.learner import predict_from_state
 
     if plan is None:
-        plan = tile_plan(keys_emb_a, keys_emb_b, tile_rows)
-    plan_ref = ray.put(_plan_with_bases(plan))
+        hist = block_histograms(keys_emb_a, keys_emb_b)
+        plan = tile_plan_from_hist(hist[0], hist[1], tile_rows)
+    plan_b = _plan_with_bases(plan)
+    want = _want_sort_blocks(plan)
+    # Size-aware packing: equal-COST explicit sort boundaries in gid space
+    # (straggler fix — see _pack_boundaries); needs the block histograms
+    # for the expected per-tile mass. GRAFT_PACK=0 A/Bs the row-sampled
+    # groupby fallback.
+    cuts = (
+        _pack_boundaries(plan_b, hist[0], hist[1], want)
+        if hist is not None and os.environ.get("GRAFT_PACK", "1") != "0"
+        else None
+    )
+    plan_ref = ray.put(plan_b)
     state_ref = ray.put(model_state)
     # labels pre-grouped by A key: tiles probe their own ~tile_rows keys
     # instead of scanning the whole label map
@@ -426,7 +537,7 @@ def generate_scored_pairs(
     if embed_in_expand and embed_in_tile:
         raise ValueError("embed_in_expand and embed_in_tile are exclusive")
     enc_dim = dim if embed_in_expand else None
-    want_half = -(-_want_sort_blocks(plan) // 2)
+    want_half = -(-want // 2)
     keys_emb_a, ok_a = _presplit_side(keys_emb_a, want_half)
     keys_emb_b, ok_b = _presplit_side(keys_emb_b, want_half)
     ea = _expand_side(keys_emb_a, plan_ref, "a", encode_dim=enc_dim)
@@ -599,9 +710,7 @@ def generate_scored_pairs(
             schema=out_schema,
         )
 
-    return both.groupby("gid").map_groups(
-        _fused, batch_format="pyarrow"
-    )
+    return _tile_group_apply(both, _fused, out_schema, cuts)
 
 
 def add_pair_features(

@@ -243,7 +243,7 @@ def fuzzylink(
     def _build_pairs():
         p = generate_pairs(
             kea, keb, cfg.embedding_dim, cfg.tile_rows,
-            sim_floor=cfg.sim_floor, plan=plan,
+            sim_floor=cfg.sim_floor, plan=plan, hist=(na, nb),
         )
         return add_pair_features(p, full=full_feats)
 
@@ -331,7 +331,7 @@ def fuzzylink(
                 kea, keb, cfg.embedding_dim, cfg.tile_rows,
                 model_state=loops.model_state, cutoff=loops.cutoff,
                 labels=loops.labels, emit=emit, plan=plan,
-                sim_floor=cfg.sim_floor,
+                sim_floor=cfg.sim_floor, hist=(na, nb),
             )
 
         scored = _fused("all")  # lazy: computed only if the user consumes it

@@ -148,3 +148,64 @@ def test_add_pair_features_columns():
     )
     exact_row = pairs[pairs["key_b"] == "abc"].iloc[0]
     assert bool(exact_row["exact"]) and exact_row["jw"] == 1.0
+
+
+def test_pack_boundaries_balance():
+    """Cost-equalized contiguous cuts: strictly increasing, in range, and
+    every resulting partition's cost ≤ mean + heaviest tile (the contiguous
+    equal-cumsum guarantee)."""
+    from raylink.block import _ROW_COST, _pack_boundaries, _plan_with_bases
+
+    # skew on purpose: one hot block of full tiles + partial-tile blocks
+    plan = {"hot": (8, 8), "p1": (1, 1), "p2": (2, 1), "p3": (3, 2)}
+    na = {"hot": 4096, "p1": 10, "p2": 520, "p3": 1100}
+    nb = {"hot": 4096, "p1": 700, "p2": 380, "p3": 900}
+    pb = _plan_with_bases(plan)
+    n_bins = 7
+    cuts = _pack_boundaries(pb, na, nb, n_bins)
+    total = sum(a * b for a, b in plan.values())
+    assert cuts == sorted(set(cuts))
+    assert all(0 < c < total for c in cuts)
+    cost = np.empty(total)
+    for b, (ta, tb, base) in pb.items():
+        ma, mb = na[b] / ta, nb[b] / tb
+        cost[base : base + ta * tb] = ma * mb + _ROW_COST * (ma + mb)
+    edges = [0] + cuts + [total]
+    loads = np.array(
+        [cost[lo:hi].sum() for lo, hi in zip(edges, edges[1:])]
+    )
+    assert loads.max() <= cost.sum() / n_bins + cost.max() + 1e-9
+
+    # degenerate inputs: single tile / empty plan → no cuts, fallback path
+    assert _pack_boundaries(_plan_with_bases({"x": (1, 1)}), {"x": 5}, {"x": 5}, 4) == []
+    assert _pack_boundaries(_plan_with_bases({}), {}, {}, 4) == []
+
+
+@pytest.mark.parametrize("emit", ["accepted", "all"])
+def test_packed_routing_matches_fallback(monkeypatch, emit):
+    """GRAFT_PACK=1 (explicit-boundary equal-cost partitions) and
+    GRAFT_PACK=0 (row-sampled groupby sort) must produce the identical
+    scored-pair table — packing only changes which task runs a tile."""
+    from raylink.block import generate_scored_pairs
+
+    n = 120
+    keys_a = [f"pkg_{i:03d}" for i in range(n)]
+    keys_b = [f"pkg_{i:03d}{'x' if i % 4 else ''}" for i in range(n)]
+    langs_a = [("py", "c", "go")[i % 3] for i in range(n)]
+    langs_b = [("py", "c", "go")[(i * 7) % 3] for i in range(n)]
+    ka = _keyed({"key": keys_a, "lang": langs_a}, ["lang"])
+    kb = _keyed({"key": keys_b, "lang": langs_b}, ["lang"])
+    kea, keb = _embed(ka).materialize(), _embed(kb).materialize()
+    state = {"kind": "glm", "coef": [-8.0, 9.0, 4.0]}
+
+    out = {}
+    for pack in ("1", "0"):
+        monkeypatch.setenv("GRAFT_PACK", pack)
+        df = generate_scored_pairs(
+            kea, keb, 32, 8, model_state=state, cutoff=0.6, emit=emit
+        ).to_pandas()
+        out[pack] = df.sort_values(["block", "key_a", "key_b"]).reset_index(
+            drop=True
+        )
+    assert len(out["1"]) > 0
+    pd.testing.assert_frame_equal(out["1"], out["0"])
