@@ -1061,9 +1061,11 @@ def _q_curation(sf_dir: str):
 
 
 def _q_multimodal_decode(sf_dir: str):
-    # REAL decode: the image rows carry actual PNG/BMP/PPM payloads and the
-    # kernel inflates + unfilters + mean-pools them (fake=False). Video
-    # rows (opaque bytes, no stdlib codec) go through the documented digest
+    # REAL decode: the image rows carry actual PNG/BMP/PPM/baseline-JPEG
+    # payloads (the JPEG rows cycle 4:4:4, 4:2:0 and restart-marker
+    # variants) and the kernel inflates/unfilters/Huffman-decodes +
+    # mean-pools them (fake=False). Video rows (opaque bytes, no stdlib
+    # codec for compressed containers) go through the documented digest
     # stand-in, so both paths stay exercised.
     from raylink.ops.multimodal import decode_images, fake_media_table
 

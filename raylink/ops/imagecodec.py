@@ -1,16 +1,19 @@
 """Pure-stdlib image + audio codecs for the multimodal decode kernels.
 
-No image/audio libraries exist in this sandbox, but three image container
+No image/audio libraries exist in this sandbox, but four image container
 formats are decodable with nothing beyond ``zlib``/``struct``/numpy —
-binary PPM (P6), uncompressed 24-bit BMP, and non-interlaced 8-bit PNG
-(zlib inflate + the five scanline filters) — and PCM WAV needs only
-``struct``. These make ``DecodeImage``/``ExtractAudioFeatures`` REAL
-kernels for the formats a deterministic pipeline can produce; compressed
-formats that genuinely need external codecs (JPEG, MP3/AAC, video) remain
-behind the documented fake path.
+binary PPM (P6), uncompressed 24-bit BMP, non-interlaced 8-bit PNG
+(zlib inflate + the five scanline filters), and baseline-DCT JPEG
+(Huffman + dequant + numpy IDCT) — and PCM WAV needs only ``struct``.
+These make ``DecodeImage``/``ExtractAudioFeatures`` REAL kernels for the
+formats a real corpus is dominated by; formats that genuinely need
+external codecs (progressive JPEG, webp, MP3/AAC, compressed video)
+remain behind the documented fake path.
 
 Encoders are provided too so tests and the gate can generate real payloads
-deterministically (PNG encoding = filter-0 scanlines + zlib + CRC chunks).
+deterministically (PNG encoding = filter-0 scanlines + zlib + CRC chunks;
+JPEG encoding = quality-scaled Annex-K quant tables + spec-conformant
+fixed canonical Huffman tables written to DHT).
 """
 
 from __future__ import annotations
@@ -316,6 +319,498 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, int, int]:
 
 
 # --------------------------------------------------------------------------
+# JPEG (baseline DCT, ITU-T T.81 / JFIF)
+#
+# Decoder: general baseline — SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS parsing,
+# 1- or 3-component scans, per-component sampling factors up to 2 (4:4:4,
+# 4:2:2, 4:2:0), restart markers, 0xFF00 byte unstuffing, Huffman tables
+# read from the stream. Pure numpy IDCT (8×8 DCT-II matrix).
+#
+# Encoder: baseline 4:4:4 (or 4:2:0 via ``subsample=True``) with
+# quality-scaled Annex-K quantization tables and simple VALID canonical
+# Huffman tables (all 12 DC symbols at 4 bits, all 162 AC symbols at
+# 8 bits) — compression is modest but the stream is fully spec-conformant,
+# and the decoder reads whatever DHT a real encoder would write instead.
+
+
+def _zigzag() -> np.ndarray:
+    """Scan-order → raster-index mapping, generated (not transcribed)."""
+    out = []
+    for d in range(15):
+        for i in range(d + 1):
+            r = i if d % 2 else d - i
+            c = d - r
+            if r < 8 and c < 8:
+                out.append(r * 8 + c)
+    return np.array(out, dtype=np.int64)
+
+
+_ZZ = _zigzag()
+
+# Annex K example luminance/chrominance quantization tables (raster order)
+_QLUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QCHR = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32,
+    dtype=np.int64,
+)
+
+
+def _scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1..100 → per-entry divisors in [1, 255]."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    m = np.cos((2 * x + 1) * u * np.pi / 16.0) * 0.5
+    m[0, :] = np.sqrt(1.0 / 8.0)
+    return m  # F = M @ f @ M.T ; f = M.T @ F @ M
+
+
+_DCT = _dct_matrix()
+
+# Encoder Huffman layout: BITS[i] = #codes of length i+1 (DHT wire format).
+# 12 DC size categories at 4 bits each (code 11 < 0b1111: the all-ones
+# code stays unused, as T.81 requires); 162 AC (run, size) symbols at
+# 8 bits each (code 161 < 0xFF).
+_ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (T.81 Annex C): symbol → (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, for bit-serial decoding."""
+    return {(ln, c): s for s, (c, ln) in _huff_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)  # pad with 1-bits per spec
+
+
+def _fwd_blocks(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """(H, W) plane (multiple of 8) → (n_blocks, 64) quantized zigzag
+    coefficients, fully vectorized (one einsum DCT over all blocks)."""
+    h, w = plane.shape
+    f = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).astype(
+        np.float64
+    ) - 128.0
+    coef = np.einsum("ux,nmxy,vy->nmuv", _DCT, f, _DCT)
+    q = np.round(coef.reshape(-1, 64) / quant[np.newaxis, :]).astype(np.int64)
+    return q[:, _ZZ]
+
+
+def _cat(v: int) -> int:
+    """Size category: minimal bit length of |v| (0 for v == 0)."""
+    return int(v != 0 and int(abs(v)).bit_length())
+
+
+def _encode_plane_block(
+    bw: _BitWriter, zz: np.ndarray, pred: int,
+    dc_codes: dict, ac_codes: dict,
+) -> int:
+    diff = int(zz[0]) - pred
+    s = _cat(diff)
+    code, ln = dc_codes[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.flatnonzero(zz[1:])
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        s = _cat(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]
+        bw.put(code, ln)
+    return int(zz[0])
+
+
+def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) or (H, W) uint8 → baseline JFIF JPEG bytes.
+
+    Color images are encoded as YCbCr (BT.601 full range), 4:4:4 by
+    default or 4:2:0 with ``subsample=True`` (2×2-mean chroma, MCU of four
+    luma blocks — exercises the decoder's general MCU path).
+    ``restart_interval`` > 0 writes DRI + RSTn markers every that many
+    MCUs (exercises the decoder's restart resynchronization)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql = _scale_quant(_QLUM, quality)
+    qc = _scale_quant(_QCHR, quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        tqs = [0]
+    else:
+        rgb = img[:, :, :3].astype(np.float64)
+        y = rgb @ [0.299, 0.587, 0.114]
+        cb = 128.0 + rgb @ [-0.168736, -0.331264, 0.5]
+        cr = 128.0 + rgb @ [0.5, -0.418688, -0.081312]
+        if subsample:
+            cbp = _pad_to(cb, 2)
+            crp = _pad_to(cr, 2)
+            cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+            cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        tqs = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component quantized zigzag blocks, in MCU-raster block order
+    comp_blocks = []
+    for plane, (sh, sv), tq in zip(planes, samp, tqs):
+        p = _pad_to(np.clip(plane, 0, 255), 1)
+        p = np.pad(
+            p,
+            ((0, mcuy * sv * 8 - p.shape[0]), (0, mcux * sh * 8 - p.shape[1])),
+            mode="edge",
+        )
+        comp_blocks.append(
+            (_fwd_blocks(p, ql if tq == 0 else qc), sh, sv, mcux * sh)
+        )
+
+    dc_codes = _huff_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _huff_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                bw.flush()
+                bw.buf += bytes(
+                    [0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8]
+                )
+                preds = [0] * len(planes)
+            for ci, (blocks, sh, sv, bw_blocks) in enumerate(comp_blocks):
+                for by in range(sv):
+                    for bx in range(sh):
+                        bi = (my * sv + by) * bw_blocks + (mx * sh + bx)
+                        preds[ci] = _encode_plane_block(
+                            bw, blocks[bi], preds[ci], dc_codes, ac_codes
+                        )
+            mcu_count += 1
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(ql[_ZZ].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, b"\x01" + bytes(qc[_ZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci, ((sh, sv), tq) in enumerate(zip(samp, tqs)):
+        sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, tq)
+    out += seg(0xFFC0, sof)
+    out += seg(
+        0xFFC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+    )
+    out += seg(
+        0xFFC4, b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
+    )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += struct.pack(">BB", ci + 1, 0x00)  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Bit-serial reader over unstuffed entropy-coded bytes."""
+
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def bit(self) -> int:
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, lookup: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = lookup.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF JPEG → (H, W, 3) uint8 (or (H, W) for grayscale)."""
+    if data[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → lookup
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT (possibly several tables)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 15
+                o += 1
+                if pq:
+                    tbl = np.frombuffer(
+                        body[o : o + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    o += 128
+                else:
+                    tbl = np.frombuffer(
+                        body[o : o + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    o += 64
+                raster = np.empty(64, dtype=np.int64)
+                raster[_ZZ] = tbl
+                quant[tq] = raster
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 15
+                bits = list(body[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17 : o + 17 + n])
+                huff[(tc, th)] = _huff_lookup(bits, vals)
+                o += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline Huffman)
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF:
+            raise ValueError("only baseline (SOF0) JPEG supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
+                for i in range(ns)
+            ]
+            # entropy-coded data: up to the next non-RST/non-stuffing marker
+            end = pos
+            while end < len(data) - 1:
+                if data[end] == 0xFF and data[end + 1] != 0x00 and not (
+                    0xD0 <= data[end + 1] <= 0xD7
+                ):
+                    break
+                end += 1
+            scan = (scan_comps, data[pos:end])
+            pos = end
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    fh, fw, comps = frame
+    scan_comps, entropy = scan
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    planes = {
+        cid: np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
+        for cid, h, v, _ in comps
+    }
+
+    # split at restart markers, unstuff each interval
+    segments = []
+    seg_start = 0
+    i = 0
+    while i < len(entropy) - 1:
+        if entropy[i] == 0xFF and 0xD0 <= entropy[i + 1] <= 0xD7:
+            segments.append(entropy[seg_start:i])
+            seg_start = i + 2
+            i += 2
+        else:
+            i += 1
+    segments.append(entropy[seg_start:])
+    readers = [
+        _BitReader(s.replace(b"\xff\x00", b"\xff")) for s in segments
+    ]
+
+    seg_i = 0
+    br = readers[0]
+    preds = {cid: 0 for cid, _, _ in scan_comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                seg_i += 1
+                br = readers[seg_i]
+                preds = {cid: 0 for cid in preds}
+            for cid, td, ta in scan_comps:
+                _, ch, cv, tq = by_id[cid]
+                qt = quant[tq]
+                dc_lut = huff[(0, td)]
+                ac_lut = huff[(1, ta)]
+                for by in range(cv):
+                    for bx in range(ch):
+                        coef = np.zeros(64, dtype=np.float64)
+                        s = br.decode(dc_lut)
+                        diff = _extend(br.receive(s), s) if s else 0
+                        preds[cid] += diff
+                        coef[0] = preds[cid] * qt[0]
+                        k = 1
+                        while k <= 63:
+                            rs = br.decode(ac_lut)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:
+                                    break
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coef[_ZZ[k]] = (
+                                _extend(br.receive(s), s) * qt[_ZZ[k]]
+                            )
+                            k += 1
+                        blk = _DCT.T @ coef.reshape(8, 8) @ _DCT + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
+            mcu_count += 1
+
+    out_planes = []
+    for cid, ch, cv, _ in comps:
+        p = planes[cid]
+        if ch < hmax or cv < vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
 # Sniffing
 
 
@@ -327,6 +822,8 @@ def sniff_format(data: bytes) -> str | None:
         return "bmp"
     if data.startswith(b"P6"):
         return "ppm"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     if data.startswith(b"YUV4MPEG2 "):

@@ -28,11 +28,13 @@ import ray.data
 from raylink.util import actor_pool_size
 from raylink.ops.imagecodec import (
     decode_bmp,
+    decode_jpeg,
     decode_png,
     decode_ppm,
     decode_wav,
     decode_y4m,
     encode_bmp,
+    encode_jpeg,
     encode_png,
     encode_ppm,
     encode_wav,
@@ -52,7 +54,12 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
-_IMG_DECODERS = {"png": decode_png, "bmp": decode_bmp, "ppm": decode_ppm}
+_IMG_DECODERS = {
+    "png": decode_png,
+    "bmp": decode_bmp,
+    "ppm": decode_ppm,
+    "jpeg": decode_jpeg,
+}
 
 
 def _test_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
@@ -76,24 +83,36 @@ def _test_video(rng: np.random.Generator, w: int, h: int, n: int) -> np.ndarray:
 
 def fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
     """Deterministic media rows. Image payloads are REAL encoded PNG / BMP
-    / PPM (cycling), audio payloads are real PCM WAV, and two of every
-    three video payloads are real uncompressed Y4M — so the decode kernels
-    run for real; the remaining video rows stay opaque 'mp4' bytes (no
-    stdlib codec for compressed containers), keeping the fake/stub path
-    exercised."""
+    / PPM / baseline JPEG (cycling; the JPEG rows alternate 4:4:4, 4:2:0
+    and restart-marker variants), audio payloads are real PCM WAV, and two
+    of every three video payloads are real uncompressed Y4M — so the
+    decode kernels run for real; the remaining video rows stay opaque
+    'mp4' bytes (no stdlib codec for compressed video containers), keeping
+    the fake/stub path exercised."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
-    img_fmts = ["png", "bmp", "ppm"]
+    img_fmts = ["png", "bmp", "ppm", "jpeg"]
     img_encoders = {"png": encode_png, "bmp": encode_bmp, "ppm": encode_ppm}
     rows = {k: [] for k in MEDIA_SCHEMA.names}
+    n_img = 0
     for i in range(n):
         kind = kinds[i % 3]
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         if kind == "image":
-            fmt = img_fmts[(i // 3) % 3]
+            fmt = img_fmts[n_img % 4]
             w, h = 32 + int(rng.integers(0, 32)), 24 + int(rng.integers(0, 24))
-            payload = img_encoders[fmt](_test_image(rng, w, h))
+            img = _test_image(rng, w, h)
+            if fmt == "jpeg":
+                payload = encode_jpeg(
+                    img,
+                    quality=90,
+                    subsample=bool(n_img % 8 >= 4),
+                    restart_interval=2 if n_img % 12 >= 8 else 0,
+                )
+            else:
+                payload = img_encoders[fmt](img)
+            n_img += 1
             dur = 0
         elif kind == "audio":
             fmt = "wav"
@@ -131,12 +150,13 @@ def _pool_grid(dim: int) -> tuple[int, int]:
 class DecodeImage:
     """Actor stage: binary payload → decoded pixel features.
 
-    REAL decode for PPM/BMP/PNG (pure-stdlib codecs); the feature is a
-    ``dim``-cell adaptive mean-pool of the grayscale image in [0, 1] —
-    i.e. decode → grayscale → fixed-grid downsample, the canonical
-    decode/resize/featurize shape of a training-data pipeline. Formats
-    needing external codecs (JPEG…) raise unless ``fake=True``, which
-    substitutes a digest-based stand-in with the same output layout."""
+    REAL decode for PPM/BMP/PNG/baseline JPEG (pure-stdlib codecs); the
+    feature is a ``dim``-cell adaptive mean-pool of the grayscale image in
+    [0, 1] — i.e. decode → grayscale → fixed-grid downsample, the
+    canonical decode/resize/featurize shape of a training-data pipeline.
+    Formats needing external codecs (progressive JPEG, webp…) raise
+    unless ``fake=True``, which substitutes a digest-based stand-in with
+    the same output layout."""
 
     def __init__(self, dim: int = 16, fake: bool = False):
         self.dim = dim

@@ -8,10 +8,12 @@ import ray.data as rd
 
 from raylink.ops.imagecodec import (
     decode_bmp,
+    decode_jpeg,
     decode_png,
     decode_ppm,
     decode_wav,
     encode_bmp,
+    encode_jpeg,
     encode_png,
     encode_ppm,
     encode_wav,
@@ -127,11 +129,79 @@ def test_decode_image_real_feature_semantics():
 
 
 def test_decode_image_unknown_format_raises_or_fakes():
-    payload = b"\xff\xd8\xff\xe0 not really a jpeg"
+    payload = b"RIFF\x00\x00\x00\x00WEBPVP8 "  # webp: no stdlib codec
     with pytest.raises(NotImplementedError):
         DecodeImage(dim=4)._decode(payload)
     f = DecodeImage(dim=4, fake=True)._decode(payload)
     assert f.shape == (4,) and (0 <= f).all() and (f <= 1).all()
+
+
+def _smooth_img(h=40, w=56):
+    """JPEG-friendly deterministic test card (gradients + a flat patch)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (h + w)], axis=2
+    ).astype(np.uint8)
+    img[10:20, 10:30] = [200, 30, 60]
+    return img
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_jpeg_roundtrip_color(subsample):
+    img = _smooth_img()
+    enc = encode_jpeg(img, quality=95, subsample=subsample)
+    assert sniff_format(enc) == "jpeg"
+    dec = decode_jpeg(enc)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    err = np.abs(dec.astype(float) - img.astype(float)).mean()
+    assert err < (3.0 if subsample else 1.5)
+
+
+def test_jpeg_roundtrip_gray_and_odd_sizes():
+    g = _smooth_img()[:37, :51, 1]
+    dec = decode_jpeg(encode_jpeg(g, quality=92))
+    assert dec.shape == g.shape
+    assert np.abs(dec.astype(float) - g.astype(float)).mean() < 1.5
+    c = _smooth_img()[:33, :41]  # odd dims + 4:2:0 padding path
+    dec = decode_jpeg(encode_jpeg(c, quality=92, subsample=True))
+    assert dec.shape == c.shape
+
+
+def test_jpeg_restart_markers_bit_identical():
+    """DRI/RSTn resynchronization must not change a single pixel."""
+    img = _smooth_img()
+    base = decode_jpeg(encode_jpeg(img, quality=88, subsample=True))
+    for ri in (1, 3, 7):
+        withr = decode_jpeg(
+            encode_jpeg(img, quality=88, subsample=True, restart_interval=ri)
+        )
+        assert np.array_equal(base, withr)
+
+
+def test_jpeg_pinned_pixels():
+    """Encoder and decoder are both deterministic: pin the decoded pixel
+    digest so a silent change to DCT/quant/Huffman arithmetic fails loudly.
+    (Regenerate the pin ONLY for an intentional codec change.)"""
+    import hashlib
+
+    img = _smooth_img(24, 32)
+    dec = decode_jpeg(encode_jpeg(img, quality=85))
+    digest = hashlib.sha256(dec.tobytes()).hexdigest()[:16]
+    assert dec.shape == (24, 32, 3)
+    assert digest == PINNED_JPEG_DIGEST, digest
+
+
+PINNED_JPEG_DIGEST = "47b89022654eeae1"
+
+
+def test_jpeg_progressive_rejected():
+    """SOF2 (progressive) must fail loudly, not decode garbage."""
+    img = _smooth_img(16, 16)
+    enc = bytearray(encode_jpeg(img))
+    idx = enc.find(b"\xff\xc0")
+    enc[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(enc))
 
 
 def test_audio_features_sine():
