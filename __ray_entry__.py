@@ -33,7 +33,14 @@ def _rd():
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # metadata-free schema: pandas-written parquet embeds a b'pandas'
+    # schema blob that makes Arrow schemas unhashable (Ray Data then warns
+    # on every sort/union schema unification) — strip it at the read
+    from raylink.sources import metadata_free_schema
+
+    path = f"{sf_dir}/{table}.parquet"
+    sch = metadata_free_schema(path, columns)
+    return _rd().read_parquet(path, columns=columns, schema=sch)
 
 
 # --------------------------------------------------------------------------
@@ -93,7 +100,9 @@ def _q_q1_agg(sf_dir: str):
 
     pre = li.map_batches(_cents, batch_format="pyarrow")
     out = preagg_sum_count(
-        pre, ["l_returnflag", "l_linestatus"], {"qty": "sum_qty", "price_cents": "sum_price_cents"}
+        pre, ["l_returnflag", "l_linestatus"],
+        {"qty": "sum_qty", "price_cents": "sum_price_cents"},
+        final_partitions=2,  # 6 groups: avoid schema-less empty partitions
     )
     df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
     df["sum_qty"] = df["sum_qty"].astype("int64")
@@ -134,7 +143,9 @@ def _q_semi_join(sf_dir: str):
         )
 
     out = preagg_sum_count(
-        filt.map_batches(_one, batch_format="pyarrow"), ["o_orderpriority"], {"one": "n_orders"}
+        filt.map_batches(_one, batch_format="pyarrow"),
+        ["o_orderpriority"], {"one": "n_orders"},
+        final_partitions=2,  # 5 groups: avoid schema-less empty partitions
     ).select_columns(["o_orderpriority", "n_orders"])
     df = out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
     df["n_orders"] = df["n_orders"].astype("int64")

@@ -149,6 +149,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     total_pairs = pair_count_from_hist(na, nb)
     plan = tile_plan_from_hist(na, nb, cfg.tile_rows)
 
+    from raylink.sources import read_table
     from raylink.util import CounterActor
     from raylink.ops.ann import knn_brute_force
     from raylink.ops.dedup import minhash_lsh_candidates, simhash_near_dups
@@ -210,22 +211,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     def _secondary_rep() -> dict[str, float]:
         q: dict[str, float] = {}
         t = time.perf_counter()
-        li = rd.read_parquet(
+        li = read_table(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
         )
         preagg_sum_count(
             li, ["l_returnflag", "l_linestatus"],
             {"l_quantity": "sum_qty", "l_extendedprice": "sum_price"},
+            final_partitions=2,  # 6 groups: no schema-less empty partitions
         ).to_pandas()
         q["q1_agg"] = round(time.perf_counter() - t, 3)
 
         t = time.perf_counter()
-        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        text_stats(docs).map_batches(
-            lambda b: pa.table({"n": pa.array([len(b)], type=pa.int64())}),
-            batch_format="pyarrow",
-        ).to_pandas()
+        docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        text_stats(docs).count()
         q["text_stats"] = round(time.perf_counter() - t, 3)
 
         t = time.perf_counter()
@@ -237,7 +236,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         q["simhash"] = round(time.perf_counter() - t, 3)
 
         t = time.perf_counter()
-        embs = rd.read_parquet(
+        embs = read_table(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
         qrow = embs.filter(expr="vec_id == 0").take(1)[0]
@@ -245,17 +244,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         q["ann_topk"] = round(time.perf_counter() - t, 3)
 
         t = time.perf_counter()
-        ev = rd.read_parquet(
+        ev = read_table(
             f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
         )
-        sessionize(ev, 3600).map_batches(
-            lambda b: pa.table({"n": pa.array([len(b)], type=pa.int64())}),
-            batch_format="pyarrow",
-        ).to_pandas()
+        sessionize(ev, 3600).count()
         q["sessionize"] = round(time.perf_counter() - t, 3)
 
         t = time.perf_counter()
-        ev2 = rd.read_parquet(
+        ev2 = read_table(
             f"{sf_dir}/events.parquet",
             columns=["event_id", "user_id", "ts", "event_type"],
         )
@@ -264,10 +260,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ev2.filter(expr="event_type == 'purchase'"),
             "user_id", "ts", "ts", {"event_id": "prev_purchase_id"},
             allow_exact_matches=False, tie_cols=["event_id"],
-        ).map_batches(
-            lambda b: pa.table({"n": pa.array([len(b)], type=pa.int64())}),
-            batch_format="pyarrow",
-        ).to_pandas()
+        ).count()
         q["asof_join"] = round(time.perf_counter() - t, 3)
         return q
 
@@ -351,14 +344,17 @@ def main():
         lo_n, hi_n = (
             int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
         )
-        # Interleaved ABAB legs: the host swings ±50% on multi-minute
+        # Interleaved ABAB… legs: the host swings ±50% on multi-minute
         # windows, so adjacent legs see the most similar conditions.
         # Efficiency = best-leg estimate (min per level): each level's
         # fastest leg is its closest measure of true capacity on a shared
         # box; a single paired draw is a race over which leg lands in a
         # good window (ledger history in BASELINE.md spans 0.42-1.02).
+        # GRAFT_SCALING_LEGS raises the legs per level (more draws →
+        # the best-leg estimate stabilizes toward true capacity).
+        n_legs = max(1, int(os.environ.get("GRAFT_SCALING_LEGS", "2")))
         legs: dict[int, list[dict]] = {lo_n: [], hi_n: []}
-        for ncpu in (hi_n, lo_n, hi_n, lo_n):
+        for ncpu in (hi_n, lo_n) * n_legs:
             legs[ncpu].append(run_once(ncpu))
         lo = min(legs[lo_n], key=lambda r: r["value"])
         hi = min(legs[hi_n], key=lambda r: r["value"])
@@ -379,7 +375,10 @@ def main():
                     "cpus": [lo_n, hi_n],
                     "scaling_efficiency": round(eff, 3),
                     "paired_efficiencies": paired,
-                    "estimator": "best-leg (min per level), 2 legs each, ABAB order",
+                    "estimator": (
+                        f"best-leg (min per level), {n_legs} legs each, "
+                        "ABAB order"
+                    ),
                     "sf": sf_dir,
                 }
             )

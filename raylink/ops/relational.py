@@ -160,10 +160,19 @@ def preagg_sum_count(
     ds: ray.data.Dataset,
     group_cols: list[str],
     sum_cols: dict[str, str],
+    final_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Pre-aggregated grouped sums: per-batch pandas partial aggregation
     (one row per group per batch) before the global groupby — the
-    shuffle moves partials, not rows (SURVEY.md §4 / ray_guide)."""
+    shuffle moves partials, not rows (SURVEY.md §4 / ray_guide).
+
+    ``final_partitions``: when the group-key cardinality is KNOWN to be
+    small (e.g. a roll-up to a handful of status flags), pass a matching
+    small count — the final groupby's sort otherwise partitions the tiny
+    partial table to the input block count and emits one schema-less empty
+    block per surplus partition (Ray 2.49 executor warnings). Leave None
+    for high-cardinality groups: the partial table is (blocks × groups)
+    rows and needs the parallel sort."""
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby(group_cols, as_index=False, sort=False).agg(
@@ -173,6 +182,8 @@ def preagg_sum_count(
         return g
 
     partials = ds.map_batches(_partial, batch_format="pandas")
+    if final_partitions is not None:
+        partials = partials.repartition(final_partitions)
     aggs = [Sum(out, alias_name=out) for out in sum_cols.values()]
     aggs.append(Sum("_n", alias_name="n"))
     return partials.groupby(group_cols).aggregate(*aggs)

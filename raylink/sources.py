@@ -50,6 +50,28 @@ def _infer_format(path: str) -> str:
     )
 
 
+def metadata_free_schema(path: str, columns: list[str] | None = None):
+    """A metadata-stripped Arrow schema for a parquet file/dir.
+
+    Pandas-written parquet embeds a ``b'pandas'`` schema-metadata blob;
+    pyarrow Schemas carrying metadata are UNHASHABLE, so every downstream
+    Ray Data schema unification (sorts, unions) logs ``Failed to hash the
+    schemas (for deduplication): unhashable type: 'dict'`` and skips its
+    dedup fast path. Passing this as ``read_parquet(schema=...)`` strips
+    the metadata at the storage layer, before any block exists. Returns
+    None when the footer cannot be read (caller falls back to the raw
+    read)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        sch = pq.ParquetDataset(path).schema
+        names = columns if columns is not None else sch.names
+        return pa.schema([sch.field(c).remove_metadata() for c in names])
+    except Exception:
+        return None
+
+
 def read_table(
     path: str,
     format: str | None = None,
@@ -62,6 +84,10 @@ def read_table(
     projection after parse (row formats cannot skip columns on read)."""
     fmt = format or _infer_format(path)
     if fmt == "parquet":
+        if "schema" not in kwargs:
+            sch = metadata_free_schema(path, columns)
+            if sch is not None:
+                kwargs["schema"] = sch
         return ray.data.read_parquet(path, columns=columns, **kwargs)
     if fmt == "csv":
         ds = ray.data.read_csv(path, **kwargs)

@@ -51,6 +51,12 @@ def from_arrow_blocks(table, n_blocks: int | None = None) -> ray.data.Dataset:
     serializes every downstream map stage until the first shuffle."""
     import pyarrow as pa
 
+    if table.schema.metadata:
+        # pandas-written tables carry a b'pandas' schema-metadata blob;
+        # metadata-bearing Arrow schemas are unhashable and make every
+        # downstream Ray Data schema unification warn + skip its dedup
+        # fast path — strip it here (zero-copy)
+        table = table.replace_schema_metadata(None)
     if n_blocks is None:
         try:
             n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
