@@ -76,3 +76,34 @@ def test_convert_to_parquet(tmp_path, frame):
     back = read_table(out).to_pandas().sort_values("k")
     assert sorted(back.columns) == ["k", "v"]
     assert list(back["v"]) == [10.0, 20.0, 30.0, 40.0]
+
+
+def test_metadata_free_schema_strips_pandas_blob(tmp_path, frame):
+    """pandas-written parquet embeds b'pandas' schema metadata; Arrow
+    schemas carrying metadata are unhashable, which makes every Ray Data
+    schema unification warn and skip its dedup fast path. read_table must
+    deliver metadata-free blocks."""
+    import pyarrow.parquet as pq
+
+    from raylink.sources import metadata_free_schema
+
+    p = str(tmp_path / "t.parquet")
+    frame.to_parquet(p)
+    assert pq.read_schema(p).metadata  # precondition: blob present
+    sch = metadata_free_schema(p, ["k", "v"])
+    assert sch.metadata is None
+    hash(sch)  # hashable == Ray's set(schemas) dedup works
+    got = read_table(p, columns=["k", "v"]).take_batch(4, batch_format="pyarrow")
+    assert got.schema.metadata is None
+
+
+def test_from_arrow_blocks_strips_metadata(ray_session, frame):
+    import pyarrow as pa
+
+    from raylink.util import from_arrow_blocks
+
+    t = pa.Table.from_pandas(frame)  # carries b'pandas' metadata
+    assert t.schema.metadata
+    ds = from_arrow_blocks(t, n_blocks=2)
+    got = ds.take_batch(2, batch_format="pyarrow")
+    assert got.schema.metadata is None
