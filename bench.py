@@ -262,6 +262,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             allow_exact_matches=False, tie_cols=["event_id"],
         ).count()
         q["asof_join"] = round(time.perf_counter() - t, 3)
+
+        # multimodal: actor-pool image decode (real PNG/BMP/PPM/JPEG
+        # codecs) over a cached fat-payload media table — generation is
+        # driver-side fixture cost, cached like the corpus
+        from raylink.ops.multimodal import decode_images, fake_media_table
+
+        media_path = "/tmp/raylink_bench_cache/media_2048.parquet"
+        try:
+            media = pq.read_table(media_path)
+        except Exception:
+            media = fake_media_table(2048, seed=7)
+            os.makedirs(os.path.dirname(media_path), exist_ok=True)
+            pq.write_table(media, media_path + ".tmp")
+            os.replace(media_path + ".tmp", media_path)
+        t = time.perf_counter()
+        decode_images(
+            from_arrow_blocks(media).filter(expr="kind == 'image'"),
+            dim=16, fake=False,
+        ).count()
+        q["multimodal_decode"] = round(time.perf_counter() - t, 3)
         return q
 
     # ---- repetitions: median-of-N (host noise robust) --------------------
