@@ -676,6 +676,20 @@ def _q_ngram_jaccard(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_session_stats(sf_dir: str):
+    # Per-user session roll-up in ONE exchange (raylink/ops/window.py
+    # session_stats): same gap rule as sessionize, but the per-session and
+    # per-user aggregates are computed inside the partition kernel —
+    # sessions never cross partitions. Integer-µs durations keep the gate
+    # float-free.
+    from raylink.ops.window import session_stats
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return session_stats(ev, 3600).to_pandas().sort_values(
+        "user_id"
+    ).reset_index(drop=True)
+
+
 def _q_sessionize(sf_dir: str):
     # Gap-based sessions (1h) — the hash-partitioned vectorized sessionizer
     # vs a DuckDB lag/cumsum window replay of the same (ts, id) order and
@@ -1159,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
+        "session_stats": _q_session_stats,
         "window_agg": _q_window_agg,
         "asof_join": _q_asof_join,
         "simhash_dedup": _q_simhash_dedup,
@@ -1658,6 +1673,37 @@ def oracle_sql() -> dict[str, str]:
                    MIN(event_id) OVER (PARTITION BY user_id, sgrp) AS session_id
             FROM y
             ORDER BY event_id
+        """,
+        # Per-user session roll-up: the sessionize window replay, then two
+        # grouped aggregates; integer-µs durations, everything BIGINT.
+        "session_stats": """
+            WITH x AS (
+                SELECT event_id, user_id, epoch_us(ts) AS t,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 3600 SECOND
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            y AS (
+                SELECT user_id, t,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sgrp
+                FROM x
+            ),
+            per AS (
+                SELECT user_id, sgrp,
+                       count(*) AS ne,
+                       max(t) - min(t) AS dur
+                FROM y GROUP BY user_id, sgrp
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(ne) AS BIGINT) AS n_events,
+                   CAST(sum(dur) AS BIGINT) AS total_duration_us,
+                   CAST(max(ne) AS BIGINT) AS max_session_events
+            FROM per GROUP BY user_id
+            ORDER BY user_id
         """,
         # Daily tumbling windows; integer-cents sums make the float-free.
         "window_agg": """

@@ -119,6 +119,103 @@ def sessionize(
     )
 
 
+def session_stats(
+    events: ray.data.Dataset,
+    gap_seconds: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-entity session statistics in ONE exchange.
+
+    Same gap rule as :func:`sessionize` (new session when the gap since the
+    entity's previous event is strictly greater than ``gap_seconds``,
+    ordered by ``(ts, id)``), but instead of emitting per-event session
+    ids it aggregates inside the same partition kernel: all of an entity's
+    events are routed to one partition, so sessions never cross partitions
+    and BOTH the per-session and the per-entity roll-ups happen without a
+    second shuffle. Returns
+    ``(key_col, n_sessions, n_events, total_duration_us, max_session_events)``
+    — all aggregates int64 (durations in integer µs), SQL-replayable with
+    window functions.
+    """
+    from raylink.util import pa_type, sorted_partition_apply
+
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
+    gap_us = int(round(gap_seconds * 1_000_000))
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        pid = (_mix64(keys.astype(np.uint64)) % P).astype(np.int64)
+        return pa.table(
+            {
+                "_pid": pa.array(pid),
+                key_col: batch.column(key_col),
+                id_col: batch.column(id_col),
+                "_t": pa.array(_epoch_us(batch.column(ts_col))),
+            }
+        )
+
+    def _stats(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().sort_values(
+            [key_col, "_t", id_col], kind="stable"
+        )
+        new_user = df[key_col].ne(df[key_col].shift())
+        brk = new_user | (df["_t"].diff() > gap_us)
+        sgrp = brk.cumsum()
+        per = df.groupby(sgrp, sort=False).agg(
+            _k=(key_col, "first"), _ne=(id_col, "size"),
+            _lo=("_t", "min"), _hi=("_t", "max"),
+        )
+        per["_dur"] = per["_hi"] - per["_lo"]
+        out = (
+            per.groupby("_k", sort=False)
+            .agg(
+                n_sessions=("_ne", "size"),
+                n_events=("_ne", "sum"),
+                total_duration_us=("_dur", "sum"),
+                max_session_events=("_ne", "max"),
+            )
+            .reset_index()
+            .rename(columns={"_k": key_col})
+        )
+        return pa.table(
+            {
+                key_col: pa.array(out[key_col].to_numpy()),
+                "n_sessions": pa.array(
+                    out["n_sessions"].to_numpy().astype(np.int64)
+                ),
+                "n_events": pa.array(
+                    out["n_events"].to_numpy().astype(np.int64)
+                ),
+                "total_duration_us": pa.array(
+                    out["total_duration_us"].to_numpy().astype(np.int64)
+                ),
+                "max_session_events": pa.array(
+                    out["max_session_events"].to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    eschema = events.schema()
+    etype = dict(zip(eschema.names, (pa_type(t) for t in eschema.types)))
+    out_schema = pa.schema(
+        [
+            (key_col, etype[key_col]),
+            ("n_sessions", pa.int64()),
+            ("n_events", pa.int64()),
+            ("total_duration_us", pa.int64()),
+            ("max_session_events", pa.int64()),
+        ]
+    )
+    tagged = events.map_batches(_tag, batch_format="pyarrow")
+    return sorted_partition_apply(
+        tagged.repartition(nparts), "_pid", _stats, out_schema
+    )
+
+
 def windowed_rank(
     events: ray.data.Dataset,
     key_col: str,

@@ -270,3 +270,63 @@ def test_windowed_rank_string_keys():
         .reset_index(drop=True)
     )
     assert out["rn"].tolist() == [1, 2, 3, 1, 2]
+
+
+def test_session_stats_matches_pandas_reference(ray_session):
+    """session_stats (one-exchange per-entity roll-up) must equal the
+    composition sessionize -> per-session agg -> per-user agg computed in
+    pandas on the same events."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylink.ops.window import session_stats
+
+    rng = np.random.default_rng(11)
+    n, n_users = 5000, 120
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, n_users, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 3 * 3600, n) * 1_000_000, unit="us"
+            ),
+        }
+    )
+    got = (
+        session_stats(rd.from_arrow(pa.Table.from_pandas(df)), 600)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    # reference: same gap rule in plain pandas
+    r = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    t = r["ts"].astype("int64") // 1000  # ns -> us
+    brk = r["user_id"].ne(r["user_id"].shift()) | (
+        t.diff() > 600 * 1_000_000
+    )
+    sgrp = brk.cumsum()
+    per = r.assign(_t=t).groupby(sgrp).agg(
+        u=("user_id", "first"), ne=("event_id", "size"),
+        lo=("_t", "min"), hi=("_t", "max"),
+    )
+    per["dur"] = per["hi"] - per["lo"]
+    want = (
+        per.groupby("u")
+        .agg(
+            n_sessions=("ne", "size"),
+            n_events=("ne", "sum"),
+            total_duration_us=("dur", "sum"),
+            max_session_events=("ne", "max"),
+        )
+        .reset_index()
+        .rename(columns={"u": "user_id"})
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in ["n_sessions", "n_events", "total_duration_us", "max_session_events"]:
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    assert int(got["n_events"].sum()) == n
