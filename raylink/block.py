@@ -267,6 +267,30 @@ def _pack_boundaries(
     return [int(c) for c in cuts if 0 < c < total]
 
 
+def _plan_and_cuts(
+    keys_a: ray.data.Dataset,
+    keys_b: ray.data.Dataset,
+    tile_rows: int,
+    plan: dict | None,
+    hist: "tuple[dict, dict] | None",
+) -> tuple[dict, int, "list[int] | None"]:
+    """Shared pair-generator setup: resolve the tile plan (computing the
+    block histograms when none was given), the target sort-partition
+    count, and the cost-equalized packing cuts (None → row-sampled
+    groupby fallback; ``GRAFT_PACK=0`` forces it)."""
+    if plan is None:
+        hist = block_histograms(keys_a, keys_b)
+        plan = tile_plan_from_hist(hist[0], hist[1], tile_rows)
+    plan_b = _plan_with_bases(plan)
+    want = _want_sort_blocks(plan)
+    cuts = (
+        _pack_boundaries(plan_b, hist[0], hist[1], want)
+        if hist is not None and os.environ.get("GRAFT_PACK", "1") != "0"
+        else None
+    )
+    return plan_b, want, cuts
+
+
 def _tile_group_apply(
     both: ray.data.Dataset,
     tile_fn,
@@ -297,9 +321,19 @@ def _tile_group_apply(
         bounds = np.flatnonzero(np.diff(g)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(g)]])
-        yield pa.concat_tables(
-            tile_fn(tbl.slice(int(s), int(e - s))) for s, e in zip(starts, ends)
-        )
+        # yield per tile, never concat: a cost-equalized partition holds
+        # ~total_pairs/n_bins output rows — one concatenated table would
+        # pin that whole slice in the task heap, where per-tile yields let
+        # Ray assemble right-sized output blocks under backpressure
+        any_rows = False
+        for s, e in zip(starts, ends):
+            out = tile_fn(tbl.slice(int(s), int(e - s)))
+            if out.num_rows:
+                any_rows = True
+                yield out
+        if not any_rows:
+            # typed empty instead of a schema-less zero-yield bundle
+            yield out_schema.empty_table()
 
     return both.sort("gid", boundaries=cuts).map_batches(
         _part, batch_size=None, batch_format="pyarrow"
@@ -419,15 +453,8 @@ def generate_pairs(
     ``hist``: the per-side block histograms the plan was derived from;
     enables size-aware LPT tile packing (computed here when plan is None).
     """
-    if plan is None:
-        hist = block_histograms(keys_emb_a, keys_emb_b)
-        plan = tile_plan_from_hist(hist[0], hist[1], tile_rows)
-    plan_b = _plan_with_bases(plan)
-    want = _want_sort_blocks(plan)
-    cuts = (
-        _pack_boundaries(plan_b, hist[0], hist[1], want)
-        if hist is not None and os.environ.get("GRAFT_PACK", "1") != "0"
-        else None
+    plan_b, want, cuts = _plan_and_cuts(
+        keys_emb_a, keys_emb_b, tile_rows, plan, hist
     )
     plan_ref = ray.put(plan_b)
 
@@ -511,19 +538,8 @@ def generate_scored_pairs(
     from raylink.features import jw_cross
     from raylink.learner import predict_from_state
 
-    if plan is None:
-        hist = block_histograms(keys_emb_a, keys_emb_b)
-        plan = tile_plan_from_hist(hist[0], hist[1], tile_rows)
-    plan_b = _plan_with_bases(plan)
-    want = _want_sort_blocks(plan)
-    # Size-aware packing: equal-COST explicit sort boundaries in gid space
-    # (straggler fix — see _pack_boundaries); needs the block histograms
-    # for the expected per-tile mass. GRAFT_PACK=0 A/Bs the row-sampled
-    # groupby fallback.
-    cuts = (
-        _pack_boundaries(plan_b, hist[0], hist[1], want)
-        if hist is not None and os.environ.get("GRAFT_PACK", "1") != "0"
-        else None
+    plan_b, want, cuts = _plan_and_cuts(
+        keys_emb_a, keys_emb_b, tile_rows, plan, hist
     )
     plan_ref = ray.put(plan_b)
     state_ref = ray.put(model_state)

@@ -108,8 +108,12 @@ def _pairs_in_hot_buckets(
     the scale limit (callers size bands/bits to bound expected bucket
     rows).
 
-    ``empty_out`` (typed, usually zero-row) seeds the output schema so an
-    edge-case empty corpus still yields a well-typed Dataset downstream.
+    ``empty_out`` (typed, usually zero-row) types the per-partition empty
+    results. NOTE: the output is NOT schema-anchored — on a completely
+    empty corpus the sort emits zero blocks and ``schema()`` is None;
+    every current caller chains into ``_hash_dedup(out_schema=...)``,
+    whose terminal anchor restores the typed-empty guarantee. A direct
+    consumer needing a typed empty must union its own anchor.
     ``pair_fn`` always receives a pandas sub-frame (one bucket's rows,
     ``_pid`` column included) and must return a ``pa.Table``."""
     P = np.uint64(num_partitions or _default_partitions())
@@ -172,11 +176,14 @@ def _hash_dedup(
 
     def _dd(df: pd.DataFrame) -> pa.Table:
         # arrow out: mixed pandas/arrow block types in one Dataset trip
-        # Ray's sort/repartition machinery downstream (block-type assert)
+        # Ray's sort/repartition machinery downstream (block-type assert).
+        # Strip from_pandas's b'pandas' schema blob — metadata-bearing
+        # Arrow schemas are unhashable and re-trigger the executor's
+        # schema-unification warnings downstream.
         return pa.Table.from_pandas(
             df.drop_duplicates(subset=key_cols).drop(columns=["_pid"]),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     tagged = ds.map_batches(_tag, batch_format="pyarrow")
     if out_schema is not None:

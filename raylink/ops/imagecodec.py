@@ -427,6 +427,10 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
+        # truncate the accumulator to the pending bits — an unmasked
+        # Python bigint grows one bit per bit ever written and turns
+        # encoding quadratic in output size
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:
@@ -540,7 +544,7 @@ def encode_jpeg(
     # per-component quantized zigzag blocks, in MCU-raster block order
     comp_blocks = []
     for plane, (sh, sv), tq in zip(planes, samp, tqs):
-        p = _pad_to(np.clip(plane, 0, 255), 1)
+        p = np.clip(plane, 0, 255)
         p = np.pad(
             p,
             ((0, mcuy * sv * 8 - p.shape[0]), (0, mcux * sh * 8 - p.shape[1])),
@@ -650,6 +654,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip padding before reading the marker code
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -700,6 +708,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the header
+            if scan is not None:
+                # a second scan means non-interleaved multi-scan baseline
+                # (or DNL tricks) — decoding only one scan would return
+                # garbage pixels silently; fail loudly instead
+                raise ValueError(
+                    "multi-scan baseline JPEG not supported (single "
+                    "interleaved SOS only)"
+                )
             ns = body[0]
             scan_comps = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)

@@ -204,6 +204,27 @@ def test_jpeg_progressive_rejected():
         decode_jpeg(bytes(enc))
 
 
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes — pad the
+    DQT marker and expect a bit-identical decode."""
+    img = _smooth_img(16, 16)
+    enc = encode_jpeg(img, quality=90)
+    idx = enc.find(b"\xff\xdb")
+    padded = enc[:idx] + b"\xff\xff\xff" + enc[idx:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(enc))
+
+
+def test_jpeg_multiscan_rejected():
+    """A second SOS (non-interleaved multi-scan) must fail loudly — the
+    decoder supports a single interleaved scan only."""
+    img = _smooth_img(16, 16)
+    enc = encode_jpeg(img, quality=90)
+    assert enc.endswith(b"\xff\xd9")
+    extra_sos = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00" + b"\x7f"
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(enc[:-2] + extra_sos + b"\xff\xd9")
+
+
 def test_audio_features_sine():
     t = np.arange(16000)
     wave = (np.sin(2 * np.pi * 500 * t / 8000) * 16384).astype(np.int16)
