@@ -283,3 +283,34 @@ def test_frame_sample_real_y4m_luma(ray_session):
         sample_frames(mp4, fake=False).take(1)
     stub = sample_frames(mp4, every_ms=1000, fake=True).to_pandas()
     assert (stub["frame_idx"] == -1).all() and len(stub) > 0
+
+
+def test_jpeg_roundtrip_property():
+    """Property check: any smooth-ish small image round-trips within the
+    quantization error budget at q=90, for both sampling modes and
+    arbitrary (odd) sizes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        h=st.integers(9, 40),
+        w=st.integers(9, 40),
+        seed=st.integers(0, 10**6),
+        subsample=st.booleans(),
+    )
+    def check(h, w, seed, subsample):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (h + w)], axis=2
+        )
+        img = np.clip(img + rng.integers(-10, 10, img.shape), 0, 255).astype(
+            np.uint8
+        )
+        dec = decode_jpeg(encode_jpeg(img, quality=90, subsample=subsample))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(float) - img.astype(float)).mean()
+        assert err < 12.0
+
+    check()

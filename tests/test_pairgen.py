@@ -209,3 +209,46 @@ def test_packed_routing_matches_fallback(monkeypatch, emit):
         )
     assert len(out["1"]) > 0
     pd.testing.assert_frame_equal(out["1"], out["0"])
+
+
+def test_pack_boundaries_property():
+    """Property check over random plans: cuts are valid, and every
+    resulting contiguous partition's cost stays within mean + the
+    heaviest single tile (the equal-cumsum guarantee), for any histogram
+    shape."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from raylink.block import _ROW_COST, _pack_boundaries, _plan_with_bases
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        blocks=st.lists(
+            st.tuples(
+                st.integers(1, 2000),  # na
+                st.integers(1, 2000),  # nb
+                st.integers(1, 6),     # ta
+                st.integers(1, 6),     # tb
+            ),
+            min_size=1, max_size=12,
+        ),
+        n_bins=st.integers(1, 24),
+    )
+    def check(blocks, n_bins):
+        plan = {f"b{i}": (ta, tb) for i, (_, _, ta, tb) in enumerate(blocks)}
+        na = {f"b{i}": a for i, (a, _, _, _) in enumerate(blocks)}
+        nb = {f"b{i}": b for i, (_, b, _, _) in enumerate(blocks)}
+        pb = _plan_with_bases(plan)
+        cuts = _pack_boundaries(pb, na, nb, n_bins)
+        total = sum(ta * tb for ta, tb in plan.values())
+        assert cuts == sorted(set(cuts)) and all(0 < c < total for c in cuts)
+        assert len(cuts) <= max(0, n_bins - 1)
+        cost = np.empty(total)
+        for bk, (ta, tb, base) in pb.items():
+            ma, mb = na[bk] / ta, nb[bk] / tb
+            cost[base : base + ta * tb] = ma * mb + _ROW_COST * (ma + mb)
+        edges = [0] + cuts + [total]
+        loads = [cost[lo:hi].sum() for lo, hi in zip(edges, edges[1:])]
+        assert max(loads) <= cost.sum() / max(1, n_bins) + cost.max() + 1e-6
+
+    check()
