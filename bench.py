@@ -268,9 +268,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # driver-side fixture cost, cached like the corpus
         from raylink.ops.multimodal import decode_images, fake_media_table
 
-        # cache key carries the fixture version (v2 = +JPEG rows) so a
+        # cache key carries the fixture version (v3 = +JPEG+GIF rows) so a
         # changed fixture can't silently benchmark stale payloads
-        media_path = "/tmp/raylink_bench_cache/media_2048_seed7_v2.parquet"
+        media_path = "/tmp/raylink_bench_cache/media_2048_seed7_v3.parquet"
         try:
             media = pq.read_table(media_path)
         except Exception:

@@ -1,10 +1,11 @@
 """Pure-stdlib image + audio codecs for the multimodal decode kernels.
 
-No image/audio libraries exist in this sandbox, but four image container
+No image/audio libraries exist in this sandbox, but five image container
 formats are decodable with nothing beyond ``zlib``/``struct``/numpy —
 binary PPM (P6), uncompressed 24-bit BMP, non-interlaced 8-bit PNG
-(zlib inflate + the five scanline filters), and baseline-DCT JPEG
-(Huffman + dequant + numpy IDCT) — and PCM WAV needs only ``struct``.
+(zlib inflate + the five scanline filters), baseline-DCT JPEG
+(Huffman + dequant + numpy IDCT), and GIF87a/89a (variable-width LZW,
+local/global palettes, interlacing) — and PCM WAV needs only ``struct``.
 These make ``DecodeImage``/``ExtractAudioFeatures`` REAL kernels for the
 formats a real corpus is dominated by; formats that genuinely need
 external codecs (progressive JPEG, webp, MP3/AAC, compressed video)
@@ -827,6 +828,190 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# GIF (87a/89a, LZW) — single-frame decode (first frame of an animation),
+# global/local color tables, interlacing, transparency ignored (composited
+# against the first palette entry is out of scope for feature extraction).
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: variable code width starting at min_code_size+1,
+    CLEAR/EOI codes, dictionary grows to 4095 then freezes until CLEAR."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits = np.unpackbits(
+        np.frombuffer(data, dtype=np.uint8), bitorder="little"
+    )
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    pos = 0
+
+    def reset():
+        return {i: bytes([i]) for i in range(clear)}, min_code_size + 1, None
+
+    table, width, prev = reset()
+    next_code = eoi + 1
+    while n_out < n_pixels and pos + width <= len(bits):
+        code = int(bits[pos : pos + width] @ (1 << np.arange(width, dtype=np.int64)))
+        pos += width
+        if code == clear:
+            table, width, prev = reset()
+            next_code = eoi + 1
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if n_out < n_pixels:
+        raise ValueError("GIF pixel data truncated")
+    return out
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (dict of byte-strings; emits CLEAR at start
+    and on dictionary overflow, EOI at end)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[int] = []
+
+    def emit(code: int, width: int) -> None:
+        for i in range(width):
+            out_bits.append((code >> i) & 1)
+
+    table = {bytes([i]): i for i in range(clear)}
+    width = min_code_size + 1
+    next_code = eoi + 1
+    emit(clear, width)
+    cur = b""
+    for px in indices.astype(np.uint8).tobytes():
+        nxt = cur + bytes([px])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = eoi + 1
+        cur = bytes([px])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    packed = np.packbits(
+        np.array(out_bits, dtype=np.uint8), bitorder="little"
+    ).tobytes()
+    return packed
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → single-frame GIF89a with a 256-entry global color
+    table built by 3-3-2 bit quantization (deterministic; lossy like any
+    ≤256-color GIF)."""
+    h, w, _ = img.shape
+    # 3-3-2 palette: index = rrrgggbb
+    idx = (
+        (img[:, :, 0] >> 5).astype(np.uint8) << 5
+        | (img[:, :, 1] >> 5).astype(np.uint8) << 2
+        | (img[:, :, 2] >> 6).astype(np.uint8)
+    )
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    codes = np.arange(256, dtype=np.uint16)
+    pal[:, 0] = ((codes >> 5) & 7) * 255 // 7
+    pal[:, 1] = ((codes >> 2) & 7) * 255 // 7
+    pal[:, 2] = (codes & 3) * 255 // 3
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out += bytes([8])  # LZW min code size
+    lzw = _lzw_encode(idx.reshape(-1), 8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF87a/89a → (H, W, 3) uint8 (first image block only)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            x0, y0, iw, ih, iflags = struct.unpack(
+                "<HHHHB", data[pos + 1 : pos + 10]
+            )
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(
+                    data[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(lzw), min_code, iw * ih).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                rows = np.concatenate(
+                    [np.arange(0, ih, 8), np.arange(4, ih, 8),
+                     np.arange(2, ih, 4), np.arange(1, ih, 2)]
+                )
+                deinter = np.empty_like(idx)
+                deinter[rows] = idx
+                idx = deinter
+            img = pal[np.minimum(idx, len(pal) - 1)]
+            full = np.zeros((h, w, 3), dtype=np.uint8)
+            full[y0 : y0 + ih, x0 : x0 + iw] = img[: h - y0, : w - x0]
+            return full
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image block")
+
+
+# --------------------------------------------------------------------------
 # Sniffing
 
 
@@ -840,6 +1025,8 @@ def sniff_format(data: bytes) -> str | None:
         return "ppm"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     if data.startswith(b"YUV4MPEG2 "):

@@ -28,12 +28,14 @@ import ray.data
 from raylink.util import actor_pool_size
 from raylink.ops.imagecodec import (
     decode_bmp,
+    decode_gif,
     decode_jpeg,
     decode_png,
     decode_ppm,
     decode_wav,
     decode_y4m,
     encode_bmp,
+    encode_gif,
     encode_jpeg,
     encode_png,
     encode_ppm,
@@ -59,6 +61,7 @@ _IMG_DECODERS = {
     "bmp": decode_bmp,
     "ppm": decode_ppm,
     "jpeg": decode_jpeg,
+    "gif": decode_gif,
 }
 
 
@@ -83,16 +86,21 @@ def _test_video(rng: np.random.Generator, w: int, h: int, n: int) -> np.ndarray:
 
 def fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
     """Deterministic media rows. Image payloads are REAL encoded PNG / BMP
-    / PPM / baseline JPEG (cycling; the JPEG rows alternate 4:4:4, 4:2:0
-    and restart-marker variants), audio payloads are real PCM WAV, and two
-    of every three video payloads are real uncompressed Y4M — so the
-    decode kernels run for real; the remaining video rows stay opaque
+    / PPM / baseline JPEG / GIF (cycling; the JPEG rows alternate 4:4:4,
+    4:2:0 and restart-marker variants), audio payloads are real PCM WAV,
+    and two of every three video payloads are real uncompressed Y4M — so
+    the decode kernels run for real; the remaining video rows stay opaque
     'mp4' bytes (no stdlib codec for compressed video containers), keeping
     the fake/stub path exercised."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
-    img_fmts = ["png", "bmp", "ppm", "jpeg"]
-    img_encoders = {"png": encode_png, "bmp": encode_bmp, "ppm": encode_ppm}
+    img_fmts = ["png", "bmp", "ppm", "jpeg", "gif"]
+    img_encoders = {
+        "png": encode_png,
+        "bmp": encode_bmp,
+        "ppm": encode_ppm,
+        "gif": encode_gif,
+    }
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     n_img = 0
     for i in range(n):
@@ -100,7 +108,7 @@ def fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         if kind == "image":
-            fmt = img_fmts[n_img % 4]
+            fmt = img_fmts[n_img % 5]
             w, h = 32 + int(rng.integers(0, 32)), 24 + int(rng.integers(0, 24))
             img = _test_image(rng, w, h)
             if fmt == "jpeg":
@@ -150,13 +158,13 @@ def _pool_grid(dim: int) -> tuple[int, int]:
 class DecodeImage:
     """Actor stage: binary payload → decoded pixel features.
 
-    REAL decode for PPM/BMP/PNG/baseline JPEG (pure-stdlib codecs); the
-    feature is a ``dim``-cell adaptive mean-pool of the grayscale image in
-    [0, 1] — i.e. decode → grayscale → fixed-grid downsample, the
-    canonical decode/resize/featurize shape of a training-data pipeline.
-    Formats needing external codecs (progressive JPEG, webp…) raise
-    unless ``fake=True``, which substitutes a digest-based stand-in with
-    the same output layout."""
+    REAL decode for PPM/BMP/PNG/baseline JPEG/GIF (pure-stdlib codecs);
+    the feature is a ``dim``-cell adaptive mean-pool of the grayscale
+    image in [0, 1] — i.e. decode → grayscale → fixed-grid downsample,
+    the canonical decode/resize/featurize shape of a training-data
+    pipeline. Formats needing external codecs (progressive JPEG, webp…)
+    raise unless ``fake=True``, which substitutes a digest-based stand-in
+    with the same output layout."""
 
     def __init__(self, dim: int = 16, fake: bool = False):
         self.dim = dim

@@ -314,3 +314,52 @@ def test_jpeg_roundtrip_property():
         assert err < 12.0
 
     check()
+
+
+def test_gif_roundtrip_and_palette_exact():
+    """GIF is palette-lossy (3-3-2 quantization) on arbitrary input, but
+    must be bit-exact on input already on the palette grid — and the
+    second pass through the codec must be idempotent."""
+    from raylink.ops.imagecodec import decode_gif, encode_gif
+
+    img = _smooth_img(37, 51)
+    enc = encode_gif(img)
+    assert sniff_format(enc) == "gif"
+    dec = decode_gif(enc)
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(float) - img.astype(float)).mean() < 24.0
+    assert np.array_equal(decode_gif(encode_gif(dec)), dec)
+
+
+def test_gif_interlaced_decode():
+    """Interlace flag: rows arrive in 4-pass order; the decoder must
+    de-shuffle them back (build the interlaced variant by reordering the
+    encoder's row stream)."""
+    import struct
+
+    from raylink.ops.imagecodec import _lzw_decode, _lzw_encode, decode_gif, encode_gif
+
+    img = _smooth_img(23, 17)
+    plain = decode_gif(encode_gif(img))  # palette-grid truth
+    # re-encode with the interlace flag and rows in interlaced order
+    h, w = 23, 17
+    idx332 = (
+        (plain[:, :, 0] >> 5).astype(np.uint8) << 5
+        | (plain[:, :, 1] >> 5).astype(np.uint8) << 2
+        | (plain[:, :, 2] >> 6).astype(np.uint8)
+    )
+    rows = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8),
+         np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    lzw = _lzw_encode(idx332[rows].reshape(-1), 8)
+    base = encode_gif(plain)
+    head_end = 13 + 768  # header + GCT
+    out = bytearray(base[:head_end])
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+    out += bytes([8])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    assert np.array_equal(decode_gif(bytes(out)), plain)
