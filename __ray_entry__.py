@@ -798,6 +798,65 @@ def _q_fingerprint(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_repetition_stats(sf_dir: str):
+    # Gopher-style repetition/diversity signals (raylink/ops/text.py
+    # RepetitionStats): integer counters cross the gate as-is; the float64
+    # fractions cross as e6 integers via the shared floor(x*1e6+0.5) device
+    # (both sides perform ONE IEEE double division of the same integers,
+    # then the same half-away rounding).
+    from raylink.ops.text import repetition_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df = repetition_stats(docs).select_columns(
+        ["doc_id", "n_tokens", "n_distinct", "top_word_cnt", "top_bigram_cnt",
+         "top_word_frac", "top_bigram_frac", "distinct_frac"]
+    ).to_pandas()
+    for src, dst in (
+        ("top_word_frac", "top_word_e6"),
+        ("top_bigram_frac", "top_bigram_e6"),
+        ("distinct_frac", "distinct_e6"),
+    ):
+        df[dst] = np.floor(df[src] * 1e6 + 0.5).astype("int64")
+    return (
+        df[["doc_id", "n_tokens", "n_distinct", "top_word_cnt",
+            "top_bigram_cnt", "top_word_e6", "top_bigram_e6", "distinct_e6"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_decontaminate(sf_dir: str):
+    # Benchmark decontamination (raylink/ops/decontam.py): docs with
+    # doc_id % 41 == 0 stand in for the eval benchmark; their distinct
+    # 4-gram set is reduced once and broadcast; the remaining corpus is
+    # flagged in one stateless streaming pass (n=4 on this tiny-vocab
+    # synthetic corpus ~ the 8-13-token window real pipelines use).
+    import pyarrow as pa
+
+    from raylink.ops.decontam import decontaminate, eval_ngram_set
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _split(keep_eval: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 41 == 0) if keep_eval else (ids % 41 != 0)
+            return batch.filter(pa.array(mask))
+
+        return _f
+
+    ev = docs.map_batches(_split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_split(False), batch_format="pyarrow")
+    grams = eval_ngram_set(ev, n=4)
+    out = decontaminate(corpus, grams, n=4)
+    return (
+        out.select_columns(["doc_id", "n_grams", "n_contaminated", "contaminated"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 _KMEANS_CENT: dict[str, "np.ndarray"] = {}
 
 
@@ -1180,6 +1239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
+        "repetition_stats": _q_repetition_stats,
+        "decontaminate": _q_decontaminate,
         "fingerprint": _q_fingerprint,
         "multimodal_decode": _q_multimodal_decode,
         "audio_features": _q_audio_features,
@@ -1438,6 +1499,84 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY lower(token)
             )
             ORDER BY cnt DESC, token LIMIT 50
+        """,
+        # Gopher-style repetition signals over the same lowered [0-9A-Za-z_]+
+        # tokens as vocab_topk/bm25. Counters are exact integers; fractions
+        # cross as e6 ints (one IEEE double division of the same integers on
+        # both sides, then the shared FLOOR(x*1e6+0.5) half-away rounding).
+        "repetition_stats": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_transform(regexp_extract_all(text, '[0-9A-Za-z_]+'),
+                                      x -> lower(x)) AS toks
+                FROM documents
+            ),
+            base AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM tok),
+            words AS (
+                SELECT doc_id, t, count(*)::BIGINT AS c
+                FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+                GROUP BY doc_id, t
+            ),
+            wagg AS (
+                SELECT doc_id, max(c) AS top_w, count(*)::BIGINT AS nd
+                FROM words GROUP BY doc_id
+            ),
+            bi AS (
+                SELECT doc_id, g, count(*)::BIGINT AS c FROM (
+                    SELECT b.doc_id, b.toks[i] || ' ' || b.toks[i+1] AS g
+                    FROM base b, LATERAL unnest(generate_series(1, b.n - 1)) AS s(i)
+                    WHERE b.n >= 2
+                ) GROUP BY doc_id, g
+            ),
+            bagg AS (SELECT doc_id, max(c) AS top_b FROM bi GROUP BY doc_id)
+            SELECT b.doc_id,
+                   b.n AS n_tokens,
+                   coalesce(w.nd, 0) AS n_distinct,
+                   coalesce(w.top_w, 0) AS top_word_cnt,
+                   coalesce(g.top_b, 0) AS top_bigram_cnt,
+                   CAST(FLOOR((CASE WHEN b.n > 0 THEN coalesce(w.top_w, 0)::DOUBLE / b.n ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS top_word_e6,
+                   CAST(FLOOR((CASE WHEN b.n > 1 THEN coalesce(g.top_b, 0)::DOUBLE / (b.n - 1) ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS top_bigram_e6,
+                   CAST(FLOOR((CASE WHEN b.n > 0 THEN coalesce(w.nd, 0)::DOUBLE / b.n ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS distinct_e6
+            FROM base b
+            LEFT JOIN wagg w ON w.doc_id = b.doc_id
+            LEFT JOIN bagg g ON g.doc_id = b.doc_id
+            ORDER BY b.doc_id
+        """,
+        # Decontamination ground truth: eval = docs with doc_id % 41 = 0,
+        # corpus = the rest; a corpus doc is contaminated iff it shares any
+        # lowered-token 4-gram with the eval set. Same tokenization as
+        # vocab_topk; n_grams / n_contaminated count DISTINCT grams.
+        "decontaminate": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_transform(regexp_extract_all(text, '[0-9A-Za-z_]+'),
+                                      x -> lower(x)) AS toks
+                FROM documents
+            ),
+            base AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM tok),
+            grams AS (
+                SELECT DISTINCT b.doc_id,
+                       array_to_string(list_slice(b.toks, i, i + 3), ' ') AS g
+                FROM base b, LATERAL unnest(generate_series(1, b.n - 3)) AS s(i)
+                WHERE b.n >= 4
+            ),
+            dg AS (SELECT doc_id, count(*)::BIGINT AS ng FROM grams GROUP BY doc_id),
+            ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 0),
+            hits AS (
+                SELECT d.doc_id, count(*)::BIGINT AS h
+                FROM grams d JOIN ev USING (g)
+                WHERE d.doc_id % 41 <> 0
+                GROUP BY d.doc_id
+            )
+            SELECT b.doc_id,
+                   coalesce(dg.ng, 0) AS n_grams,
+                   coalesce(h.h, 0) AS n_contaminated,
+                   (CASE WHEN coalesce(h.h, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+            FROM base b
+            LEFT JOIN dg ON dg.doc_id = b.doc_id
+            LEFT JOIN hits h ON h.doc_id = b.doc_id
+            WHERE b.doc_id % 41 <> 0
+            ORDER BY b.doc_id
         """,
         # BM25 (k1=1.5, b=0.75) over ASCII word-run tokens; dl = token
         # count, N counts all docs, df/tf only for the query terms. Scores

@@ -343,6 +343,73 @@ def bm25_topk(
     )
 
 
+class RepetitionStats:
+    """Gopher-style repetition / diversity signals per document, over the
+    same lowercased ASCII ``\\w+`` tokens the vocab/BM25 operators use (so
+    one DuckDB tokenization replays every token-level operator):
+
+    * ``n_tokens``       — token count
+    * ``n_distinct``     — distinct-token count
+    * ``top_word_cnt``   — occurrences of the most frequent token
+    * ``top_bigram_cnt`` — occurrences of the most frequent 2-gram
+    * ``top_word_frac``  — top_word_cnt / n_tokens (0.0 when empty)
+    * ``top_bigram_frac``— top_bigram_cnt / (n_tokens-1) (0.0 when < 2 tokens)
+    * ``distinct_frac``  — n_distinct / n_tokens (0.0 when empty)
+
+    High ``top_*_frac`` / low ``distinct_frac`` flag the boilerplate and
+    keyboard-mash documents the Gopher/MassiveText filters drop before
+    training. Integer counters are emitted alongside the float fractions so
+    the oracle gate can stay in exact integers; the fractions themselves
+    are single IEEE float64 divisions of those integers, which DuckDB's
+    ``CAST(a AS DOUBLE)/b`` reproduces bit-exactly.
+
+    A stateless vectorized map stage; the per-doc Counter loop wraps
+    C-speed dict ops (same defensible shape as bm25_topk's term counts).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        n_tok = np.zeros(n, dtype=np.int64)
+        n_dis = np.zeros(n, dtype=np.int64)
+        top_w = np.zeros(n, dtype=np.int64)
+        top_b = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = [w.lower() for w in _WORD_RE.findall(t)]
+            n_tok[i] = len(toks)
+            if not toks:
+                continue
+            wc = Counter(toks)
+            n_dis[i] = len(wc)
+            top_w[i] = max(wc.values())
+            if len(toks) >= 2:
+                bc = Counter(zip(toks, toks[1:]))
+                top_b[i] = max(bc.values())
+        tw_frac = np.where(n_tok > 0, top_w / np.maximum(n_tok, 1), 0.0)
+        tb_frac = np.where(n_tok > 1, top_b / np.maximum(n_tok - 1, 1), 0.0)
+        d_frac = np.where(n_tok > 0, n_dis / np.maximum(n_tok, 1), 0.0)
+        for name, arr, typ in (
+            ("n_tokens", n_tok, pa.int64()),
+            ("n_distinct", n_dis, pa.int64()),
+            ("top_word_cnt", top_w, pa.int64()),
+            ("top_bigram_cnt", top_b, pa.int64()),
+            ("top_word_frac", tw_frac, pa.float64()),
+            ("top_bigram_frac", tb_frac, pa.float64()),
+            ("distinct_frac", d_frac, pa.float64()),
+        ):
+            batch = set_column(batch, name, pa.array(arr, type=typ))
+        return batch
+
+
+def repetition_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(RepetitionStats(text_col=text_col), batch_format="pyarrow")
+
+
 # PII scrub patterns: ASCII classes only (re.ASCII) so DuckDB's RE2
 # regexp_replace(..., 'g') replays each substitution bit-exactly; applied
 # in list order (emails first — they contain dots and digits that the

@@ -172,6 +172,53 @@ def test_text_stats_hand_values():
     assert out.column("n_spaces").to_pylist() == [2, 0]
 
 
+def test_repetition_stats_hand_values():
+    from raylink.ops.text import RepetitionStats
+
+    out = RepetitionStats()(
+        pa.table({"text": ["a a b", "", "x", "go go go go"]})
+    )
+    assert out.column("n_tokens").to_pylist() == [3, 0, 1, 4]
+    assert out.column("n_distinct").to_pylist() == [2, 0, 1, 1]
+    assert out.column("top_word_cnt").to_pylist() == [2, 0, 1, 4]
+    # bigrams: {"a a": 1, "a b": 1}; none; none; {"go go": 3}
+    assert out.column("top_bigram_cnt").to_pylist() == [1, 0, 0, 3]
+    assert out.column("top_word_frac").to_pylist() == [2 / 3, 0.0, 1.0, 1.0]
+    assert out.column("top_bigram_frac").to_pylist() == [0.5, 0.0, 0.0, 1.0]
+    assert out.column("distinct_frac").to_pylist() == [2 / 3, 0.0, 1.0, 0.25]
+
+
+def test_decontaminate_flags_ngram_overlap():
+    from raylink.ops.decontam import decontaminate, eval_ngram_set
+
+    ev = rd.from_arrow(
+        pa.table({"doc_id": [100], "text": ["the quick brown fox jumps"]})
+    )
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "he saw the quick brown fox today",  # shares a 4-gram
+                    "the quick red fox jumps",  # no shared 4-gram
+                    "tiny",  # < n tokens
+                ],
+            }
+        )
+    )
+    grams = eval_ngram_set(ev, n=4)
+    assert "the quick brown fox" in grams and len(grams) == 2
+    out = (
+        decontaminate(corpus, grams, n=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["contaminated"].tolist() == [1, 0, 0]
+    assert out["n_contaminated"].tolist() == [1, 0, 0]
+    assert out["n_grams"].tolist() == [4, 2, 0]
+
+
 def test_lang_id_english():
     ds = rd.from_arrow(
         pa.table(
