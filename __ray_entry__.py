@@ -919,6 +919,60 @@ def _kmeans_assign_sql(sf_dir: str) -> str:
     """
 
 
+def _q_semantic_dedup(sf_dir: str):
+    # SemDeDup-style semantic near-dup removal (raylink/ops/semdedup.py):
+    # pinned-centroid cluster assignment (the SQL-gated kmeans_assign fit,
+    # memoized — one fit shared with that query and the oracle builder),
+    # then within-cluster cosine >= 0.35 against any smaller-id neighbor
+    # drops the row. One broadcast + one range exchange.
+    from raylink.ops.semdedup import semantic_dedup
+
+    embs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = _kmeans_centroids(sf_dir)
+    return (
+        semantic_dedup(embs, cent, threshold=0.35)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+def _semantic_dedup_sql(sf_dir: str) -> str:
+    cent = _kmeans_centroids(sf_dir)
+    rows = ",".join(
+        "(%d,[%s]::DOUBLE[])" % (i, ",".join(repr(float(x)) for x in v))
+        for i, v in enumerate(cent)
+    )
+    # assignment CTE = the gated kmeans_assign replay; survivor rule = no
+    # smaller-id within-cluster neighbor at cosine >= 0.35 (decision margin
+    # ~7e-5 on this corpus — tests/test_ops.py asserts it)
+    return f"""
+        WITH cent(cid, v) AS (VALUES {rows}),
+        e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+            FROM embeddings
+        ),
+        a AS (
+            SELECT vec_id, ev, cid AS cluster FROM (
+                SELECT e.vec_id, e.ev, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.ev, c.v) DESC, c.cid
+                       ) AS rn
+                FROM e CROSS JOIN cent c
+            ) WHERE rn = 1
+        )
+        SELECT x.vec_id, CAST(x.cluster AS BIGINT) AS cluster,
+               CAST(CASE WHEN EXISTS (
+                   SELECT 1 FROM a y
+                   WHERE y.cluster = x.cluster AND y.vec_id < x.vec_id
+                     AND list_cosine_similarity(x.ev, y.ev) >= 0.35
+               ) THEN 0 ELSE 1 END AS BIGINT) AS kept
+        FROM a x ORDER BY x.vec_id
+    """
+
+
 def _q_quantile_filter(sf_dir: str):
     # Percentile-threshold quality filter: the threshold is found by
     # distributed exact k-th selection (bucket-histogram bisection, no
@@ -1246,6 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "kmeans_assign": _q_kmeans_assign,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -2035,4 +2090,6 @@ def oracle_sql() -> dict[str, str]:
         # k-means: iterative fit frozen as centroid literals, assignment
         # replayed (argmax cosine == argmax raw dot; ties -> smaller cid)
         "kmeans_assign": _kmeans_assign_sql(_GATE_SF),
+        # SemDeDup: the kmeans_assign replay + a NOT-EXISTS survivor rule
+        "semantic_dedup": _semantic_dedup_sql(_GATE_SF),
     }

@@ -164,6 +164,7 @@ def sorted_partition_apply(
     sort_key: str,
     fn,
     out_schema,
+    boundaries: list | None = None,
 ) -> ray.data.Dataset:
     """ONE range exchange (sort on ``sort_key``) + a whole-partition apply
     with a PINNED output schema — the executor-clean replacement for
@@ -178,7 +179,10 @@ def sorted_partition_apply(
     integer ``sort_key`` (hash of the group key mod 2^31, not mod
     #partitions) so sampled sort boundaries essentially never collide and
     empty sort partitions don't occur, and (b) every map output — including
-    an empty partition's — is ``out_schema``-typed.
+    an empty partition's — is ``out_schema``-typed. Callers routing on a
+    LOW-cardinality key (e.g. a P-valued ``_pid``) must pass EXPLICIT
+    ``boundaries`` (``range(1, P)``) so sampled boundaries can't collide
+    into schema-less empty sort partitions.
 
     ``fn(table: pa.Table) -> pa.Table`` receives a WHOLE sort partition
     (all groups whose key hashes into its range, each group complete) and
@@ -199,9 +203,9 @@ def sorted_partition_apply(
             )
         yield out
 
+    srt = ds.sort(sort_key) if boundaries is None else ds.sort(sort_key, boundaries=boundaries)
     return (
-        ds.sort(sort_key)
-        .map_batches(_apply, batch_size=None, batch_format="pyarrow")
+        srt.map_batches(_apply, batch_size=None, batch_format="pyarrow")
         .union(ray.data.from_arrow(out_schema.empty_table()))
     )
 

@@ -219,6 +219,61 @@ def test_decontaminate_flags_ngram_overlap():
     assert out["n_grams"].tolist() == [4, 2, 0]
 
 
+def test_semantic_dedup_hand_values():
+    from raylink.ops.semdedup import semantic_dedup
+
+    # two well-separated clusters; ids 1/2 are near-identical in cluster A
+    cent = np.array([[1.0, 0.0], [0.0, 1.0]])
+    vecs = [
+        [1.0, 0.01],   # id 1, cluster 0
+        [1.0, 0.011],  # id 2, cluster 0 — near-dup of id 1 -> dropped
+        [1.0, -0.9],   # id 3, cluster 0 but far from 1/2 -> kept
+        [0.02, 1.0],   # id 4, cluster 1 -> kept
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = (
+        semantic_dedup(ds, cent, threshold=0.95)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out["cluster"].tolist() == [0, 0, 0, 1]
+    assert out["kept"].tolist() == [1, 0, 1, 1]
+
+
+def test_semantic_dedup_gate_decision_margin():
+    # The sf0.01 oracle gate decides kept/dropped by cosine >= 0.35; this
+    # pins the corpus's nearest within-cluster pair-to-threshold distance
+    # far above the ~1e-15 numpy/DuckDB float64 discrepancy, so the gate
+    # cannot flip on arithmetic noise (same device as the flagship's
+    # decision-margin test).
+    from raylink.ops.ann import _normalize
+    from raylink.ops.kmeans import assign_clusters, kmeans
+
+    embs = rd.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = kmeans(embs, k=8, iters=5)
+    df = assign_clusters(embs, cent).to_pandas()
+    mat = _normalize(np.stack([np.asarray(v, float) for v in df["embedding"]]))
+    cl = df["cluster"].to_numpy()
+    margin = np.inf
+    for c in np.unique(cl):
+        sub = mat[cl == c]
+        cos = sub @ sub.T
+        iu = np.triu_indices(len(sub), 1)
+        if len(iu[0]):
+            margin = min(margin, float(np.abs(cos[iu] - 0.35).min()))
+    assert margin > 1e-6, margin
+
+
 def test_lang_id_english():
     ds = rd.from_arrow(
         pa.table(
