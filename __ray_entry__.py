@@ -857,6 +857,43 @@ def _q_decontaminate(sf_dir: str):
     )
 
 
+def _q_lm_perplexity(sf_dir: str):
+    # Bigram-LM perplexity quality scoring (raylink/ops/lm.py): vocab-24
+    # add-0.5 model fit on the corpus itself (top-V partials → one groupby
+    # sum, counts broadcast once), then a stateless scoring pass. nll
+    # crosses the gate in e6 micro-units (numpy/DuckDB ln agree to ~1e-15).
+    from raylink.ops.lm import fit_bigram_lm, lm_score
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    lm = fit_bigram_lm(docs, vocab_size=24, k=0.5)
+    df = lm_score(docs, lm).select_columns(
+        ["doc_id", "n_scored", "nll"]
+    ).to_pandas()
+    df["nll_e6"] = np.floor(df["nll"] * 1e6 + 0.5).astype("int64")
+    return (
+        df[["doc_id", "n_scored", "nll_e6"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_temperature_sample(sf_dir: str):
+    # Temperature-weighted source mixing (raylink/ops/sample.py
+    # temperature_sample): per-lang acceptance rates ∝ n^0.5 frozen to e6
+    # integer thresholds from one tiny groupby, rows kept by the pure
+    # id_hash rule — stateless map, no shuffle (alpha=0.5 so the weights
+    # go through IEEE-exact sqrt on both sides).
+    from raylink.ops.sample import temperature_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = temperature_sample(docs, "lang", "doc_id", target_rows=250, alpha=0.5)
+    return (
+        out.to_pandas()[["doc_id", "lang"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 _KMEANS_CENT: dict[str, "np.ndarray"] = {}
 
 
@@ -1295,6 +1332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
+        "lm_perplexity": _q_lm_perplexity,
+        "temperature_sample": _q_temperature_sample,
         "fingerprint": _q_fingerprint,
         "multimodal_decode": _q_multimodal_decode,
         "audio_features": _q_audio_features,
@@ -1633,6 +1672,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE b.doc_id % 41 <> 0
             ORDER BY b.doc_id
         """,
+        # Bigram-LM self-perplexity: the whole model (vocab-24 by (count
+        # desc, token asc), add-0.5 smoothing over V+1=25 outcomes, <s>
+        # document starts) is rebuilt from CTEs — a pure function of the
+        # corpus, no literal export. Every (prev, w) scored exists in bg by
+        # construction (the model is fit on the scored corpus), so the
+        # inner joins are complete.
+        "lm_perplexity": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_transform(regexp_extract_all(text, '[0-9A-Za-z_]+'),
+                                      x -> lower(x)) AS toks
+                FROM documents
+            ),
+            base AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM tok),
+            vcounts AS (
+                SELECT t AS token, count(*)::BIGINT AS c
+                FROM (SELECT unnest(toks) AS t FROM base) GROUP BY t
+            ),
+            vocab AS (SELECT token FROM vcounts ORDER BY c DESC, token LIMIT 24),
+            m AS (
+                SELECT b.doc_id, i,
+                       CASE WHEN b.toks[i] IN (SELECT token FROM vocab)
+                            THEN b.toks[i] ELSE '<unk>' END AS w,
+                       CASE WHEN i = 1 THEN '<s>'
+                            WHEN b.toks[i-1] IN (SELECT token FROM vocab)
+                            THEN b.toks[i-1] ELSE '<unk>' END AS prev
+                FROM base b, LATERAL unnest(generate_series(1, b.n)) AS s(i)
+                WHERE b.n >= 1
+            ),
+            bg AS (SELECT prev, w, count(*)::BIGINT AS c FROM m GROUP BY prev, w),
+            cx AS (SELECT prev, sum(c)::BIGINT AS c FROM bg GROUP BY prev),
+            scored AS (
+                SELECT m.doc_id,
+                       count(*)::BIGINT AS n_scored,
+                       sum(ln((bg.c + 0.5) / (cx.c + 0.5 * 25))) AS lp
+                FROM m
+                JOIN bg ON bg.prev = m.prev AND bg.w = m.w
+                JOIN cx ON cx.prev = m.prev
+                GROUP BY m.doc_id
+            )
+            SELECT b.doc_id,
+                   coalesce(s.n_scored, 0) AS n_scored,
+                   CAST(FLOOR(coalesce(-s.lp, 0.0) * 1000000.0 + 0.5) AS BIGINT) AS nll_e6
+            FROM base b LEFT JOIN scored s ON s.doc_id = b.doc_id
+            ORDER BY b.doc_id
+        """,
         # BM25 (k1=1.5, b=0.75) over ASCII word-run tokens; dl = token
         # count, N counts all docs, df/tf only for the query terms. Scores
         # in integer micro-units: DuckDB's ln/÷ agree with numpy to ~1e-15,
@@ -1672,6 +1757,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS bm25_e6
             FROM scored
             ORDER BY bm25_e6 DESC, doc_id LIMIT 20
+        """,
+        # temperature mixing: rate_s = min(1, 250·sqrt(n_s)/Σsqrt(n_t)/n_s)
+        # frozen to an e6 threshold (sqrt is IEEE-correctly-rounded, so
+        # numpy and DuckDB agree bit-exactly at alpha=0.5); keep rule =
+        # the split_by_hash HUGEINT hash mod 1e6 under the threshold
+        "temperature_sample": """
+            WITH c AS (
+                SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+            ),
+            tot AS (SELECT sum(sqrt(n::DOUBLE)) AS s FROM c),
+            r AS (
+                SELECT lang,
+                       CAST(FLOOR(LEAST(1.0, 250.0 * sqrt(n::DOUBLE) / (SELECT s FROM tot) / n) * 1000000.0 + 0.5) AS BIGINT) AS thr
+                FROM c
+            ),
+            h AS (
+                SELECT doc_id, lang,
+                       xor((doc_id::HUGEINT * 2654435761) % 4294967296,
+                           ((doc_id::HUGEINT * 2654435761) % 4294967296) >> 16) AS hv
+                FROM documents
+            )
+            SELECT h.doc_id, h.lang FROM h JOIN r USING (lang)
+            WHERE hv % 1000000 < r.thr ORDER BY doc_id
         """,
         "split_by_hash": """
             WITH h AS (

@@ -169,6 +169,63 @@ def stratified_sample(
     return partials.groupby(group_col).map_groups(_final, batch_format="pandas")
 
 
+def temperature_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+) -> ray.data.Dataset:
+    """Temperature-weighted multi-source mixing — the data-mixture sampler
+    LLM pipelines run before training (sample source s with probability
+    ∝ n_s^alpha; alpha < 1 up-weights small sources, the multilingual-
+    sampling trick from mBERT/XLM-R and the Pile's source weighting).
+
+    Per-source acceptance rates are derived from ONE tiny groupby
+    (``|sources|`` rows to the driver): rate_s = min(1, target_rows ·
+    n_s^alpha / Σ_t n_t^alpha / n_s), frozen to an integer e6 threshold.
+    Rows are then kept by a pure hash rule — ``id_hash(id) % 1e6 <
+    thr_s`` — which is a stateless map: no shuffle, no RNG state, stable
+    under repartitioning/resume, coordination-free on any cluster slice
+    (the split_by_hash scale argument).
+
+    The expected sample size is target_rows (each source contributes
+    ~n_s·rate_s); the realized count is binomial around it, as with any
+    hash sampler. SQL parity: at alpha=0.5 the weights go through IEEE
+    sqrt (correctly rounded, so numpy == DuckDB bit-exactly); other
+    alphas ride pow's ~1-ulp agreement, absorbed by the e6 threshold
+    rounding. Threshold arithmetic is documented in the oracle."""
+    import math
+
+    # per-batch partial counts -> driver fold: <= |groups| rows per batch
+    # reach the driver, and no low-cardinality groupby exchange (Ray's
+    # sort-based Aggregate emits schema-less empty partitions when group
+    # cardinality < partition count — the executor-warning class)
+    def _partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[group_col].value_counts()
+        return pd.DataFrame({group_col: vc.index, "n": vc.to_numpy()})
+
+    parts = ds.map_batches(_partial_counts, batch_format="pandas").to_pandas()
+    folded = parts.groupby(group_col)["n"].sum()
+    # deterministic accumulation order (sorted by group name); the oracle's
+    # SUM order may differ — a ~1e-16 relative wobble the e6 threshold
+    # rounding absorbs
+    rows = sorted(zip(folded.index, folded.to_numpy()))
+    weights = {g: float(n) ** alpha for g, n in rows}
+    total_w = sum(w for _, w in sorted(weights.items()))
+    thr = {
+        g: int(math.floor(min(1.0, target_rows * weights[g] / total_w / n) * 1e6 + 0.5))
+        for g, n in rows
+    }
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        hv = id_hash(df[id_col].to_numpy()) % np.uint64(1_000_000)
+        t = df[group_col].map(thr).to_numpy(dtype=np.int64)
+        return df[hv.astype(np.int64) < t]
+
+    return ds.map_batches(_keep, batch_format="pandas")
+
+
 def split_by_hash(
     ds: ray.data.Dataset,
     id_col: str,

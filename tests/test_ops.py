@@ -274,6 +274,67 @@ def test_semantic_dedup_gate_decision_margin():
     assert margin > 1e-6, margin
 
 
+def test_bigram_lm_hand_values():
+    import math
+
+    from raylink.ops.lm import fit_bigram_lm, lm_score
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3], "text": ["a b", "a b", "a c"]})
+    )
+    lm = fit_bigram_lm(docs, vocab_size=10, k=0.5)
+    assert lm.vocab == {"a", "b", "c"}
+    assert lm.bigram == {("<s>", "a"): 3, ("a", "b"): 2, ("a", "c"): 1}
+    assert lm.context == {"<s>": 3, "a": 3}
+    out = lm_score(docs, lm).to_pandas().sort_values("doc_id")
+    # V+1 = 4, k=0.5 -> denominators are ctx + 2.0
+    nll_ab = -(math.log(3.5 / 5.0) + math.log(2.5 / 5.0))
+    nll_ac = -(math.log(3.5 / 5.0) + math.log(1.5 / 5.0))
+    assert np.allclose(out["nll"].to_numpy(), [nll_ab, nll_ab, nll_ac])
+    assert out["n_scored"].tolist() == [2, 2, 2]
+    assert np.allclose(out["ppl"].to_numpy(), np.exp(out["nll"] / 2))
+
+
+def test_bigram_lm_unk_and_empty():
+    from raylink.ops.lm import fit_bigram_lm, lm_score
+
+    train = rd.from_arrow(
+        pa.table({"doc_id": [1], "text": ["x x x x y"]})
+    )
+    lm = fit_bigram_lm(train, vocab_size=1, k=0.5)  # vocab = {x}, y -> <unk>
+    assert lm.vocab == {"x"}
+    assert lm.bigram[("x", "<unk>")] == 1
+    out = lm_score(
+        rd.from_arrow(pa.table({"doc_id": [1, 2], "text": ["z", ""]})), lm
+    ).to_pandas().sort_values("doc_id")
+    assert out["n_scored"].tolist() == [1, 0]
+    assert out["nll"].iloc[1] == 0.0 and out["ppl"].iloc[1] == 0.0
+
+
+def test_temperature_sample_rates_and_determinism():
+    from raylink.ops.sample import id_hash, temperature_sample
+
+    ids = np.arange(500, dtype=np.int64)
+    grp = np.where(ids < 100, "small", "big")
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "src": grp}))
+    out = temperature_sample(ds, "src", "doc_id", target_rows=200, alpha=0.5)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # exact expected keep set: thresholds 666667 (small: 200*10/30/100) and
+    # 333333 (big: 200*20/30/400), hash rule replayed here directly
+    hv = id_hash(ids) % np.uint64(1_000_000)
+    thr = np.where(ids < 100, 666667, 333333).astype(np.uint64)
+    expect = ids[hv < thr]
+    assert df["doc_id"].tolist() == expect.tolist()
+    # alpha<1 up-weights the small source
+    frac_small = (df["src"] == "small").mean()
+    kept_small = (df["src"] == "small").sum() / 100
+    kept_big = (df["src"] == "big").sum() / 400
+    assert kept_small > kept_big
+    # re-run is identical (pure function, no RNG)
+    df2 = temperature_sample(ds, "src", "doc_id", target_rows=200, alpha=0.5).to_pandas()
+    assert sorted(df2["doc_id"]) == df["doc_id"].tolist()
+
+
 def test_lang_id_english():
     ds = rd.from_arrow(
         pa.table(
