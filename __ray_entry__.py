@@ -1010,6 +1010,118 @@ def _semantic_dedup_sql(sf_dir: str) -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Fellegi–Sunter unsupervised linkage (raylink/ops/fellegi.py)
+
+_FS_COMPARISONS = None  # built lazily (needs the ops import)
+_FS_CACHE: dict[str, tuple] = {}
+
+
+def _fs_comparisons():
+    global _FS_COMPARISONS
+    if _FS_COMPARISONS is None:
+        from raylink.ops.fellegi import Comparison
+
+        # bit order is load-bearing: the SQL replay adds 1/2/4/8 in the
+        # same comparator order
+        _FS_COMPARISONS = [
+            Comparison("type", "p_type"),
+            Comparison("size", "p_size"),
+            Comparison("tok", "name_tok"),
+            Comparison("price", "price_cents", "within", 1000),
+        ]
+    return _FS_COMPARISONS
+
+
+def _run_fs(sf_dir: str):
+    """Unsupervised FS-EM linkage over `part` blocked by brand, memoized
+    so the gate query and the oracle-SQL builder share one run."""
+    if sf_dir in _FS_CACHE:
+        return _FS_CACHE[sf_dir]
+    import pyarrow as pa
+
+    from raylink.ops.fellegi import fellegi_sunter_link
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        names = batch.column("p_name").to_pylist()
+        toks = [s.split(" ", 1)[0] for s in names]
+        cents = np.floor(
+            batch.column("p_retailprice").to_numpy(zero_copy_only=False) * 100
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": batch.column("p_partkey"),
+                "p_brand": batch.column("p_brand"),
+                "p_type": batch.column("p_type"),
+                "p_size": batch.column("p_size"),
+                "name_tok": pa.array(toks, type=pa.string()),
+                "price_cents": pa.array(cents),
+            }
+        )
+
+    parts = _read(
+        sf_dir,
+        "part",
+        columns=["p_partkey", "p_brand", "p_type", "p_size", "p_name", "p_retailprice"],
+    ).map_batches(_prep, batch_format="pyarrow")
+    scored, model = fellegi_sunter_link(
+        parts, "p_brand", "p_partkey", _fs_comparisons()
+    )
+    _FS_CACHE[sf_dir] = (scored, model)
+    return _FS_CACHE[sf_dir]
+
+
+def _q_fs_em_link(sf_dir: str):
+    # Unsupervised Fellegi–Sunter: blocked self-pairs on p_brand, 4-field
+    # agreement patterns, EM over the ≤16-row pattern histogram (the
+    # driver never sees a pair), then frozen integer-LUT scoring. The
+    # gated columns are pure lookups of literals the oracle shares — the
+    # fuzzylink_accepted frozen-state pattern, applied to the unsupervised
+    # path (raylink/ops/fellegi.py).
+    scored, _model = _run_fs(sf_dir)
+    df = scored.to_pandas()
+    out = df[
+        ["a_p_partkey", "b_p_partkey", "pattern", "score_e6", "posterior_e6", "is_match"]
+    ].rename(columns={"a_p_partkey": "id_a", "b_p_partkey": "id_b"})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _fs_em_sql(sf_dir: str) -> str:
+    _scored, model = _run_fs(sf_dir)
+    lut = model.lut()
+    rows = ",".join(
+        "(%d,%d,%d,%d)" % (r.pattern, r.score_e6, r.posterior_e6, r.is_match)
+        for r in lut.itertuples()
+    )
+    # pattern bits replayed in comparator order (type=1, size=2, tok=4,
+    # price-within-$10=8); scoring replayed by joining the frozen LUT
+    return f"""
+        WITH prep AS (
+            SELECT p_partkey AS id, p_brand AS blk, p_type, p_size,
+                   split_part(p_name, ' ', 1) AS name_tok,
+                   CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM part
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   (CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END
+                    + CASE WHEN a.p_size = b.p_size THEN 2 ELSE 0 END
+                    + CASE WHEN a.name_tok = b.name_tok THEN 4 ELSE 0 END
+                    + CASE WHEN ABS(a.cents - b.cents) < 1000 THEN 8 ELSE 0 END
+                   ) AS pattern
+            FROM prep a JOIN prep b ON a.blk = b.blk AND a.id < b.id
+        ),
+        lut(pattern, score_e6, posterior_e6, is_match) AS (VALUES {rows})
+        SELECT p.id_a, p.id_b, CAST(p.pattern AS BIGINT) AS pattern,
+               CAST(l.score_e6 AS BIGINT) AS score_e6,
+               CAST(l.posterior_e6 AS BIGINT) AS posterior_e6,
+               CAST(l.is_match AS BIGINT) AS is_match
+        FROM pairs p JOIN lut l USING (pattern)
+        ORDER BY id_a, id_b
+    """
+
+
 def _q_quantile_filter(sf_dir: str):
     # Percentile-threshold quality filter: the threshold is found by
     # distributed exact k-th selection (bucket-histogram bisection, no
@@ -1314,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzylink_linked": _q_fuzzylink_linked,
         "fuzzylink_accepted": _q_fuzzylink_accepted,
         "entity_clusters": _q_entity_clusters,
+        "fs_em_link": _q_fs_em_link,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2200,4 +2313,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": _kmeans_assign_sql(_GATE_SF),
         # SemDeDup: the kmeans_assign replay + a NOT-EXISTS survivor rule
         "semantic_dedup": _semantic_dedup_sql(_GATE_SF),
+        # Fellegi–Sunter: EM fit frozen as a 16-row pattern LUT, pattern
+        # extraction + scoring replayed (see _fs_em_sql)
+        "fs_em_link": _fs_em_sql(_GATE_SF),
     }

@@ -1,0 +1,350 @@
+"""Fellegi–Sunter unsupervised probabilistic record linkage via EM.
+
+The reference (fuzzylink) is SUPERVISED: it buys labels from an LLM oracle
+and fits a logistic regression (``R/fuzzylink.R:203-259``). Fellegi–Sunter
+(1969) is the classic UNSUPERVISED counterpart — and the one a 10¹²-file
+corpus pipeline reaches for when labels are unaffordable: per-pair
+agreement vectors on K field comparators, a two-component conditional-
+independence mixture fit by EM, and a log-likelihood-ratio match weight
+per agreement pattern (the Splink/record-linkage-toolkit formulation).
+
+Distributed shape (why this is 100-TB-safe):
+
+* pair generation — :func:`blocked_self_pairs`: ONE all-to-all keyed on a
+  hash of the blocking key, whole blocks land in one partition, pairs are
+  emitted with a per-block ``triu`` kernel (group-level loop wrapping
+  vectorized index arithmetic, never a per-row loop). Skew bound: the
+  hottest block's rows fit one partition and its g² pairs fit one task —
+  the documented bound for BOUNDED blocking keys; unbounded/hot keys
+  belong on the flagship's tiled+salted generator (``raylink/block.py``).
+* agreement patterns — :func:`agreement_pattern`: stateless vectorized
+  ``map_batches``; the K comparator outcomes pack into one small int.
+* sufficient statistics — :func:`pattern_histogram`: per-batch partial
+  ``bincount`` (≤2^K rows per batch) → ONE tiny groupby exchange of
+  partials → ≤2^K rows to the driver. The EM never sees a pair.
+* EM — :func:`fit_fs_em`: O(iters · 2^K · K) on the driver over the
+  histogram. Deterministic given (histogram, init, iters).
+* scoring — :func:`fs_score`: the fitted model is FROZEN into a
+  2^K-entry integer micro-unit LUT (log₂ match weight, posterior, match
+  decision) and broadcast in the batch closure; scoring is a pure
+  vectorized LUT gather, so the scored columns are integer-exact and a
+  SQL oracle can replay them bit-for-bit from the same frozen literals
+  (the ``fuzzylink_accepted`` frozen-state gate pattern).
+
+No counterpart exists in the reference; this extends its entity-resolution
+surface the same way ``ops/dedup.py`` extends its dedup surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from raylink.ops.dedup import _default_partitions, _mix64
+from raylink.util import pa_type, sorted_partition_apply
+
+__all__ = [
+    "Comparison",
+    "FSModel",
+    "blocked_self_pairs",
+    "agreement_pattern",
+    "pattern_histogram",
+    "fit_fs_em",
+    "fs_score",
+    "fellegi_sunter_link",
+]
+
+
+@dataclass(frozen=True)
+class Comparison:
+    """One field comparator: bit ``k`` of the agreement pattern.
+
+    kind="eq"     — agree iff ``a_<col> == b_<col>`` (string or integer).
+    kind="within" — agree iff ``|a_<col> - b_<col>| < delta`` on an
+                    int64 column (callers pre-derive integer units, e.g.
+                    price cents, so the comparator is float-free).
+    """
+
+    name: str
+    col: str
+    kind: str = "eq"
+    delta: int = 0
+
+
+def blocked_self_pairs(
+    ds: ray.data.Dataset,
+    block_col: str,
+    id_col: str,
+    cols: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """All within-block unordered pairs (``id_a < id_b``) of ``ds`` with
+    each side's ``cols`` carried as ``a_<col>`` / ``b_<col>``.
+
+    ONE hash exchange on ``block_col``; per partition, pairs for each of
+    its (complete) blocks come from ``np.triu_indices`` over the block's
+    row range — a loop over BLOCKS (bounded by blocks-per-partition), with
+    all row movement vectorized takes/gathers.
+
+    Routing uses the LOW-cardinality ``sorted_partition_apply`` protocol
+    (``_pid = hash % nparts`` + explicit boundaries): blocking keys are
+    often few (e.g. 25 brands), and sampled sort boundaries over a
+    few-valued key collide into schema-less empty sort partitions.
+    """
+    P = np.uint64(num_partitions or _default_partitions())
+    nparts = int(P)
+    carry = [block_col, id_col, *cols]
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(block_col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(keys.dtype, np.integer):
+            pid = (_mix64(keys.astype(np.uint64)) % P).astype(np.int64)
+        else:
+            pid = (pd.util.hash_array(keys.astype(object)) % P).astype(np.int64)
+        out = {"_pid": pa.array(pid)}
+        for c in carry:
+            out[c] = batch.column(c)
+        return pa.table(out)
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().sort_values([block_col, id_col], kind="stable")
+        codes, _ = pd.factorize(df[block_col].to_numpy(), sort=False)
+        # contiguous block ranges after the sort
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(codes)]
+        ia_all, ib_all = [], []
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2:
+                continue
+            iu, ju = np.triu_indices(g, k=1)
+            ia_all.append(iu + s)
+            ib_all.append(ju + s)
+        if not ia_all:
+            return out_schema.empty_table()
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        out = {block_col: pa.array(df[block_col].to_numpy()[ia])}
+        out[f"a_{id_col}"] = pa.array(df[id_col].to_numpy()[ia])
+        out[f"b_{id_col}"] = pa.array(df[id_col].to_numpy()[ib])
+        for c in cols:
+            v = df[c].to_numpy()
+            out[f"a_{c}"] = pa.array(v[ia])
+            out[f"b_{c}"] = pa.array(v[ib])
+        return pa.table(out)
+
+    dschema = ds.schema()
+    dtype = dict(zip(dschema.names, (pa_type(t) for t in dschema.types)))
+    out_schema = pa.schema(
+        [(block_col, dtype[block_col])]
+        + [(f"a_{id_col}", dtype[id_col]), (f"b_{id_col}", dtype[id_col])]
+        + [x for c in cols for x in ((f"a_{c}", dtype[c]), (f"b_{c}", dtype[c]))]
+    )
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+    return sorted_partition_apply(
+        tagged.repartition(nparts),
+        "_pid",
+        _pairs,
+        out_schema,
+        boundaries=list(range(1, nparts)),
+    )
+
+
+def agreement_pattern(
+    pairs: ray.data.Dataset,
+    comparisons: list[Comparison],
+    out_col: str = "pattern",
+) -> ray.data.Dataset:
+    """Pack the K comparator outcomes into an int64 bitmask column
+    (bit k set ⟺ comparator k agrees). Stateless vectorized map."""
+
+    comps = list(comparisons)
+
+    def _pat(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        code = np.zeros(n, dtype=np.int64)
+        for k, c in enumerate(comps):
+            a = batch.column(f"a_{c.col}").to_numpy(zero_copy_only=False)
+            b = batch.column(f"b_{c.col}").to_numpy(zero_copy_only=False)
+            if c.kind == "eq":
+                agree = a == b
+            elif c.kind == "within":
+                agree = np.abs(a.astype(np.int64) - b.astype(np.int64)) < c.delta
+            else:  # pragma: no cover - spec error
+                raise ValueError(f"unknown comparator kind {c.kind!r}")
+            code |= agree.astype(np.int64) << k
+        return batch.append_column(out_col, pa.array(code))
+
+    return pairs.map_batches(_pat, batch_format="pyarrow")
+
+
+def pattern_histogram(
+    pairs: ray.data.Dataset, n_comparisons: int, pattern_col: str = "pattern"
+) -> np.ndarray:
+    """Counts per agreement pattern: per-batch partial ``bincount``
+    (≤2^K rows each) → one tiny groupby exchange → ≤2^K rows collected.
+    The driver never sees a pair row."""
+    size = 1 << n_comparisons
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        counts = np.bincount(
+            batch.column(pattern_col).to_numpy(zero_copy_only=False),
+            minlength=size,
+        )
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                pattern_col: pa.array(nz.astype(np.int64)),
+                "n": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        pairs.select_columns([pattern_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(pattern_col)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = np.zeros(size, dtype=np.int64)
+    out[rows[pattern_col].to_numpy()] = rows["n"].to_numpy()
+    return out
+
+
+@dataclass
+class FSModel:
+    """Fitted Fellegi–Sunter mixture + its frozen integer scoring LUT."""
+
+    lam: float
+    m: np.ndarray  # P(agree on field k | match)
+    u: np.ndarray  # P(agree on field k | non-match)
+    n_iter: int
+    counts: np.ndarray = field(repr=False)
+
+    @property
+    def n_comparisons(self) -> int:
+        return len(self.m)
+
+    def _pattern_bits(self) -> np.ndarray:
+        size = 1 << self.n_comparisons
+        pats = np.arange(size)[:, None]
+        return ((pats >> np.arange(self.n_comparisons)[None, :]) & 1).astype(
+            np.float64
+        )
+
+    def lut(self) -> pd.DataFrame:
+        """Per-pattern frozen scoring table: log₂ match weight and
+        posterior in integer micro-units plus the 0/1 match decision —
+        computed ONCE in float64 here, then treated as literals by both
+        the Ray scorer and the SQL oracle (so the gated columns involve
+        no cross-engine float arithmetic at all)."""
+        bits = self._pattern_bits()
+        log_m = bits @ np.log(self.m) + (1 - bits) @ np.log(1 - self.m)
+        log_u = bits @ np.log(self.u) + (1 - bits) @ np.log(1 - self.u)
+        weight = (log_m - log_u) / np.log(2.0)
+        pm = self.lam * np.exp(log_m)
+        pu = (1.0 - self.lam) * np.exp(log_u)
+        post = pm / (pm + pu)
+        return pd.DataFrame(
+            {
+                "pattern": np.arange(len(bits), dtype=np.int64),
+                "score_e6": np.rint(weight * 1e6).astype(np.int64),
+                "posterior_e6": np.rint(post * 1e6).astype(np.int64),
+                "is_match": (post > 0.5).astype(np.int64),
+            }
+        )
+
+
+def fit_fs_em(
+    counts: np.ndarray,
+    lam0: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+    iters: int = 100,
+    eps: float = 1e-6,
+) -> FSModel:
+    """EM for the two-component conditional-independence mixture over the
+    pattern histogram (Winkler 1988 formulation). All work is over the
+    2^K pattern axis; cost is independent of corpus size. Deterministic:
+    fixed init, fixed iteration count, parameters clipped to
+    [eps, 1-eps]."""
+    counts = np.asarray(counts, dtype=np.float64)
+    size = len(counts)
+    K = int(round(np.log2(size)))
+    if (1 << K) != size:
+        raise ValueError("counts length must be a power of two")
+    bits = ((np.arange(size)[:, None] >> np.arange(K)[None, :]) & 1).astype(
+        np.float64
+    )
+    N = counts.sum()
+    if N <= 0:
+        raise ValueError("empty histogram")
+    lam = float(lam0)
+    m = np.full(K, float(m0))
+    u = np.full(K, float(u0))
+    for _ in range(iters):
+        log_m = bits @ np.log(m) + (1 - bits) @ np.log(1 - m)
+        log_u = bits @ np.log(u) + (1 - bits) @ np.log(1 - u)
+        pm = lam * np.exp(log_m)
+        pu = (1.0 - lam) * np.exp(log_u)
+        w = pm / (pm + pu)
+        cw = counts * w
+        cl = counts * (1.0 - w)
+        sw, sl = cw.sum(), cl.sum()
+        lam = min(max(sw / N, eps), 1 - eps)
+        m = np.clip((bits.T @ cw) / max(sw, eps), eps, 1 - eps)
+        u = np.clip((bits.T @ cl) / max(sl, eps), eps, 1 - eps)
+    return FSModel(lam=lam, m=m, u=u, n_iter=iters, counts=counts.astype(np.int64))
+
+
+def fs_score(
+    pairs: ray.data.Dataset,
+    model: FSModel,
+    pattern_col: str = "pattern",
+) -> ray.data.Dataset:
+    """Attach ``score_e6`` / ``posterior_e6`` / ``is_match`` by LUT gather
+    on the pattern column. The LUT (≤2^K int64s) is captured in the batch
+    closure — broadcast once with the function, never reshipped per row."""
+    lut = model.lut()
+    score = lut["score_e6"].to_numpy()
+    post = lut["posterior_e6"].to_numpy()
+    dec = lut["is_match"].to_numpy()
+
+    def _score(batch: pa.Table) -> pa.Table:
+        p = batch.column(pattern_col).to_numpy(zero_copy_only=False)
+        batch = batch.append_column("score_e6", pa.array(score[p]))
+        batch = batch.append_column("posterior_e6", pa.array(post[p]))
+        return batch.append_column("is_match", pa.array(dec[p]))
+
+    return pairs.map_batches(_score, batch_format="pyarrow")
+
+
+def fellegi_sunter_link(
+    ds: ray.data.Dataset,
+    block_col: str,
+    id_col: str,
+    comparisons: list[Comparison],
+    iters: int = 100,
+    num_partitions: int | None = None,
+) -> tuple[ray.data.Dataset, FSModel]:
+    """End-to-end unsupervised linkage over one table: blocked self-pairs
+    → agreement patterns → histogram → EM → frozen-LUT scoring. Returns
+    (scored pair Dataset, fitted FSModel). The pair Dataset is consumed
+    twice (histogram pass, scoring pass) — both streaming; only the ≤2^K
+    histogram ever reaches the driver."""
+    cols = sorted({c.col for c in comparisons})
+    pairs = blocked_self_pairs(
+        ds, block_col, id_col, cols, num_partitions=num_partitions
+    )
+    pats = agreement_pattern(pairs, comparisons)
+    hist = pattern_histogram(pats, len(comparisons))
+    model = fit_fs_em(hist, iters=iters)
+    return fs_score(pats, model), model
