@@ -1122,6 +1122,24 @@ def _fs_em_sql(sf_dir: str) -> str:
     """
 
 
+def _q_snm_pairs(sf_dir: str):
+    # Sorted-neighborhood blocking (raylink/ops/snm.py): every pair within
+    # rank distance < 8 under ORDER BY (p_name, p_partkey). Exact global
+    # ranks come from a prefix-bucket histogram (one stats pass, exact
+    # offsets on the driver) + one count-balanced exchange; pairs from one
+    # band exchange where each pair is emitted exactly once in band
+    # rank//w. The oracle is the literal ROW_NUMBER self-join.
+    from raylink.ops.snm import sorted_neighborhood_pairs
+
+    parts = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    out = sorted_neighborhood_pairs(parts, "p_name", "p_partkey", window=8)
+    return (
+        out.to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_quantile_filter(sf_dir: str):
     # Percentile-threshold quality filter: the threshold is found by
     # distributed exact k-th selection (bucket-histogram bisection, no
@@ -1427,6 +1445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzylink_accepted": _q_fuzzylink_accepted,
         "entity_clusters": _q_entity_clusters,
         "fs_em_link": _q_fs_em_link,
+        "snm_pairs": _q_snm_pairs,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2316,4 +2335,17 @@ def oracle_sql() -> dict[str, str]:
         # Fellegi–Sunter: EM fit frozen as a 16-row pattern LUT, pattern
         # extraction + scoring replayed (see _fs_em_sql)
         "fs_em_link": _fs_em_sql(_GATE_SF),
+        # Sorted-neighborhood blocking: the literal ROW_NUMBER self-join
+        # the distributed rank/band exchanges implement
+        "snm_pairs": """
+            WITH r AS (
+                SELECT p_partkey AS id,
+                       ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+                FROM part
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS dist
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8
+            ORDER BY id_a, id_b
+        """,
     }

@@ -1,0 +1,244 @@
+"""Sorted-neighborhood blocking (Hernández & Stolfo 1995): sort all
+records by a blocking key, slide a window of size ``w`` over the sorted
+order, and emit every pair within the window — the classic alternative to
+equality blocking when keys are dirty (nearby-but-unequal keys still
+pair). The reference (fuzzylink) only has equality blocking
+(``R/fuzzylink.R`` ``blocking.variables``); this extends the blocking
+surface the same way ``ops/fellegi.py`` extends the scoring surface.
+
+The hard part on Ray Data is that window-by-GLOBAL-RANK needs a total
+order, and Dataset gives no ordered-partition-index primitive. Doing it
+with a driver-side sort would be the anti-pattern; instead:
+
+1. **stats pass** — each row gets an integer sort code (big-endian first
+   8 bytes of the key, so code order is consistent with binary string
+   order) and a ``prefix_bits``-bit bucket; per-batch partial bincounts →
+   one tiny groupby → exact per-bucket counts on the driver (≤2^prefix_bits
+   int64s). Exclusive cumsum = the exact GLOBAL RANK OFFSET of every
+   bucket. One streaming pass over (key) only.
+2. **rank exchange** — rows route by bucket (explicit, count-balanced
+   boundaries cut from the histogram — every partition populated, no
+   schema-less empties); each partition sorts its buckets by
+   ``(key, id)`` and assigns ``rank = bucket_offset + local_rank``:
+   exact global ranks with no global sort barrier. Each ranked row is
+   then emitted to bands ``rank // w`` and ``rank // w + 1``.
+3. **band exchange** — band ``k`` holds exactly ranks
+   ``[(k-1)·w, (k+1)·w)``; for any pair ``i<j`` with ``j-i < w`` both
+   rows are present in band ``j // w`` and in no other band under the
+   emit rule — so emitting a pair only in band ``j // w`` yields the
+   exact window pair set with zero duplicates. Bands are fixed-width in
+   rank space, so boundaries are a plain arithmetic split: balanced by
+   construction.
+
+Scale shape: two all-to-alls + one stats pass, all over slim
+``(id, key[, code])`` rows; the window kernel is a loop over rank
+DISTANCES (≤2w iterations of whole-partition numpy ops), never over rows.
+Skew contract: an equal-8-byte-prefix run of keys lands in one bucket —
+SNM practice already demands a spreading sort key (phonetic code + name
+prefix, not a constant); ``prefix_bits`` widens the bucket space if the
+key's head is low-entropy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from raylink.ops.dedup import _default_partitions
+from raylink.util import pa_type, sorted_partition_apply
+
+__all__ = ["sort_codes", "sorted_neighborhood_pairs"]
+
+
+def sort_codes(keys: np.ndarray, prefix_bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """(code, bucket) for an object array of strings: code = big-endian
+    first-8-bytes (order-consistent with binary string order), bucket =
+    top ``prefix_bits`` bits. Vectorized via numpy's fixed-width bytes
+    dtype — no per-row Python loop on the ASCII fast path (non-ASCII keys
+    fall back to per-row UTF-8 encoding; UTF-8 byte order stays consistent
+    with codepoint order, matching DuckDB's binary collation)."""
+    try:
+        s8 = keys.astype("S8")  # truncate/zero-pad to 8 bytes
+    except UnicodeEncodeError:
+        s8 = np.array(
+            [s.encode("utf-8", "surrogateescape")[:8] for s in keys], dtype="S8"
+        )
+    code = np.frombuffer(s8.tobytes(), dtype=">u8").astype(np.uint64)
+    bucket = (code >> np.uint64(64 - prefix_bits)).astype(np.int64)
+    return code.astype(np.int64), bucket
+
+
+def _bucket_counts(
+    ds: ray.data.Dataset, sort_col: str, prefix_bits: int
+) -> np.ndarray:
+    """Exact per-bucket row counts: per-batch partial bincount → one tiny
+    groupby → ≤2^prefix_bits rows to the driver."""
+    size = 1 << prefix_bits
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(sort_col).to_numpy(zero_copy_only=False)
+        _, bucket = sort_codes(keys, prefix_bits)
+        counts = np.bincount(bucket, minlength=size)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64)),
+                "n": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        ds.select_columns([sort_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = np.zeros(size, dtype=np.int64)
+    counts[rows["bucket"].to_numpy()] = rows["n"].to_numpy()
+    return counts
+
+
+def _balanced_cuts(weights: np.ndarray, parts: int) -> list[int]:
+    """Equal-weight contiguous cut points over the populated index range
+    (the `_pack_boundaries` idea, for a plain count histogram): boundary
+    values for ``sort(..., boundaries=...)`` such that every resulting
+    partition carries data."""
+    pos = np.flatnonzero(weights)
+    if len(pos) <= 1 or parts <= 1:
+        return []
+    csum = np.cumsum(weights[pos], dtype=np.float64)
+    total = csum[-1]
+    cuts: list[int] = []
+    for k in range(1, parts):
+        j = int(np.searchsorted(csum, total * k / parts))
+        j = min(j, len(pos) - 1)
+        b = int(pos[j])
+        if not cuts or b > cuts[-1]:
+            cuts.append(b)
+    return [c for c in cuts if pos[0] < c <= pos[-1]]
+
+
+def sorted_neighborhood_pairs(
+    ds: ray.data.Dataset,
+    sort_col: str,
+    id_col: str,
+    window: int,
+    prefix_bits: int = 12,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """All pairs within ``window`` of each other in the total order
+    ``ORDER BY (sort_col, id_col)``: rows ``(id_a, id_b, dist)`` with
+    ``id_a`` the lower-ranked record and ``1 ≤ dist ≤ window-1`` its rank
+    distance — exactly ``ROW_NUMBER``-self-join semantics, distributed.
+    """
+    if window < 2:
+        raise ValueError("window must be ≥ 2")
+    w = int(window)
+    nparts = num_partitions or _default_partitions()
+
+    counts = _bucket_counts(ds, sort_col, prefix_bits)
+    n_total = int(counts.sum())
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    bucket_cuts = _balanced_cuts(counts, nparts)
+
+    # ---- stage 2: exact global ranks, then band duplication -------------
+    def _tag_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(sort_col).to_numpy(zero_copy_only=False)
+        _, bucket = sort_codes(keys, prefix_bits)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                sort_col: batch.column(sort_col),
+                id_col: batch.column(id_col),
+            }
+        )
+
+    def _rank_and_band(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().sort_values(
+            ["bucket", sort_col, id_col], kind="stable"
+        )
+        b = df["bucket"].to_numpy()
+        # local rank within each (contiguous) bucket run
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        run_id = np.cumsum(np.r_[True, b[1:] != b[:-1]]) - 1
+        local = np.arange(len(b)) - starts[run_id]
+        rank = offsets[b] + local
+        ids = df[id_col].to_numpy()
+        band = rank // w
+        # each row rides to its own band and the next one
+        rr = np.concatenate([rank, rank])
+        ii = np.concatenate([ids, ids])
+        bb = np.concatenate([band, band + 1])
+        return pa.table(
+            {
+                "band": pa.array(bb.astype(np.int64)),
+                "rank": pa.array(rr.astype(np.int64)),
+                id_col: pa.array(ii),
+            }
+        )
+
+    dschema = ds.schema()
+    dtype = dict(zip(dschema.names, (pa_type(t) for t in dschema.types)))
+    banded_schema = pa.schema(
+        [("band", pa.int64()), ("rank", pa.int64()), (id_col, dtype[id_col])]
+    )
+    tagged = ds.map_batches(_tag_bucket, batch_format="pyarrow")
+    banded = sorted_partition_apply(
+        tagged.repartition(nparts),
+        "bucket",
+        _rank_and_band,
+        banded_schema,
+        boundaries=bucket_cuts or None,
+    )
+
+    # ---- stage 3: window pairs, emitted once (in band rank//w) ----------
+    n_bands = n_total // w + 2
+    band_step = max(1, n_bands // nparts)
+    band_cuts = list(range(band_step, n_bands, band_step))
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().sort_values(["band", "rank"], kind="stable")
+        band = df["band"].to_numpy()
+        rank = df["rank"].to_numpy()
+        ids = df[id_col].to_numpy()
+        a_parts, b_parts, d_parts = [], [], []
+        # loop over rank DISTANCE, not rows: within a band rows are
+        # rank-sorted, so a (i, i+step) shift covers one candidate
+        # distance for the whole partition at once
+        max_step = min(2 * w - 1, len(band) - 1)
+        for step in range(1, max_step + 1):
+            same_band = band[step:] == band[:-step]
+            dist = rank[step:] - rank[:-step]
+            owner = (rank[step:] // w) == band[step:]
+            keep = same_band & (dist >= 1) & (dist < w) & owner
+            if keep.any():
+                a_parts.append(ids[:-step][keep])
+                b_parts.append(ids[step:][keep])
+                d_parts.append(dist[keep])
+        if not a_parts:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(a_parts)),
+                "id_b": pa.array(np.concatenate(b_parts)),
+                "dist": pa.array(np.concatenate(d_parts).astype(np.int64)),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("id_a", dtype[id_col]), ("id_b", dtype[id_col]), ("dist", pa.int64())]
+    )
+    return sorted_partition_apply(
+        banded.repartition(nparts),
+        "band",
+        _pairs,
+        out_schema,
+        boundaries=band_cuts or None,
+    )
