@@ -1122,6 +1122,20 @@ def _fs_em_sql(sf_dir: str) -> str:
     """
 
 
+def _q_duplicate_spans(sf_dir: str):
+    # Substring-level dedup signal (Lee et al. 2022 shape): doc pairs
+    # sharing distinct strided char-32-gram md5 fingerprints, df-capped.
+    # One hot-bucket exchange for pairs + one small count exchange
+    # (raylink/ops/dedup.py duplicate_spans); the oracle replays the same
+    # windows (substr on the char grid) and the same md5_number_lower hash.
+    from raylink.ops.dedup import duplicate_spans
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = duplicate_spans(docs, k=32, stride=8, max_df=64).to_pandas()
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_snm_pairs(sf_dir: str):
     # Sorted-neighborhood blocking (raylink/ops/snm.py): every pair within
     # rank distance < 8 under ORDER BY (p_name, p_partkey). Exact global
@@ -1446,6 +1460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_clusters": _q_entity_clusters,
         "fs_em_link": _q_fs_em_link,
         "snm_pairs": _q_snm_pairs,
+        "duplicate_spans": _q_duplicate_spans,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2347,5 +2362,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.rn - a.rn AS BIGINT) AS dist
             FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8
             ORDER BY id_a, id_b
+        """,
+        # Duplicated-substring pairs: the same strided char-32-gram
+        # windows (substr is char-based, like Python slicing), the same
+        # md5_number_lower 63-bit fingerprint, the same df<=64 cap
+        "duplicate_spans": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       unnest(range(1, length(text) - 30, 8)) AS p
+                FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       CAST(md5_number_lower(substr(text, p, 32))
+                            & 9223372036854775807 AS BIGINT) AS h
+                FROM w
+            ),
+            keep AS (
+                SELECT h FROM g GROUP BY h
+                HAVING count(*) BETWEEN 2 AND 64
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+            WHERE a.h IN (SELECT h FROM keep)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
     }
