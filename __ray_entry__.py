@@ -1122,6 +1122,33 @@ def _fs_em_sql(sf_dir: str) -> str:
     """
 
 
+def _q_hll_sketch(sf_dir: str):
+    # HyperLogLog register table over user_id (raylink/ops/sketch.py):
+    # per-batch partial maxes, one <=2^p-row exchange, order-independent
+    # by construction. The oracle recomputes every register from the same
+    # md5_number_lower hash; rank via length(bin(rem)) exact bit math.
+    from raylink.ops.sketch import hll_registers
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    out = hll_registers(ev, "user_id", p=12).to_pandas()
+    out["reg"] = out["reg"].astype("int64")
+    out["max_rank"] = out["max_rank"].astype("int64")
+    return out.sort_values("reg").reset_index(drop=True)
+
+
+def _q_cms_topk(sf_dir: str):
+    # Count-Min heavy hitters over user_id: counters are per-slot SUMS
+    # (order-independent, mergeable), estimates are min-over-rows, top-20
+    # with ties to the smaller id. Gated in exact_distinct candidate mode
+    # (deterministic); local_topm is the documented sketch-scale path.
+    from raylink.ops.sketch import cms_heavy_hitters
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    out = cms_heavy_hitters(ev, "user_id", k=20, depth=4, width=1024)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _q_duplicate_spans(sf_dir: str):
     # Substring-level dedup signal (Lee et al. 2022 shape): doc pairs
     # sharing distinct strided char-32-gram md5 fingerprints, df-capped.
@@ -1461,6 +1488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_em_link": _q_fs_em_link,
         "snm_pairs": _q_snm_pairs,
         "duplicate_spans": _q_duplicate_spans,
+        "hll_sketch": _q_hll_sketch,
+        "cms_topk": _q_cms_topk,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2388,5 +2417,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.h IN (SELECT h FROM keep)
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # HyperLogLog registers: same 63-bit md5 hash, reg = top 12 bits,
+        # rank = leading zeros of the low 51 bits + 1 — bin() is
+        # variable-width so length(bin(rem)) IS bit_length(rem)
+        "hll_sketch": """
+            WITH h AS (
+                SELECT CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+                            & 9223372036854775807 AS BIGINT) AS h
+                FROM events
+            ),
+            x AS (
+                SELECT h >> 51 AS reg, h & 2251799813685247 AS rem FROM h
+            )
+            SELECT CAST(reg AS BIGINT) AS reg,
+                   CAST(MAX(CASE WHEN rem = 0 THEN 52
+                                 ELSE 52 - length(bin(rem)) END) AS BIGINT)
+                       AS max_rank
+            FROM x GROUP BY reg ORDER BY reg
+        """,
+        # Count-Min: counters = per-slot sums under the row-prefixed md5
+        # hash; estimate = min over the 4 rows; top-20, ties to smaller id
+        "cms_topk": """
+            WITH rows_(i) AS (VALUES (0), (1), (2), (3)),
+            cnts AS (
+                SELECT i.i AS r,
+                       CAST(md5_number_lower(CAST(i.i AS VARCHAR) || '|' ||
+                                             CAST(e.user_id AS VARCHAR))
+                            & 9223372036854775807 AS BIGINT) % 1024 AS slot,
+                       COUNT(*) AS cnt
+                FROM events e, rows_ i
+                GROUP BY 1, 2
+            ),
+            est AS (
+                SELECT v.user_id, MIN(c.cnt) AS est_cnt
+                FROM (SELECT DISTINCT user_id FROM events) v
+                CROSS JOIN rows_ i
+                JOIN cnts c
+                  ON c.r = i.i
+                 AND c.slot = CAST(md5_number_lower(CAST(i.i AS VARCHAR) || '|' ||
+                                                    CAST(v.user_id AS VARCHAR))
+                                   & 9223372036854775807 AS BIGINT) % 1024
+                GROUP BY v.user_id
+            )
+            SELECT user_id, CAST(est_cnt AS BIGINT) AS est_cnt
+            FROM est ORDER BY est_cnt DESC, user_id LIMIT 20
         """,
     }
