@@ -263,6 +263,67 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         q["asof_join"] = round(time.perf_counter() - t, 3)
 
+        # unsupervised ER: Fellegi-Sunter EM over part blocked by brand
+        # (pairs + pattern histogram + EM + frozen-LUT scoring, end to end)
+        t = time.perf_counter()
+        from raylink.ops.fellegi import Comparison, fellegi_sunter_link
+
+        def _fs_prep(batch):
+            import pyarrow as _pa
+            toks = [s.split(" ", 1)[0] for s in batch.column("p_name").to_pylist()]
+            cents = np.floor(
+                batch.column("p_retailprice").to_numpy(zero_copy_only=False) * 100
+                + 0.5
+            ).astype(np.int64)
+            return _pa.table({
+                "p_partkey": batch.column("p_partkey"),
+                "p_brand": batch.column("p_brand"),
+                "p_type": batch.column("p_type"),
+                "p_size": batch.column("p_size"),
+                "name_tok": _pa.array(toks, type=_pa.string()),
+                "price_cents": _pa.array(cents),
+            })
+
+        parts = read_table(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_type", "p_size", "p_name",
+                     "p_retailprice"],
+        ).map_batches(_fs_prep, batch_format="pyarrow")
+        fs_scored, _fs_model = fellegi_sunter_link(
+            parts, "p_brand", "p_partkey",
+            [Comparison("type", "p_type"), Comparison("size", "p_size"),
+             Comparison("tok", "name_tok"),
+             Comparison("price", "price_cents", "within", 1000)],
+        )
+        fs_scored.count()
+        q["fs_em_link"] = round(time.perf_counter() - t, 3)
+
+        # sorted-neighborhood blocking over part names
+        t = time.perf_counter()
+        from raylink.ops.snm import sorted_neighborhood_pairs
+
+        sorted_neighborhood_pairs(
+            read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]),
+            "p_name", "p_partkey", window=8,
+        ).count()
+        q["snm_pairs"] = round(time.perf_counter() - t, 3)
+
+        # substring-level dedup signal over documents
+        t = time.perf_counter()
+        from raylink.ops.dedup import duplicate_spans
+
+        duplicate_spans(docs, k=32, stride=8).count()
+        q["duplicate_spans"] = round(time.perf_counter() - t, 3)
+
+        # sketches: HLL registers + CMS heavy hitters over event users
+        t = time.perf_counter()
+        from raylink.ops.sketch import cms_heavy_hitters, hll_registers
+
+        ev_u = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+        hll_registers(ev_u, "user_id", p=12).count()
+        cms_heavy_hitters(ev_u, "user_id", k=20)
+        q["sketches"] = round(time.perf_counter() - t, 3)
+
         # multimodal: actor-pool image decode (real PNG/BMP/PPM/JPEG
         # codecs) over a cached fat-payload media table — generation is
         # driver-side fixture cost, cached like the corpus

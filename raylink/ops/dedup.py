@@ -1288,8 +1288,14 @@ def duplicate_spans(
         fps, ["gram_h"], _posting_pairs, empty_out=empty_pairs,
         num_partitions=num_partitions,
     )
+    # the count aggregate's sort must not run more partitions than there
+    # are distinct pairs (schema-less-empty-partition rule); nparts//8
+    # keeps parallelism for corpus-scale pair tables while staying below
+    # the pair count whenever duplication is non-trivial
+    cparts = max(2, (num_partitions or _default_partitions()) // 8)
     counted = (
-        pairs.groupby(["id_a", "id_b"])
+        pairs.repartition(cparts)
+        .groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="n_shared"))
     )
     if min_shared > 1:

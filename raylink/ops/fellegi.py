@@ -46,7 +46,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from raylink.ops.dedup import _default_partitions, _mix64
+from raylink.ops.dedup import _default_partitions
 from raylink.util import pa_type, sorted_partition_apply
 
 __all__ = [
@@ -77,6 +77,34 @@ class Comparison:
     delta: int = 0
 
 
+def _block_sizes(
+    ds: ray.data.Dataset, block_col: str, nparts: int
+) -> pd.DataFrame:
+    """Per-block row counts: per-batch pandas partials → one small groupby
+    sum → ≤n_blocks rows to the driver (bounded by the operator's
+    blocking-key-cardinality contract). The partial table is repartitioned
+    to ≤8 blocks before the groupby so its sort never runs more partitions
+    than there are groups (the schema-less-empty-partition rule — see
+    ``ops/relational.preagg_sum_count``); assumes ≥~8 distinct blocks at
+    scale, which bounded-cardinality blocking keys satisfy."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(block_col, as_index=False, sort=False).size()
+        return out.rename(columns={"size": "n"})
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.select_columns([block_col]).map_batches(
+        _partial, batch_format="pandas"
+    )
+    return (
+        partials.repartition(max(2, min(8, nparts)))
+        .groupby(block_col)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+
 def blocked_self_pairs(
     ds: ray.data.Dataset,
     block_col: str,
@@ -87,26 +115,46 @@ def blocked_self_pairs(
     """All within-block unordered pairs (``id_a < id_b``) of ``ds`` with
     each side's ``cols`` carried as ``a_<col>`` / ``b_<col>``.
 
-    ONE hash exchange on ``block_col``; per partition, pairs for each of
-    its (complete) blocks come from ``np.triu_indices`` over the block's
-    row range — a loop over BLOCKS (bounded by blocks-per-partition), with
+    ONE hash exchange on ``block_col`` for the rows (plus a tiny
+    block-size stats pass); per partition, pairs for each of its
+    (complete) blocks come from ``np.triu_indices`` over the block's row
+    range — a loop over BLOCKS (bounded by blocks-per-partition), with
     all row movement vectorized takes/gathers.
 
-    Routing uses the LOW-cardinality ``sorted_partition_apply`` protocol
-    (``_pid = hash % nparts`` + explicit boundaries): blocking keys are
-    often few (e.g. 25 brands), and sampled sort boundaries over a
-    few-valued key collide into schema-less empty sort partitions.
-    """
-    P = np.uint64(num_partitions or _default_partitions())
-    nparts = int(P)
+    Routing is a DENSE cost-balanced assignment, not a raw hash: blocking
+    keys are few by this operator's contract (e.g. 25 brands), and a
+    hash-mod-P pid over a few-valued key leaves unpopulated pids whose
+    empty sort partitions surface as schema-less executor warnings. A
+    one-exchange stats pass collects per-block PAIR costs (n·(n−1)/2,
+    bounded by the block-key cardinality), blocks are LPT-assigned to
+    ``P = min(nparts, n_blocks)`` pids greedily by descending cost — so
+    every pid is populated (explicit boundaries stay collision-free) AND
+    quadratic pair work is balanced across partitions, not left to hash
+    luck."""
+    nparts = int(num_partitions or _default_partitions())
     carry = [block_col, id_col, *cols]
+
+    sizes = _block_sizes(ds, block_col, nparts)
+    if len(sizes) == 0:
+        P = 1
+        pid_of: dict = {}
+    else:
+        P = min(nparts, len(sizes))
+        cost = (sizes["n"] * (sizes["n"] - 1) // 2 + sizes["n"]).to_numpy()
+        order = np.argsort(-cost, kind="stable")
+        load = np.zeros(P, dtype=np.int64)
+        pid_of = {}
+        blocks = sizes[block_col].to_numpy()
+        for j in order:
+            p = int(np.argmin(load))
+            load[p] += int(cost[j])
+            pid_of[blocks[j]] = p
 
     def _tag(batch: pa.Table) -> pa.Table:
         keys = batch.column(block_col).to_numpy(zero_copy_only=False)
-        if np.issubdtype(keys.dtype, np.integer):
-            pid = (_mix64(keys.astype(np.uint64)) % P).astype(np.int64)
-        else:
-            pid = (pd.util.hash_array(keys.astype(object)) % P).astype(np.int64)
+        pid = (
+            pd.Series(keys).map(pid_of).fillna(0).to_numpy(dtype=np.int64)
+        )
         out = {"_pid": pa.array(pid)}
         for c in carry:
             out[c] = batch.column(c)
@@ -148,11 +196,11 @@ def blocked_self_pairs(
     )
     tagged = ds.map_batches(_tag, batch_format="pyarrow")
     return sorted_partition_apply(
-        tagged.repartition(nparts),
+        tagged.repartition(P),
         "_pid",
         _pairs,
         out_schema,
-        boundaries=list(range(1, nparts)),
+        boundaries=list(range(1, P)) or None,
     )
 
 
@@ -210,6 +258,10 @@ def pattern_histogram(
     rows = (
         pairs.select_columns([pattern_col])
         .map_batches(_partial, batch_format="pyarrow")
+        # ≤2^K groups: 2 partitions keeps the aggregate's sort below the
+        # group count (no schema-less empty partitions); the partial
+        # table is ≤ upstream_blocks × 2^K slim rows, fine at 2
+        .repartition(2)
         .groupby(pattern_col)
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()

@@ -73,10 +73,18 @@ def sort_codes(keys: np.ndarray, prefix_bits: int) -> tuple[np.ndarray, np.ndarr
 
 
 def _bucket_counts(
-    ds: ray.data.Dataset, sort_col: str, prefix_bits: int
+    ds: ray.data.Dataset,
+    sort_col: str,
+    prefix_bits: int,
+    stats_partitions: int = 2,
 ) -> np.ndarray:
     """Exact per-bucket row counts: per-batch partial bincount → one tiny
-    groupby → ≤2^prefix_bits rows to the driver."""
+    groupby → ≤2^prefix_bits rows to the driver. ``stats_partitions``
+    bounds the aggregate's sort parallelism: it must stay below the
+    POPULATED bucket count or sampled boundaries collide into schema-less
+    empty partitions (a low-entropy key head can populate <10 of the 2^p
+    buckets); raise it for high-entropy keys at corpus scale, where every
+    bucket is populated and the partial table is large."""
     size = 1 << prefix_bits
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -96,6 +104,7 @@ def _bucket_counts(
     rows = (
         ds.select_columns([sort_col])
         .map_batches(_partial, batch_format="pyarrow")
+        .repartition(stats_partitions)
         .groupby("bucket")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
@@ -199,9 +208,12 @@ def sorted_neighborhood_pairs(
     )
 
     # ---- stage 3: window pairs, emitted once (in band rank//w) ----------
-    n_bands = n_total // w + 2
-    band_step = max(1, n_bands // nparts)
-    band_cuts = list(range(band_step, n_bands, band_step))
+    # bands 0..B are ALL populated (ranks are contiguous and every row
+    # rides to rank//w and rank//w + 1), so cuts within [1, B] can never
+    # create an empty sort partition
+    B = (n_total - 1) // w + 1 if n_total > 0 else 0
+    band_step = max(1, (B + 1) // nparts)
+    band_cuts = list(range(band_step, B + 1, band_step))
 
     def _pairs(part: pa.Table) -> pa.Table:
         df = part.to_pandas().sort_values(["band", "rank"], kind="stable")

@@ -204,9 +204,13 @@ def sorted_partition_apply(
         yield out
 
     srt = ds.sort(sort_key) if boundaries is None else ds.sort(sort_key, boundaries=boundaries)
-    return (
+    # schema anchor FIRST: the executor tolerates an empty-schema bundle
+    # at the head of an output queue but warns on any nonempty→empty
+    # transition — and a downstream map_batches turns a typed empty block
+    # into a schema-LESS empty bundle (measured), so a trailing anchor
+    # poisons every downstream stage's queue while a leading one is free
+    return ray.data.from_arrow(out_schema.empty_table()).union(
         srt.map_batches(_apply, batch_size=None, batch_format="pyarrow")
-        .union(ray.data.from_arrow(out_schema.empty_table()))
     )
 
 
