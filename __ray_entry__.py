@@ -1122,6 +1122,22 @@ def _fs_em_sql(sf_dir: str) -> str:
     """
 
 
+def _q_ssjoin(sf_dir: str):
+    # Prefix-filter exact set-similarity self-join (PPJoin shape,
+    # raylink/ops/ssjoin.py): all doc pairs with word-set Jaccard >= 0.95,
+    # exact. Rare-first global token order (one vocab groupby), prefix
+    # explode, one hot-bucket exchange for candidates, exact verify via
+    # two shuffle joins; threshold applied as the rational 19/20 so
+    # engine and oracle share pure integer keep-rules.
+    from raylink.ops.ssjoin import set_similarity_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = set_similarity_join(docs, threshold=0.95).to_pandas()
+    for c in ("n_common", "n_union"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_hll_sketch(sf_dir: str):
     # HyperLogLog register table over user_id (raylink/ops/sketch.py):
     # per-batch partial maxes, one <=2^p-row exchange, order-independent
@@ -1490,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans": _q_duplicate_spans,
         "hll_sketch": _q_hll_sketch,
         "cms_topk": _q_cms_topk,
+        "ssjoin": _q_ssjoin,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2462,5 +2479,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, CAST(est_cnt AS BIGINT) AS est_cnt
             FROM est ORDER BY est_cnt DESC, user_id LIMIT 20
+        """,
+        # Exact set-similarity join at J >= 19/20: same \S+ lower
+        # tokenization as simhash, shared-token inverted join, integer
+        # keep-rule 20*c >= 19*u (no float threshold on either side)
+        "ssjoin": r"""
+            WITH tok AS (
+                SELECT DISTINCT doc_id, t FROM (
+                    SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '\S+')) AS t
+                    FROM documents
+                )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b, CAST(i.c AS BIGINT) AS n_common,
+                   CAST(sa.n + sb.n - i.c AS BIGINT) AS n_union
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE 20 * i.c >= 19 * (sa.n + sb.n - i.c)
+            ORDER BY 1, 2
         """,
     }
