@@ -1122,6 +1122,24 @@ def _fs_em_sql(sf_dir: str) -> str:
     """
 
 
+def _q_snm_link(sf_dir: str):
+    # Second COMPLETE linkage pipeline, fully unsupervised and — unlike
+    # the flagship — fully SQL-expressible with no frozen state: SNM
+    # blocking → vectorized Jaro-Winkler at an integer e6 threshold (the
+    # jw_kernel parity convention) → distributed min-label connected
+    # components (raylink/ops/snm.py snm_jw_link). The oracle is
+    # ROW_NUMBER + jaro_winkler_similarity + a recursive CTE.
+    from raylink.ops.snm import snm_jw_link
+
+    parts = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    _edges, clusters = snm_jw_link(
+        parts, "p_name", "p_partkey", window=8, jw_e6_threshold=900_000
+    )
+    return (
+        clusters.to_pandas().sort_values("id").reset_index(drop=True)
+    )
+
+
 def _q_ssjoin(sf_dir: str):
     # Prefix-filter exact set-similarity self-join (PPJoin shape,
     # raylink/ops/ssjoin.py): all doc pairs with word-set Jaccard >= 0.95,
@@ -1507,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_sketch": _q_hll_sketch,
         "cms_topk": _q_cms_topk,
         "ssjoin": _q_ssjoin,
+        "snm_link": _q_snm_link,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2504,5 +2523,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE 20 * i.c >= 19 * (sa.n + sb.n - i.c)
             ORDER BY 1, 2
+        """,
+        # Unsupervised SNM→JW→components linkage: window pairs by
+        # ROW_NUMBER, acceptance at the integer e6 JW threshold (ROUND
+        # parity proven by jw_kernel), closure by recursive CTE
+        "snm_link": """
+            WITH RECURSIVE r AS (
+                SELECT p_partkey AS id, lower(p_name) AS k,
+                       ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+                FROM part
+            ),
+            edges AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8
+                WHERE CAST(ROUND(jaro_winkler_similarity(a.k, b.k) * 1000000)
+                           AS BIGINT) >= 900000
+            ),
+            bi AS (
+                SELECT id_a AS src, id_b AS dst FROM edges
+                UNION ALL
+                SELECT id_b, id_a FROM edges
+            ),
+            reach AS (
+                SELECT DISTINCT src AS node, src AS x FROM bi
+                UNION
+                SELECT reach.node, bi.dst FROM reach JOIN bi ON bi.src = reach.x
+            )
+            SELECT node AS id, CAST(MIN(x) AS BIGINT) AS cluster
+            FROM reach GROUP BY node ORDER BY node
         """,
     }

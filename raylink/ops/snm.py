@@ -51,7 +51,7 @@ import ray.data
 from raylink.ops.dedup import _default_partitions
 from raylink.util import pa_type, sorted_partition_apply
 
-__all__ = ["sort_codes", "sorted_neighborhood_pairs"]
+__all__ = ["sort_codes", "sorted_neighborhood_pairs", "snm_jw_link"]
 
 
 def sort_codes(keys: np.ndarray, prefix_bits: int) -> tuple[np.ndarray, np.ndarray]:
@@ -141,11 +141,15 @@ def sorted_neighborhood_pairs(
     window: int,
     prefix_bits: int = 12,
     num_partitions: int | None = None,
+    carry_key: bool = False,
 ) -> ray.data.Dataset:
     """All pairs within ``window`` of each other in the total order
     ``ORDER BY (sort_col, id_col)``: rows ``(id_a, id_b, dist)`` with
     ``id_a`` the lower-ranked record and ``1 ≤ dist ≤ window-1`` its rank
     distance — exactly ``ROW_NUMBER``-self-join semantics, distributed.
+    ``carry_key=True`` also emits ``key_a``/``key_b`` (each side's
+    ``sort_col`` value rides the band exchange) so a downstream scorer
+    needs no extra join.
     """
     if window < 2:
         raise ValueError("window must be ≥ 2")
@@ -185,19 +189,24 @@ def sorted_neighborhood_pairs(
         rr = np.concatenate([rank, rank])
         ii = np.concatenate([ids, ids])
         bb = np.concatenate([band, band + 1])
-        return pa.table(
-            {
-                "band": pa.array(bb.astype(np.int64)),
-                "rank": pa.array(rr.astype(np.int64)),
-                id_col: pa.array(ii),
-            }
-        )
+        cols = {
+            "band": pa.array(bb.astype(np.int64)),
+            "rank": pa.array(rr.astype(np.int64)),
+            id_col: pa.array(ii),
+        }
+        if carry_key:
+            ks = df[sort_col].to_numpy()
+            cols[sort_col] = pa.array(np.concatenate([ks, ks]))
+        return pa.table(cols)
 
     dschema = ds.schema()
     dtype = dict(zip(dschema.names, (pa_type(t) for t in dschema.types)))
-    banded_schema = pa.schema(
-        [("band", pa.int64()), ("rank", pa.int64()), (id_col, dtype[id_col])]
-    )
+    banded_fields = [
+        ("band", pa.int64()), ("rank", pa.int64()), (id_col, dtype[id_col])
+    ]
+    if carry_key:
+        banded_fields.append((sort_col, dtype[sort_col]))
+    banded_schema = pa.schema(banded_fields)
     tagged = ds.map_batches(_tag_bucket, batch_format="pyarrow")
     banded = sorted_partition_apply(
         tagged.repartition(nparts),
@@ -220,7 +229,9 @@ def sorted_neighborhood_pairs(
         band = df["band"].to_numpy()
         rank = df["rank"].to_numpy()
         ids = df[id_col].to_numpy()
+        ks = df[sort_col].to_numpy() if carry_key else None
         a_parts, b_parts, d_parts = [], [], []
+        ka_parts, kb_parts = [], []
         # loop over rank DISTANCE, not rows: within a band rows are
         # rank-sorted, so a (i, i+step) shift covers one candidate
         # distance for the whole partition at once
@@ -234,19 +245,27 @@ def sorted_neighborhood_pairs(
                 a_parts.append(ids[:-step][keep])
                 b_parts.append(ids[step:][keep])
                 d_parts.append(dist[keep])
+                if carry_key:
+                    ka_parts.append(ks[:-step][keep])
+                    kb_parts.append(ks[step:][keep])
         if not a_parts:
             return out_schema.empty_table()
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(a_parts)),
-                "id_b": pa.array(np.concatenate(b_parts)),
-                "dist": pa.array(np.concatenate(d_parts).astype(np.int64)),
-            }
-        )
+        cols = {
+            "id_a": pa.array(np.concatenate(a_parts)),
+            "id_b": pa.array(np.concatenate(b_parts)),
+            "dist": pa.array(np.concatenate(d_parts).astype(np.int64)),
+        }
+        if carry_key:
+            cols["key_a"] = pa.array(np.concatenate(ka_parts))
+            cols["key_b"] = pa.array(np.concatenate(kb_parts))
+        return pa.table(cols)
 
-    out_schema = pa.schema(
-        [("id_a", dtype[id_col]), ("id_b", dtype[id_col]), ("dist", pa.int64())]
-    )
+    out_fields = [
+        ("id_a", dtype[id_col]), ("id_b", dtype[id_col]), ("dist", pa.int64())
+    ]
+    if carry_key:
+        out_fields += [("key_a", dtype[sort_col]), ("key_b", dtype[sort_col])]
+    out_schema = pa.schema(out_fields)
     return sorted_partition_apply(
         banded.repartition(nparts),
         "band",
@@ -254,3 +273,98 @@ def sorted_neighborhood_pairs(
         out_schema,
         boundaries=band_cuts or None,
     )
+
+
+def snm_jw_link(
+    ds: ray.data.Dataset,
+    sort_col: str,
+    id_col: str,
+    window: int = 8,
+    jw_e6_threshold: int = 900_000,
+    num_partitions: int | None = None,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """End-to-end UNSUPERVISED linkage with no labels and no embeddings:
+    sorted-neighborhood blocking → vectorized Jaro-Winkler scoring →
+    acceptance at an integer micro-unit threshold → distributed min-label
+    connected components. Returns ``(edges, clusters)`` where edges =
+    ``(id_a, id_b, jw_e6)`` accepted pairs and clusters = ``(id, cluster)``
+    for every record on an accepted edge, ``cluster`` the component's min
+    id.
+
+    Every stage is SQL-replayable, so unlike the flagship (whose oracle
+    needs frozen learned state) this pipeline gates against a
+    self-contained ROW_NUMBER + jaro_winkler_similarity + recursive-CTE
+    oracle. The integer ``jw_e6`` threshold is the ``jw_kernel`` gate's
+    convention: ``np.round(jw·1e6)`` is proven bit-equal to DuckDB's
+    ``ROUND(jaro_winkler_similarity(..)*1e6)`` over 150k pairs, so
+    acceptance can never flip between engine and oracle.
+
+    Scale shape: the SNM exchanges (see :func:`sorted_neighborhood_pairs`)
+    plus a stateless scoring map and the O(log diameter)
+    ``cluster_label_propagation`` rounds. Ids must be non-negative (the
+    zero-padded string labels of the propagation step must order like the
+    ints — guarded loudly)."""
+    from raylink.cluster import cluster_label_propagation
+    from raylink.features import jw_cross
+
+    pairs = sorted_neighborhood_pairs(
+        ds, sort_col, id_col, window,
+        num_partitions=num_partitions, carry_key=True,
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        a_low = [s.lower() for s in batch.column("key_a").to_pylist()]
+        b_low = [s.lower() for s in batch.column("key_b").to_pylist()]
+        n = len(a_low)
+        idx = np.arange(n)
+        jw = jw_cross(a_low, b_low, idx, idx, boost_threshold=0.7)
+        e6 = np.round(jw * 1_000_000).astype(np.int64)
+        keep = e6 >= jw_e6_threshold
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    batch.column("id_a").to_numpy(zero_copy_only=False)[keep]
+                ),
+                "id_b": pa.array(
+                    batch.column("id_b").to_numpy(zero_copy_only=False)[keep]
+                ),
+                "jw_e6": pa.array(e6[keep]),
+            }
+        )
+
+    edges = pairs.map_batches(_score, batch_format="pyarrow")
+
+    def _to_str_edges(batch: pa.Table) -> pa.Table:
+        ia = batch.column("id_a").to_numpy(zero_copy_only=False)
+        ib = batch.column("id_b").to_numpy(zero_copy_only=False)
+        if len(ia) and (ia.min() < 0 or ib.min() < 0):
+            raise ValueError(
+                "snm_jw_link requires non-negative ids (zero-padded string "
+                "min-labels must order like the ints)"
+            )
+        return pa.table(
+            {
+                "block": pa.array(["x"] * len(ia), type=pa.string()),
+                "key_a": pa.array([f"{v:020d}" for v in ia], type=pa.string()),
+                "key_b": pa.array([f"{v:020d}" for v in ib], type=pa.string()),
+            }
+        )
+
+    labels = cluster_label_propagation(
+        edges.map_batches(_to_str_edges, batch_format="pyarrow"),
+        num_partitions=num_partitions,
+    )
+
+    def _back(batch: pa.Table) -> pa.Table:
+        # propagation emits (block, key, entity_id) with entity_id =
+        # "<block>|<min-label>"; strip the block prefix back to the int id
+        ids = np.array(
+            [int(s) for s in batch.column("key").to_pylist()], dtype=np.int64
+        )
+        lab = np.array(
+            [int(s.split("|", 1)[1]) for s in batch.column("entity_id").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table({"id": pa.array(ids), "cluster": pa.array(lab)})
+
+    return edges, labels.map_batches(_back, batch_format="pyarrow")

@@ -83,3 +83,66 @@ def test_snm_window_validation(ray_session):
     df = _rand_df(10, seed=1)
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(ray.data.from_pandas(df), "k", "id", window=1)
+
+
+def test_snm_jw_link_matches_brute_force(ray_session):
+    # small corpus with planted near-duplicate names
+    import itertools
+    from raylink.features import jaro_winkler_sim
+    from raylink.ops.snm import snm_jw_link
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    base = ["smith", "jones", "brown", "taylor", "wilson"]
+    names = []
+    for i in range(120):
+        b = base[rng.integers(0, len(base))]
+        if rng.random() < 0.4:  # corrupt one char
+            p = int(rng.integers(0, len(b)))
+            b = b[:p] + chr(ord("a") + int(rng.integers(0, 26))) + b[p + 1:]
+        names.append(b)
+    df = pd.DataFrame({"id": np.arange(120, dtype=np.int64), "k": names})
+    edges, clusters = snm_jw_link(
+        rd.from_pandas(df), "k", "id", window=6, jw_e6_threshold=900_000
+    )
+    e = edges.to_pandas()
+    # brute force: same window rule + same jw threshold + transitive closure
+    srt = df.sort_values(["k", "id"], kind="stable").reset_index(drop=True)
+    ids, keys = srt["id"].to_numpy(), list(srt["k"])
+    want_edges = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, min(i + 6, len(ids))):
+            if round(jaro_winkler_sim(keys[i].lower(), keys[j].lower(), boost_threshold=0.7) * 1e6) >= 900_000:
+                want_edges.add((ids[i], ids[j]))
+    assert set(zip(e["id_a"], e["id_b"])) == want_edges
+    # closure: union-find over want_edges
+    parent = {v: v for pr in want_edges for v in pr}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in want_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_cl = {v: find(v) for v in parent}
+    c = clusters.to_pandas()
+    got_cl = dict(zip(c["id"], c["cluster"]))
+    assert got_cl == want_cl
+
+
+def test_snm_jw_link_rejects_negative_ids(ray_session):
+    import ray.data as rd
+    from raylink.ops.snm import snm_jw_link
+
+    df = pd.DataFrame(
+        {"id": np.array([-1, 2, 3], dtype=np.int64), "k": ["aa", "aa", "aa"]}
+    )
+    # label propagation materializes eagerly, so the guard fires inside
+    # the snm_jw_link call itself
+    with pytest.raises(Exception, match="non-negative"):
+        edges, clusters = snm_jw_link(rd.from_pandas(df), "k", "id", window=3)
+        clusters.to_pandas()
