@@ -1140,6 +1140,38 @@ def _q_snm_link(sf_dir: str):
     )
 
 
+def _q_blocking_quality(sf_dir: str):
+    # Blocking-scheme evaluation (reduction ratio + pairs completeness,
+    # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
+    # set scored against same-name ground truth. Counts stream; the
+    # intersection is one shuffle join emitting a single partial count
+    # per partition; ratios are integer micro-units via FLOOR division so
+    # the oracle replays them with // — no float seam.
+    import pyarrow as pa
+
+    from raylink.evaluate import blocking_quality
+    from raylink.ops.fellegi import blocked_self_pairs
+    from raylink.ops.snm import sorted_neighborhood_pairs
+
+    parts = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    cand = sorted_neighborhood_pairs(
+        parts, "p_name", "p_partkey", window=8
+    ).select_columns(["id_a", "id_b"])
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": batch.column("a_p_partkey"),
+                "id_b": batch.column("b_p_partkey"),
+            }
+        )
+
+    truth = blocked_self_pairs(parts, "p_name", "p_partkey", []).map_batches(
+        _rename, batch_format="pyarrow"
+    )
+    return blocking_quality(cand, truth, n_records=parts.count())
+
+
 def _q_ssjoin(sf_dir: str):
     # Prefix-filter exact set-similarity self-join (PPJoin shape,
     # raylink/ops/ssjoin.py): all doc pairs with word-set Jaccard >= 0.95,
@@ -1526,6 +1558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_topk": _q_cms_topk,
         "ssjoin": _q_ssjoin,
         "snm_link": _q_snm_link,
+        "blocking_quality": _q_blocking_quality,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2551,5 +2584,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS id, CAST(MIN(x) AS BIGINT) AS cluster
             FROM reach GROUP BY node ORDER BY node
+        """,
+        # Blocking quality: SNM window-8 candidates vs same-name truth;
+        # integer // micro-unit ratios match the engine's floor division
+        "blocking_quality": """
+            WITH r AS (
+                SELECT p_partkey AS id,
+                       ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+                FROM part
+            ),
+            cand AS (
+                SELECT a.id AS ia, b.id AS ib
+                FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8
+            ),
+            truth AS (
+                SELECT a.p_partkey AS ia, b.p_partkey AS ib
+                FROM part a JOIN part b
+                  ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey
+            ),
+            s AS (
+                SELECT (SELECT count(*) FROM cand) AS nc,
+                       (SELECT count(*) FROM truth) AS nt,
+                       (SELECT count(*) FROM cand c
+                        JOIN truth t ON c.ia = t.ia AND c.ib = t.ib) AS nv,
+                       (SELECT count(*) FROM part) AS n
+            )
+            SELECT CAST(nc AS BIGINT) AS n_candidates,
+                   CAST(nt AS BIGINT) AS n_truth,
+                   CAST(nv AS BIGINT) AS n_covered,
+                   CAST(n * (n - 1) // 2 AS BIGINT) AS total_pairs,
+                   CAST((1000000 * (n * (n - 1) // 2 - nc))
+                        // (n * (n - 1) // 2) AS BIGINT) AS reduction_ratio_e6,
+                   CAST((1000000 * nv) // nt AS BIGINT) AS pairs_completeness_e6
+            FROM s
         """,
     }
