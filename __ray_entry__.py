@@ -1140,6 +1140,26 @@ def _q_snm_link(sf_dir: str):
     )
 
 
+def _q_bloom_anti(sf_dir: str):
+    # Bloom-filtered distributed anti-join (raylink/ops/relational.py
+    # bloom_anti_join): customers with no 'P'-status order. The bloom is
+    # built over o_custkey in one pass (per-block bitmaps OR-merged
+    # streamingly on the driver, broadcast once); left rows missing the
+    # bloom skip the exchange entirely, and only the pass-the-bloom
+    # residue enters the exact hash-partitioned anti-join, which kills
+    # every false positive — output is bit-exact anti-join semantics.
+    from raylink.ops.relational import bloom_anti_join
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]
+    ).filter(expr="o_orderstatus == 'P'")
+    out = bloom_anti_join(cust, orders, "c_custkey", "o_custkey").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1559,6 +1579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ssjoin": _q_ssjoin,
         "snm_link": _q_snm_link,
         "blocking_quality": _q_blocking_quality,
+        "bloom_anti": _q_bloom_anti,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2617,5 +2638,15 @@ def oracle_sql() -> dict[str, str]:
                         // (n * (n - 1) // 2) AS BIGINT) AS reduction_ratio_e6,
                    CAST((1000000 * nv) // nt AS BIGINT) AS pairs_completeness_e6
             FROM s
+        """,
+        # Bloom pre-filter is pure routing: semantics are the plain
+        # anti-join, replayed directly
+        "bloom_anti": """
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment
+            FROM customer c
+            ANTI JOIN (SELECT o_custkey FROM orders
+                       WHERE o_orderstatus = 'P') o
+              ON o.o_custkey = c.c_custkey
+            ORDER BY c.c_custkey
         """,
     }
