@@ -1160,6 +1160,20 @@ def _q_bloom_anti(sf_dir: str):
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
+def _q_range_join(sf_dir: str):
+    # Banded interval self-join (raylink/ops/window.py range_join): all
+    # same-user event pairs with 0 < dt <= 1 day. Exchange key is
+    # (user, time-band) with band width = the window, so hot users are
+    # sliced across partitions by time; right rows land in one band, left
+    # rows replicate to <=2, and the per-partition kernel is a loop-free
+    # packed searchsorted + range explode.
+    from raylink.ops.window import range_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = range_join(ev, ev, "user_id", "ts", "ts", 0.0, 86400.0).to_pandas()
+    return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1580,6 +1594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_link": _q_snm_link,
         "blocking_quality": _q_blocking_quality,
         "bloom_anti": _q_bloom_anti,
+        "range_join": _q_range_join,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2641,6 +2656,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Bloom pre-filter is pure routing: semantics are the plain
         # anti-join, replayed directly
+        # interval semantics: lower exclusive, upper inclusive; dt in
+        # integer microseconds matches the engine's epoch-us arithmetic
+        "range_join": """
+            SELECT a.event_id AS left_id, a.user_id,
+                   b.event_id AS right_id,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+            FROM events a
+            JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 1 DAY
+            ORDER BY left_id, right_id
+        """,
         "bloom_anti": """
             SELECT c.c_custkey, c.c_name, c.c_mktsegment
             FROM customer c

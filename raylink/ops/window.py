@@ -467,3 +467,179 @@ def hopping_window_aggregate(
             Sum("value_cents", alias_name="value_cents"),
         )
     )
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Banded interval join: all pairs of same-key rows whose time delta
+    ``right_ts − left_ts`` lies in ``(lower, upper]`` seconds (lower
+    exclusive, upper inclusive). Emits ``(left_id, key, right_id,
+    dt_us)``.
+
+    Unlike :func:`asof_join` (one match per left row) and a key-only
+    exchange (whole entities co-located, hot entities unsplittable), the
+    exchange key here is ``(key, time-band)`` with band width W = upper −
+    lower: each right row lands in exactly ONE band, each left row is
+    replicated to the ≤2 consecutive bands its acceptance window can
+    touch, so a hot entity's history is sliced across partitions by time
+    and the skew bound is rows-per-(entity × W window), not
+    rows-per-entity. No duplicate pairs by construction (a right row
+    exists in one band only).
+
+    Per-partition kernel is loop-free: (gid, relative-time) packed into
+    one int64 key, right side sorted once, both interval ends answered by
+    ``np.searchsorted``, and the [lo, hi) ranges exploded with the
+    cumsum/repeat trick. Pack contract: ``G × (W_us + 2)`` must fit
+    int64 — raised loudly, not wrapped.
+    """
+    lower_us = int(round(lower_seconds * 1_000_000))
+    upper_us = int(round(upper_seconds * 1_000_000))
+    w = upper_us - lower_us
+    if w <= 0:
+        raise ValueError("upper_seconds must exceed lower_seconds")
+    from raylink.util import pa_type, shuffle_merge
+
+    lschema = left.schema()
+    rschema = right.schema()
+    ltypes = dict(zip(lschema.names, (pa_type(t) for t in lschema.types)))
+    rtypes = dict(zip(rschema.names, (pa_type(t) for t in rschema.types)))
+    out_schema = pa.schema(
+        [
+            ("left_id", ltypes[left_id]),
+            (key_col, ltypes[key_col]),
+            ("right_id", rtypes[right_id]),
+            ("dt_us", pa.int64()),
+        ]
+    )
+
+    def _expand_left(batch: pa.Table) -> pa.Table:
+        ts = _epoch_us(batch.column(left_ts))
+        b0 = (ts + lower_us) // w
+        b1 = (ts + upper_us) // w
+        two = b1 != b0
+        idx = np.concatenate([np.arange(len(ts)), np.flatnonzero(two)])
+        band = np.concatenate([b0, b1[two]])
+        return pa.table(
+            {
+                "lid": batch.column(left_id).take(pa.array(idx)),
+                key_col: batch.column(key_col).take(pa.array(idx)),
+                "lts": pa.array(ts[idx], type=pa.int64()),
+                "band": pa.array(band, type=pa.int64()),
+            }
+        )
+
+    def _band_right(batch: pa.Table) -> pa.Table:
+        ts = _epoch_us(batch.column(right_ts))
+        return pa.table(
+            {
+                "rid": batch.column(right_id),
+                key_col: batch.column(key_col),
+                "rts": pa.array(ts, type=pa.int64()),
+                "band": pa.array(ts // w, type=pa.int64()),
+            }
+        )
+
+    stride = w + 2
+
+    def _merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "left_id": pd.array([], dtype="int64"),
+                key_col: pd.array([], dtype="int64"),
+                "right_id": pd.array([], dtype="int64"),
+                "dt_us": pd.array([], dtype="int64"),
+            }
+        )
+        if len(ldf) == 0 or len(rdf) == 0:
+            return empty
+        # exact (key, band) group codes: factorize each level then the
+        # collision-free combination — a 64-bit row-hash factorize could
+        # merge distinct groups on a hash collision
+        keys_all = np.concatenate(
+            [ldf[key_col].to_numpy(), rdf[key_col].to_numpy()]
+        )
+        bands_all = np.concatenate(
+            [ldf["band"].to_numpy(), rdf["band"].to_numpy()]
+        )
+        ck, _ = pd.factorize(keys_all, sort=False)
+        cb, _ = pd.factorize(bands_all, sort=False)
+        nb = np.int64(cb.max() + 1)
+        codes, _ = pd.factorize(ck.astype(np.int64) * nb + cb, sort=False)
+        g = np.int64(codes.max() + 1)
+        if g * np.float64(stride) >= 2**63:
+            raise ValueError(
+                "range_join pack overflow: groups x band width exceeds int64"
+            )
+        lg = codes[: len(ldf)].astype(np.int64)
+        rg = codes[len(ldf) :].astype(np.int64)
+        rts = rdf["rts"].to_numpy()
+        rrel = rts - rdf["band"].to_numpy() * w
+        rkey = rg * stride + rrel + 1
+        order = np.argsort(rkey, kind="stable")
+        rkey = rkey[order]
+        rid_sorted = rdf["rid"].to_numpy()[order]
+        rts_sorted = rts[order]
+
+        lts = ldf["lts"].to_numpy()
+        lband = ldf["band"].to_numpy()
+        rel_lo = np.clip(lts + lower_us - lband * w, -1, w)
+        rel_hi = np.clip(lts + upper_us - lband * w, -1, w)
+        lo = np.searchsorted(rkey, lg * stride + rel_lo + 1, side="right")
+        hi = np.searchsorted(rkey, lg * stride + rel_hi + 1, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        starts = np.cumsum(counts) - counts
+        take = (
+            np.arange(total)
+            - np.repeat(starts, counts)
+            + np.repeat(lo, counts)
+        )
+        lsel = np.repeat(np.arange(len(ldf)), counts)
+        return pd.DataFrame(
+            {
+                "left_id": ldf["lid"].to_numpy()[lsel],
+                key_col: ldf[key_col].to_numpy()[lsel],
+                "right_id": rid_sorted[take],
+                "dt_us": rts_sorted[take] - lts[lsel],
+            }
+        )
+
+    lexp = left.map_batches(_expand_left, batch_format="pyarrow")
+    rexp = right.map_batches(_band_right, batch_format="pyarrow")
+    return shuffle_merge(
+        lexp,
+        rexp,
+        [key_col, "band"],
+        [key_col, "band"],
+        _merge,
+        out_schema,
+        num_partitions=num_partitions,
+        left_schema=pa.schema(
+            [
+                ("lid", ltypes[left_id]),
+                (key_col, ltypes[key_col]),
+                ("lts", pa.int64()),
+                ("band", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("rid", rtypes[right_id]),
+                (key_col, rtypes[key_col]),
+                ("rts", pa.int64()),
+                ("band", pa.int64()),
+            ]
+        ),
+    )

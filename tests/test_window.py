@@ -330,3 +330,63 @@ def test_session_stats_matches_pandas_reference(ray_session):
         want[c] = want[c].astype("int64")
     pd.testing.assert_frame_equal(got, want)
     assert int(got["n_events"].sum()) == n
+
+
+def test_range_join_matches_pandas_cross_filter():
+    # hot keys on purpose: 40 users x 300 events each, so every (user,
+    # band) group is dense and left rows straddle band boundaries
+    rng = np.random.default_rng(5)
+    n = 12_000
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 40, n),
+            "ts": pd.to_datetime(rng.integers(0, 3_600_000, n), unit="ms"),
+        }
+    )
+    from raylink.ops.window import range_join
+
+    ds = rd.from_pandas(ev)
+    got = (
+        range_join(ds, ds, "user_id", "ts", "ts", 0.0, 60.0)
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    m = ev.merge(ev, on="user_id", suffixes=("_a", "_b"))
+    dt = m.ts_b - m.ts_a
+    keep = m[(dt > pd.Timedelta(0)) & (dt <= pd.Timedelta(seconds=60))]
+    want = pd.DataFrame(
+        {
+            "left_id": keep.event_id_a,
+            "user_id": keep.user_id,
+            "right_id": keep.event_id_b,
+            "dt_us": (keep.ts_b - keep.ts_a).astype("int64") // 1000,
+        }
+    ).sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    assert len(got) > 1000
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_range_join_bounds_and_ties():
+    ev = pd.DataFrame(
+        {
+            "event_id": np.array([1, 2, 3, 4], dtype=np.int64),
+            "user_id": np.array([7, 7, 7, 7], dtype=np.int64),
+            # 0s, 0s (tie), 1s, 61s
+            "ts": pd.to_datetime([0, 0, 1000, 61_000], unit="ms"),
+        }
+    )
+    from raylink.ops.window import range_join
+
+    ds = rd.from_pandas(ev)
+    got = (
+        range_join(ds, ds, "user_id", "ts", "ts", 0.0, 60.0)
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    # equal ts excluded (lower exclusive); 1->4 is exactly 60s (inclusive);
+    # 0->61s excluded
+    pairs = set(map(tuple, got[["left_id", "right_id"]].values.tolist()))
+    assert pairs == {(1, 3), (2, 3), (3, 4)}
