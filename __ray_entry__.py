@@ -1174,6 +1174,21 @@ def _q_range_join(sf_dir: str):
     return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
 
 
+def _q_group_quantiles(sf_dir: str):
+    # Exact per-group discrete quantiles (raylink/ops/sample.py
+    # group_quantiles): one hash exchange on the group key, one
+    # sort+factorize+fancy-index kernel per partition answering all its
+    # groups at once. Element selection at ceil(q*n)-1 = DuckDB
+    # quantile_disc semantics, so doubles pass through bit-identical.
+    from raylink.ops.sample import group_quantiles
+
+    ev = _read(sf_dir, "events", columns=["user_id", "value"])
+    out = group_quantiles(
+        ev, "user_id", "value", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1595,6 +1610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_quality": _q_blocking_quality,
         "bloom_anti": _q_bloom_anti,
         "range_join": _q_range_join,
+        "group_quantiles": _q_group_quantiles,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2658,6 +2674,15 @@ def oracle_sql() -> dict[str, str]:
         # anti-join, replayed directly
         # interval semantics: lower exclusive, upper inclusive; dt in
         # integer microseconds matches the engine's epoch-us arithmetic
+        # quantile_disc = exact element at ceil(q*n)-1, the same rule the
+        # engine's vectorized kernel applies
+        "group_quantiles": """
+            SELECT user_id, count(*)::BIGINT AS n,
+                   quantile_disc(value, 0.5)  AS p50,
+                   quantile_disc(value, 0.9)  AS p90,
+                   quantile_disc(value, 0.99) AS p99
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
         "range_join": """
             SELECT a.event_id AS left_id, a.user_id,
                    b.event_id AS right_id,

@@ -250,3 +250,72 @@ def split_by_hash(
         return batch.append_column("split", pa.array(split, type=pa.string()))
 
     return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def group_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: dict[str, float],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact per-group discrete quantiles: for each group, the ELEMENT at
+    0-based index ``ceil(q·n) − 1`` of the group's sorted values (DuckDB
+    ``quantile_disc`` semantics, so the oracle replays it verbatim).
+    ``qs`` maps output column name → q, e.g. ``{"p50": 0.5, "p90": 0.9}``.
+    Returns one row per group: ``(group_col, n, *qs)``.
+
+    Shape: rows route through ONE hash exchange on the group key (the
+    sessionize ``_pid`` pattern — high-cardinality pid space keeps the
+    range exchange's sampled boundaries collision-free), then each
+    partition answers ALL its groups with one sort + factorize +
+    vectorized fancy-index — no per-group Python loop, no global sort.
+    Skew bound is the hottest group, same contract as sessionize. Exact
+    element selection (not interpolation) keeps doubles bit-identical to
+    the input, so the gate hashes them safely.
+    """
+    from raylink.ops.dedup import _default_partitions, _mix64
+    from raylink.util import pa_type, sorted_partition_apply
+
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
+    schema = ds.schema()
+    types = dict(zip(schema.names, (pa_type(t) for t in schema.types)))
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(group_col).to_numpy(zero_copy_only=False)
+        pid = (_mix64(keys.astype(np.uint64)) % P).astype(np.int64)
+        return pa.table(
+            {
+                "_pid": pa.array(pid),
+                group_col: batch.column(group_col),
+                value_col: batch.column(value_col),
+            }
+        )
+
+    names = list(qs)
+    qvals = np.array([qs[c] for c in names], dtype=np.float64)
+
+    def _quant(part: pa.Table) -> pa.Table:
+        g = part.column(group_col).to_numpy(zero_copy_only=False)
+        v = part.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, g))
+        g, v = g[order], v[order]
+        codes, uniq = pd.factorize(g, sort=False)  # sorted input: contiguous
+        counts = np.bincount(codes)
+        starts = np.cumsum(counts) - counts
+        cols = {group_col: pa.array(uniq, type=types[group_col]),
+                "n": pa.array(counts.astype(np.int64))}
+        for name, q in zip(names, qvals):
+            idx = np.maximum(np.ceil(q * counts).astype(np.int64) - 1, 0)
+            cols[name] = pa.array(v[starts + idx], type=types[value_col])
+        return pa.table(cols)
+
+    out_schema = pa.schema(
+        [(group_col, types[group_col]), ("n", pa.int64())]
+        + [(name, types[value_col]) for name in names]
+    )
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+    return sorted_partition_apply(
+        tagged.repartition(nparts), "_pid", _quant, out_schema
+    )

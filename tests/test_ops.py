@@ -953,3 +953,49 @@ def test_pii_scrub_patterns():
     assert out[1] == "ip <IP> and <IP>, not 1.2.3"
     assert out[2] == "call <PHONE> or <PHONE>"
     assert out[3] == "clean text without identifiers"
+
+
+def test_group_quantiles_matches_duckdb_disc():
+    import duckdb
+
+    from raylink.ops.sample import group_quantiles
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {"u": rng.integers(0, 97, 30_000), "x": rng.normal(size=30_000)}
+    )
+    got = (
+        group_quantiles(
+            rd.from_pandas(df), "u", "x", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+        )
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    got["u"] = got["u"].astype("int64")
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """SELECT u, count(*)::BIGINT AS n,
+                  quantile_disc(x, 0.5) AS p50,
+                  quantile_disc(x, 0.9) AS p90,
+                  quantile_disc(x, 0.99) AS p99
+           FROM t GROUP BY u ORDER BY u"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_group_quantiles_singleton_and_tiny_groups():
+    from raylink.ops.sample import group_quantiles
+
+    df = pd.DataFrame({"u": [1, 2, 2, 3, 3, 3], "x": [5.0, 2.0, 1.0, 9.0, 7.0, 8.0]})
+    got = (
+        group_quantiles(rd.from_pandas(df), "u", "x", {"p50": 0.5, "p100": 1.0})
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    # n=1 -> the element; n=2 p50 -> lower element; n=3 p50 -> middle
+    assert got["p50"].tolist() == [5.0, 1.0, 8.0]
+    assert got["p100"].tolist() == [5.0, 2.0, 9.0]
+    assert got["n"].tolist() == [1, 2, 3]
