@@ -1189,6 +1189,41 @@ def _q_group_quantiles(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_rollup_agg(sf_dir: str):
+    # Hierarchical ROLLUP over orders (raylink/ops/relational.py
+    # rollup_agg): the input aggregates once (per-batch partials, one
+    # groupby), every coarser level re-aggregates the previous level's
+    # result-sized table — a chain of tiny exchanges, never a second data
+    # pass. Sums in integer cents per the repo convention.
+    from raylink.ops.relational import rollup_agg
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "cents": cents,
+            }
+        )
+
+    pre = orders.map_batches(_cents, batch_format="pyarrow")
+    out = rollup_agg(
+        pre, ["o_orderstatus", "o_orderpriority"], {"cents": "sum_cents"},
+        final_partitions=2,
+    ).to_pandas()
+    return out.sort_values(
+        ["lvl", "o_orderstatus", "o_orderpriority"]
+    ).reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1611,6 +1646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_anti": _q_bloom_anti,
         "range_join": _q_range_join,
         "group_quantiles": _q_group_quantiles,
+        "rollup_agg": _q_rollup_agg,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2676,6 +2712,19 @@ def oracle_sql() -> dict[str, str]:
         # integer microseconds matches the engine's epoch-us arithmetic
         # quantile_disc = exact element at ceil(q*n)-1, the same rule the
         # engine's vectorized kernel applies
+        # GROUPING() reconstructs the engine's lvl column (2 = finest,
+        # 0 = grand total); rolled-up keys stay NULL on both sides
+        "rollup_agg": """
+            SELECT (2 - GROUPING(o_orderstatus)
+                      - GROUPING(o_orderpriority))::BIGINT AS lvl,
+                   o_orderstatus, o_orderpriority,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT
+                       AS sum_cents,
+                   COUNT(*)::BIGINT AS n
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY lvl, o_orderstatus, o_orderpriority
+        """,
         "group_quantiles": """
             SELECT user_id, count(*)::BIGINT AS n,
                    quantile_disc(value, 0.5)  AS p50,

@@ -321,3 +321,74 @@ def bloom_anti_join(
         num_partitions=num_partitions,
     )
     return definite_out.union(verified)
+
+
+def rollup_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    final_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Hierarchical ROLLUP aggregate: one row per prefix level of
+    ``keys`` — level len(keys) is the finest grouping, level 0 the grand
+    total; rolled-up key columns are NULL. Emits ``(lvl, *keys, *sums,
+    n)`` with integer sums (feed micro-unit int columns, the repo's
+    convention).
+
+    Shape: the INPUT is aggregated exactly once (per-batch pandas
+    partials, then one groupby of partial rows — ``preagg_sum_count``);
+    every coarser level re-aggregates the PREVIOUS level's
+    result-cardinality table, so levels cost a chain of tiny exchanges,
+    never a second pass over the data. Nothing result-scale touches the
+    driver.
+    """
+    out_sums = list(sum_cols.values())
+    finest = preagg_sum_count(ds, keys, sum_cols, final_partitions)
+    from raylink.util import pa_type
+
+    fschema = finest.schema()
+    ktypes = {
+        k: pa_type(t) for k, t in zip(fschema.names, fschema.types) if k in keys
+    }
+
+    def _pad(lvl: int):
+        def _f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {"lvl": pa.array(np.full(n, lvl, dtype=np.int64))}
+            for i, k in enumerate(keys):
+                cols[k] = t.column(k) if i < lvl else pa.nulls(n, type=ktypes[k])
+            for c in out_sums:
+                cols[c] = t.column(c)
+            cols["n"] = t.column("n")
+            return pa.table(cols)
+
+        return _f
+
+    levels = [finest.map_batches(_pad(len(keys)), batch_format="pyarrow")]
+    cur = finest
+    for lvl in range(len(keys) - 1, -1, -1):
+        aggs = [Sum(c, alias_name=c) for c in out_sums] + [
+            Sum("n", alias_name="n")
+        ]
+        if lvl > 0:
+            # previous level is result-cardinality-sized: collapse to one
+            # partition so the groupby's sort can't emit schema-less
+            # empty blocks for surplus partitions
+            cur = cur.repartition(1).groupby(keys[:lvl]).aggregate(*aggs)
+            levels.append(cur.map_batches(_pad(lvl), batch_format="pyarrow"))
+        else:
+            grand = cur.map_batches(
+                lambda t: t.append_column(
+                    "_one", pa.array(np.zeros(len(t), dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            ).repartition(1).groupby("_one").aggregate(*aggs)
+            levels.append(
+                grand.drop_columns(["_one"]).map_batches(
+                    _pad(0), batch_format="pyarrow"
+                )
+            )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

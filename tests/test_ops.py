@@ -999,3 +999,34 @@ def test_group_quantiles_singleton_and_tiny_groups():
     assert got["p50"].tolist() == [5.0, 1.0, 8.0]
     assert got["p100"].tolist() == [5.0, 2.0, 9.0]
     assert got["n"].tolist() == [1, 2, 3]
+
+
+def test_rollup_agg_matches_duckdb_rollup():
+    import duckdb
+
+    from raylink.ops.relational import rollup_agg
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(list("xyz"), 5000),
+            "b": rng.choice(list("pqrs"), 5000),
+            "v": rng.integers(0, 1000, 5000),
+        }
+    )
+    got = (
+        rollup_agg(rd.from_pandas(df), ["a", "b"], {"v": "sum_v"})
+        .to_pandas()
+        .sort_values(["lvl", "a", "b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """SELECT (2 - GROUPING(a) - GROUPING(b))::BIGINT AS lvl, a, b,
+                  SUM(v)::BIGINT AS sum_v, COUNT(*)::BIGINT AS n
+           FROM t GROUP BY ROLLUP(a, b) ORDER BY lvl, a, b"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # grand total is the full row count exactly once
+    assert got[got.lvl == 0]["n"].tolist() == [5000]
