@@ -1224,6 +1224,51 @@ def _q_rollup_agg(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_monge_elkan(sf_dir: str):
+    # Monge-Elkan token-set JW evidence (raylink/features.py
+    # monge_elkan_sum_e6): for every unordered pair of the first 200
+    # parts, sum over a-tokens of round(1e6 * max_b jw(tok_a, tok_b)) +
+    # the a-token count (ME score = sum / n). Pairs are generated
+    # map-side against a broadcast 200-row side; the kernel flattens all
+    # (pair, a-token, b-token) combos into ONE jw_cross call over the
+    # batch's unique tokens and segment-maxes with np.maximum.reduceat.
+    import ray as _ray
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"]).filter(
+        expr="p_partkey <= 200"
+    )
+    side = part.to_pandas()
+    ref = _ray.put(
+        (side["p_partkey"].to_numpy(), side["p_name"].tolist())
+    )
+
+    def _cross(batch: pa.Table) -> pa.Table:
+        from raylink.features import monge_elkan_sum_e6
+
+        b_ids, b_names = _ray.get(ref)
+        a_ids = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        a_names = batch.column("p_name").to_pylist()
+        na, nb = len(a_ids), len(b_ids)
+        ai = np.repeat(np.arange(na), nb)
+        bi = np.tile(np.arange(nb), na)
+        keep = b_ids[bi] > a_ids[ai]
+        ai, bi = ai[keep], bi[keep]
+        sums, ntok = monge_elkan_sum_e6(
+            [a_names[i] for i in ai], [b_names[j] for j in bi]
+        )
+        return pa.table(
+            {
+                "id_a": pa.array(a_ids[ai], type=pa.int64()),
+                "id_b": pa.array(b_ids[bi], type=pa.int64()),
+                "me_sum_e6": pa.array(sums, type=pa.int64()),
+                "n_tok_a": pa.array(ntok, type=pa.int64()),
+            }
+        )
+
+    out = part.map_batches(_cross, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1647,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "group_quantiles": _q_group_quantiles,
         "rollup_agg": _q_rollup_agg,
+        "monge_elkan": _q_monge_elkan,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2714,6 +2760,39 @@ def oracle_sql() -> dict[str, str]:
         # engine's vectorized kernel applies
         # GROUPING() reconstructs the engine's lvl column (2 = finest,
         # 0 = grand total); rolled-up keys stay NULL on both sides
+        # per-a-token max over b-tokens via list lambdas; token ordinals
+        # via UNNEST(range(...)) so repeated tokens count per OCCURRENCE
+        "monge_elkan": r"""
+            WITH p AS (
+                SELECT p_partkey AS id,
+                       regexp_extract_all(lower(p_name), '\S+') AS ts
+                FROM part WHERE p_partkey <= 200
+            ),
+            pr AS (
+                SELECT a.id AS id_a, b.id AS id_b, a.ts AS ta, b.ts AS tb
+                FROM p a JOIN p b ON b.id > a.id
+            ),
+            tok AS (
+                SELECT id_a, id_b, tb, ta[i] AS tok
+                FROM pr, UNNEST(range(1, len(ta) + 1)) AS u(i)
+            ),
+            mx AS (
+                SELECT id_a, id_b,
+                       CAST(ROUND(1000000 * COALESCE(list_max(
+                           list_transform(tb,
+                               x -> jaro_winkler_similarity(tok, x))), 0))
+                           AS BIGINT) AS m
+                FROM tok
+            )
+            SELECT pr.id_a, pr.id_b,
+                   CAST(COALESCE(s.me, 0) AS BIGINT) AS me_sum_e6,
+                   CAST(len(pr.ta) AS BIGINT) AS n_tok_a
+            FROM pr
+            LEFT JOIN (
+                SELECT id_a, id_b, SUM(m) AS me FROM mx GROUP BY id_a, id_b
+            ) s ON s.id_a = pr.id_a AND s.id_b = pr.id_b
+            ORDER BY pr.id_a, pr.id_b
+        """,
         "rollup_agg": """
             SELECT (2 - GROUPING(o_orderstatus)
                       - GROUPING(o_orderpriority))::BIGINT AS lvl,

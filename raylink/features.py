@@ -434,3 +434,79 @@ def pair_features_batch(
                 extras[name][i] = feats[j + 1]
         out.update(extras)
     return out
+
+
+def monge_elkan_sum_e6(
+    names_a: list[str],
+    names_b: list[str],
+    p: float = 0.1,
+    boost_threshold: float = 0.7,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Monge–Elkan token-set evidence for name pairs: for pair i, the sum
+    over tokens of ``names_a[i]`` of ``round(1e6 · max_j jw(tok_a,
+    tok_b_j))``, plus the token count — integer micro-units per a-token
+    so summation order can't perturb the result and the SQL gate replays
+    it exactly (classic ME score = sum / n_tok). Tokenization is the
+    repo's SQL convention: ``\\S+`` over ``lower(text)``.
+
+    Vectorization: all (pair, a-token, b-token) combos flatten into ONE
+    :func:`jw_cross` call over the batch's UNIQUE tokens (each token
+    encodes once), then per-(pair, a-token) maxima fall out of a single
+    ``np.maximum.reduceat`` over the lexsorted combo array.
+    """
+    n = len(names_a)
+    if n == 0:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+    toks_a = [s.lower().split() for s in names_a]
+    toks_b = [s.lower().split() for s in names_b]
+    vocab: dict[str, int] = {}
+
+    def _codes(tok_lists):
+        out = []
+        for toks in tok_lists:
+            out.append(
+                np.array(
+                    [vocab.setdefault(t, len(vocab)) for t in toks],
+                    dtype=np.int64,
+                )
+            )
+        return out
+
+    ca, cb = _codes(toks_a), _codes(toks_b)
+    na = np.array([len(c) for c in ca], dtype=np.int64)
+    nb = np.array([len(c) for c in cb], dtype=np.int64)
+    combos = na * nb
+    pair_id = np.repeat(np.arange(n), combos)
+    ai = np.concatenate(
+        [np.repeat(c, len(cb[i])) for i, c in enumerate(ca) if len(c) * len(cb[i])]
+        or [np.zeros(0, dtype=np.int64)]
+    )
+    bi = np.concatenate(
+        [np.tile(cb[i], len(c)) for i, c in enumerate(ca) if len(c) * len(cb[i])]
+        or [np.zeros(0, dtype=np.int64)]
+    )
+    # a-token ordinal within its pair (0..na-1), repeated nb times each
+    tok_ord = np.concatenate(
+        [
+            np.repeat(np.arange(len(c)), len(cb[i]))
+            for i, c in enumerate(ca)
+            if len(c) * len(cb[i])
+        ]
+        or [np.zeros(0, dtype=np.int64)]
+    )
+    words = list(vocab)
+    jw = jw_cross(words, words, ai, bi, p=p, boost_threshold=boost_threshold)
+
+    sums = np.zeros(n, dtype=np.int64)
+    if len(jw):
+        # segment maxima over (pair, a-token): combos are already emitted
+        # grouped by pair then a-token, so segment starts are where either
+        # changes
+        seg = np.flatnonzero(
+            np.diff(pair_id * (na.max() + 1) + tok_ord, prepend=-1)
+        )
+        mx = np.maximum.reduceat(jw, seg)
+        mx_e6 = np.round(mx * 1_000_000).astype(np.int64)
+        seg_pair = pair_id[seg]
+        np.add.at(sums, seg_pair, mx_e6)
+    return sums, na

@@ -104,3 +104,24 @@ def test_pair_features_batch():
     assert out["osa"][1] == 0.0
     assert out["soundex"][0] == 0.0
     assert set(out) == {"jw", "osa", "cosine", "jaccard", "lcs", "qgram", "soundex"}
+
+
+def test_monge_elkan_matches_scalar_reference():
+    from raylink.features import jaro_winkler_sim, monge_elkan_sum_e6
+
+    a = ["john r smith", "mary jane", "", "solo", "a a b"]
+    b = ["jon smith jr", "maryjane doe", "x y", "solo", "a"]
+    sums, ntok = monge_elkan_sum_e6(a, b)
+    for i, (x, y) in enumerate(zip(a, b)):
+        ta, tb = x.lower().split(), y.lower().split()
+        exp = sum(
+            round(
+                1e6 * max((jaro_winkler_sim(t, u, 0.1, 0.7) for u in tb),
+                          default=0.0)
+            )
+            for t in ta
+        )
+        assert sums[i] == exp
+        assert ntok[i] == len(ta)
+    # repeated token counts once per occurrence: "a a b" vs "a"
+    assert sums[4] == 2_000_000 + round(1e6 * jaro_winkler_sim("b", "a", 0.1, 0.7))
