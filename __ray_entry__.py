@@ -1269,6 +1269,34 @@ def _q_monge_elkan(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q_tfidf_cosine(sf_dir: str):
+    # Integer TF-IDF cosine evidence (raylink/ops/tfidf.py): idf
+    # quantized once per token (round(1000*ln(N/df)), the BM25 gate's ln
+    # device), then dot/norms are exact int64 sums — no float summation
+    # order anywhere. Pairs = consecutive doc ids; the evidence triple
+    # (dot, na2, nb2) leaves the cosine decision as pure integer
+    # arithmetic.
+    from raylink.ops.tfidf import tfidf_cosine_evidence
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": pa.array(ids, type=pa.int64()),
+                "id_b": pa.array(ids + 1, type=pa.int64()),
+            }
+        )
+
+    n = docs.count()
+    pairs = docs.map_batches(_pairs, batch_format="pyarrow").filter(
+        expr=f"id_b < {int(n)}"
+    )
+    out = tfidf_cosine_evidence(pairs, docs).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1693,6 +1721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": _q_group_quantiles,
         "rollup_agg": _q_rollup_agg,
         "monge_elkan": _q_monge_elkan,
+        "tfidf_cosine": _q_tfidf_cosine,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2762,6 +2791,49 @@ def oracle_sql() -> dict[str, str]:
         # 0 = grand total); rolled-up keys stay NULL on both sides
         # per-a-token max over b-tokens via list lambdas; token ordinals
         # via UNNEST(range(...)) so repeated tokens count per OCCURRENCE
+        # idf_e3 = round(1000*ln(N/df)) per token, weights tf*idf_e3,
+        # dot/norms exact integer sums — replay is order-free
+        "tfidf_cosine": """
+            WITH tok AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(text, '[0-9A-Za-z_]+'))) AS token
+                FROM documents
+            ),
+            dfs AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df
+                    FROM tok GROUP BY token),
+            idf AS (
+                SELECT token,
+                       CAST(ROUND(1000 * ln(
+                           (SELECT count(*)::DOUBLE FROM documents) / df))
+                           AS BIGINT) AS idf_e3
+                FROM dfs
+            ),
+            w AS (
+                SELECT doc_id, token, count(*)::BIGINT * idf.idf_e3 AS w
+                FROM tok JOIN idf USING (token)
+                GROUP BY doc_id, token, idf.idf_e3
+            ),
+            norms AS (SELECT doc_id, SUM(w*w)::BIGINT AS n2
+                      FROM w GROUP BY doc_id),
+            prs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            ),
+            dots AS (
+                SELECT p.id_a, p.id_b, COALESCE(SUM(wa.w * wb.w), 0)::BIGINT AS dot
+                FROM prs p
+                LEFT JOIN w wa ON wa.doc_id = p.id_a
+                LEFT JOIN w wb ON wb.doc_id = p.id_b AND wb.token = wa.token
+                GROUP BY p.id_a, p.id_b
+            )
+            SELECT d.id_a, d.id_b, d.dot,
+                   COALESCE(na.n2, 0)::BIGINT AS na2,
+                   COALESCE(nb.n2, 0)::BIGINT AS nb2
+            FROM dots d
+            LEFT JOIN norms na ON na.doc_id = d.id_a
+            LEFT JOIN norms nb ON nb.doc_id = d.id_b
+            ORDER BY d.id_a, d.id_b
+        """,
         "monge_elkan": r"""
             WITH p AS (
                 SELECT p_partkey AS id,
