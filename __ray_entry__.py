@@ -1297,6 +1297,18 @@ def _q_tfidf_cosine(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q_sequence_agg(sf_dir: str):
+    # Per-entity ordered sequence assembly (raylink/ops/window.py
+    # sequence_agg): each user's event ids joined in (ts, event_id)
+    # order — the training-sequence shape. One hash exchange; each
+    # partition sorts once and assembles all its groups.
+    from raylink.ops.window import sequence_agg
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = sequence_agg(ev).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1722,6 +1734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_agg": _q_rollup_agg,
         "monge_elkan": _q_monge_elkan,
         "tfidf_cosine": _q_tfidf_cosine,
+        "sequence_agg": _q_sequence_agg,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2793,6 +2806,14 @@ def oracle_sql() -> dict[str, str]:
         # via UNNEST(range(...)) so repeated tokens count per OCCURRENCE
         # idf_e3 = round(1000*ln(N/df)) per token, weights tf*idf_e3,
         # dot/norms exact integer sums — replay is order-free
+        # string_agg with a total order (ts, event_id) = the engine's
+        # deterministic sort; n guards against silent truncation
+        "sequence_agg": """
+            SELECT user_id, count(*)::BIGINT AS n,
+                   string_agg(CAST(event_id AS VARCHAR), ','
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
         "tfidf_cosine": """
             WITH tok AS (
                 SELECT doc_id,

@@ -643,3 +643,68 @@ def range_join(
             ]
         ),
     )
+
+
+def sequence_agg(
+    events: ray.data.Dataset,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "event_id",
+    sep: str = ",",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-entity ordered sequence assembly: one row per key with the
+    entity's ``value_col`` values joined by ``sep`` in ``order_cols``
+    order (include a tiebreaker column for a total order — the default
+    ``(ts, event_id)`` is one). This is the training-sequence shape: a
+    user's event history as a single delimited string ready for
+    tokenization. Emits ``(key_col, n, seq)``.
+
+    One hash exchange on the key (the sessionize ``_pid`` pattern); each
+    partition sorts once and assembles ALL its groups with a pandas
+    grouped join — the only per-row Python is the inherent string
+    concatenation. Skew bound: the hottest entity's history must fit a
+    partition (same stated contract as sessionize; pre-chunk ultra-hot
+    keys upstream if an entity's history outgrows a worker)."""
+    from raylink.ops.dedup import _default_partitions, _mix64
+    from raylink.util import pa_type, sorted_partition_apply
+
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
+    schema = events.schema()
+    types = dict(zip(schema.names, (pa_type(t) for t in schema.types)))
+    need = [key_col, value_col, *[c for c in order_cols if c != value_col]]
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        pid = (_mix64(keys.astype(np.uint64)) % P).astype(np.int64)
+        cols = {"_pid": pa.array(pid)}
+        for c in need:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    def _assemble(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().sort_values(
+            [key_col, *order_cols], kind="stable"
+        )
+        vals = df[value_col].astype(str)
+        g = df.groupby(key_col, sort=True)
+        seq = g[value_col].agg(lambda s: sep.join(map(str, s)))
+        # bulk string join: pandas' grouped agg calls the lambda per
+        # group, but each call is one C-level str.join over the group
+        n = g.size()
+        return pa.table(
+            {
+                key_col: pa.array(seq.index.to_numpy(), type=types[key_col]),
+                "n": pa.array(n.to_numpy().astype(np.int64)),
+                "seq": pa.array(seq.to_numpy(), type=pa.string()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [(key_col, types[key_col]), ("n", pa.int64()), ("seq", pa.string())]
+    )
+    tagged = events.map_batches(_tag, batch_format="pyarrow")
+    return sorted_partition_apply(
+        tagged.repartition(nparts), "_pid", _assemble, out_schema
+    )

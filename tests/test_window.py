@@ -390,3 +390,36 @@ def test_range_join_bounds_and_ties():
     # 0->61s excluded
     pairs = set(map(tuple, got[["left_id", "right_id"]].values.tolist()))
     assert pairs == {(1, 3), (2, 3), (3, 4)}
+
+
+def test_sequence_agg_matches_duckdb_string_agg():
+    import duckdb
+
+    from raylink.ops.window import sequence_agg
+
+    rng = np.random.default_rng(1)
+    n = 20_000
+    ev = pd.DataFrame(
+        {
+            "event_id": rng.permutation(n).astype(np.int64),
+            "user_id": rng.integers(0, 300, n),
+            "ts": pd.to_datetime(rng.integers(0, 10_000_000, n), unit="ms"),
+        }
+    )
+    got = (
+        sequence_agg(rd.from_pandas(ev))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    got["user_id"] = got["user_id"].astype("int64")
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute(
+        """SELECT user_id, count(*)::BIGINT AS n,
+                  string_agg(CAST(event_id AS VARCHAR), ','
+                             ORDER BY ts, event_id) AS seq
+           FROM events GROUP BY user_id ORDER BY user_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert int(got["n"].sum()) == n
