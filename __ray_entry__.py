@@ -1309,6 +1309,19 @@ def _q_sequence_agg(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_pack_sequences(sf_dir: str):
+    # Concat-and-chunk context-window packing plan (raylink/ops/pack.py):
+    # the global ordered prefix sum of per-doc token counts runs as a
+    # prefix-bucket histogram pass (driver holds <=2^12 int64 offsets)
+    # plus ONE exchange — a distributed scan with no global sort. The
+    # oracle replays it with SUM() OVER (ORDER BY doc_id).
+    from raylink.ops.pack import pack_sequences
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = pack_sequences(docs, budget=512).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1735,6 +1748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monge_elkan": _q_monge_elkan,
         "tfidf_cosine": _q_tfidf_cosine,
         "sequence_agg": _q_sequence_agg,
+        "pack_sequences": _q_pack_sequences,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2808,6 +2822,29 @@ def oracle_sql() -> dict[str, str]:
         # dot/norms exact integer sums — replay is order-free
         # string_agg with a total order (ts, event_id) = the engine's
         # deterministic sort; n guards against silent truncation
+        # the distributed scan replayed as a window prefix sum; chunk ids
+        # are integer floor-division, -1 sentinels for empty docs
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0)::BIGINT AS start_tok
+                FROM t
+            )
+            SELECT doc_id, n_tokens, start_tok,
+                   (CASE WHEN n_tokens > 0 THEN start_tok // 512
+                         ELSE -1 END)::BIGINT AS chunk_first,
+                   (CASE WHEN n_tokens > 0
+                         THEN (start_tok + n_tokens - 1) // 512
+                         ELSE -1 END)::BIGINT AS chunk_last
+            FROM c ORDER BY doc_id
+        """,
         "sequence_agg": """
             SELECT user_id, count(*)::BIGINT AS n,
                    string_agg(CAST(event_id AS VARCHAR), ','

@@ -1,0 +1,196 @@
+r"""Sequence packing for LLM training: concat-and-chunk documents into
+fixed-size context windows, distributed.
+
+The standard pretraining data layout concatenates documents in a
+deterministic order and slices the token stream into ``budget``-sized
+chunks (documents may span a chunk boundary). The coordination problem is
+the GLOBAL ORDERED PREFIX SUM of per-document token counts — a scan, which
+Ray Data has no primitive for. :func:`ordered_prefix_sum` supplies it with
+two passes and no global sort:
+
+1. *bucket pass* — ids bucket by their high bits (the ``ops/snm.py``
+   prefix-bucket device); per-batch partial (bucket, weight-sum) rows
+   reduce through one tiny groupby, and the driver turns the ≤2^prefix_bits
+   bucket totals into exclusive bucket offsets (broadcast once).
+2. *scan pass* — ONE exchange routes rows by bucket; each partition sorts
+   its buckets by id and computes ``offset[bucket] + exclusive-cumsum``
+   vectorized. No partition ever sees more than its buckets' rows; the
+   driver holds 2^prefix_bits int64s.
+
+Contract: ``order_col`` values are unique non-negative int64 (document
+ids); ties would make "the documents before me" ill-defined.
+
+:func:`pack_sequences` then emits, per document, its token count, its
+start offset in the concatenated stream, and the first/last chunk ids it
+touches (``-1`` for empty documents) — enough for a reader to
+materialize any chunk by fetching exactly the documents that overlap it.
+Token counts use the repo's whitespace convention (``\S+``), replayed by
+the SQL gate with ``SUM(...) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+PRECEDING AND 1 PRECEDING)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def ordered_prefix_sum(
+    ds: ray.data.Dataset,
+    order_col: str,
+    weight_col: str,
+    num_partitions: int | None = None,
+    prefix_bits: int = 12,
+) -> ray.data.Dataset:
+    """Exclusive prefix sum of ``weight_col`` in ``order_col`` order:
+    emits ``(order_col, weight_col, start)`` where ``start`` = sum of all
+    weights with a strictly smaller ``order_col``. See module docstring
+    for the two-pass shape."""
+    from raylink.ops.dedup import _default_partitions
+    from raylink.util import sorted_partition_apply
+
+    nparts = num_partitions or _default_partitions()
+    # bucket = id >> shift, sized so bucket count <= 2^prefix_bits
+    max_id = int(ds.max(order_col))
+    min_id = int(ds.min(order_col))
+    if min_id < 0:
+        raise ValueError("ordered_prefix_sum requires non-negative ids")
+    shift = max(0, int(max_id).bit_length() - prefix_bits)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(order_col).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False)
+        b = (ids >> shift).astype(np.int64)
+        uniq, inv = np.unique(b, return_inverse=True)
+        sums = np.bincount(inv, weights=w.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {"bucket": pa.array(uniq), "wsum": pa.array(sums)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    btab = (
+        ds.select_columns([order_col, weight_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .repartition(2)
+        .groupby("bucket")
+        .aggregate(Sum("wsum", alias_name="wsum"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    nb = (max_id >> shift) + 1
+    totals = np.zeros(nb, dtype=np.int64)
+    totals[btab["bucket"].to_numpy()] = btab["wsum"].to_numpy()
+    offsets = np.cumsum(totals) - totals  # exclusive
+    oref = ray.put(offsets)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(order_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_pid": pa.array((ids >> shift).astype(np.int64)),
+                order_col: batch.column(order_col),
+                weight_col: batch.column(weight_col),
+            }
+        )
+
+    def _scan(part: pa.Table) -> pa.Table:
+        off = ray.get(oref)
+        ids = part.column(order_col).to_numpy(zero_copy_only=False)
+        w = part.column(weight_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")  # ids unique: total order
+        ids, w = ids[order], w[order]
+        b = (ids >> shift).astype(np.int64)
+        cs = np.cumsum(w) - w  # exclusive within the partition
+        # subtract each bucket's first exclusive-cumsum to localize, then
+        # add its global offset
+        first = np.flatnonzero(np.diff(b, prepend=-1))
+        base = np.repeat(cs[first], np.diff(np.append(first, len(b))))
+        start = off[b] + (cs - base)
+        return pa.table(
+            {
+                order_col: pa.array(ids),
+                weight_col: pa.array(w),
+                "start": pa.array(start.astype(np.int64)),
+            }
+        )
+
+    from raylink.util import pa_type
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, (pa_type(t) for t in schema.types)))
+    out_schema = pa.schema(
+        [
+            (order_col, types[order_col]),
+            (weight_col, types[weight_col]),
+            ("start", pa.int64()),
+        ]
+    )
+    tagged = ds.select_columns([order_col, weight_col]).map_batches(
+        _tag, batch_format="pyarrow"
+    )
+    return sorted_partition_apply(
+        tagged.repartition(nparts), "_pid", _scan, out_schema
+    )
+
+
+def pack_sequences(
+    docs: ray.data.Dataset,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Concat-and-chunk packing plan: per document, ``(doc_id, n_tokens,
+    start_tok, chunk_first, chunk_last)`` under ``budget``-token context
+    windows over the id-ordered concatenated token stream. Empty
+    documents get chunk ids ``-1``."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def _count(batch: pa.Table) -> pa.Table:
+        # ASCII \S+ runs — the convention the gated token_counts op and
+        # DuckDB's RE2 regexp_extract_all share (ops/dedup._NONWS_ASCII)
+        from raylink.ops.dedup import _NONWS_ASCII
+
+        texts = batch.column(text_col).to_pylist()
+        counts = np.fromiter(
+            (len(_NONWS_ASCII.findall(t)) if t else 0 for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(counts),
+            }
+        )
+
+    counted = docs.select_columns([id_col, text_col]).map_batches(
+        _count, batch_format="pyarrow"
+    )
+    scanned = ordered_prefix_sum(
+        counted, id_col, "n_tokens", num_partitions=num_partitions
+    )
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        s = batch.column("start").to_numpy(zero_copy_only=False)
+        first = np.where(n > 0, s // budget, -1)
+        last = np.where(n > 0, (s + n - 1) // budget, -1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": batch.column("n_tokens"),
+                "start_tok": batch.column("start"),
+                "chunk_first": pa.array(first.astype(np.int64)),
+                "chunk_last": pa.array(last.astype(np.int64)),
+            }
+        )
+
+    return scanned.map_batches(_chunks, batch_format="pyarrow")

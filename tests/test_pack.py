@@ -1,0 +1,73 @@
+"""Sequence packing: the distributed ordered prefix sum must replay the
+SQL window scan exactly, including sparse shuffled ids and empty docs."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from raylink.ops.pack import ordered_prefix_sum, pack_sequences
+
+_ORACLE = r"""
+WITH t AS (SELECT doc_id,
+                  len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS start_tok
+      FROM t)
+SELECT doc_id, n_tokens, start_tok,
+       (CASE WHEN n_tokens > 0 THEN start_tok // {b}
+             ELSE -1 END)::BIGINT AS chunk_first,
+       (CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // {b}
+             ELSE -1 END)::BIGINT AS chunk_last
+FROM c ORDER BY doc_id
+"""
+
+
+def test_pack_sequences_matches_sql_window_scan():
+    rng = np.random.default_rng(6)
+    n = 5000
+    ids = rng.permutation(200_000)[:n].astype(np.int64)
+    docs = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": [
+                "" if i % 37 == 0
+                else " ".join(["tok"] * int(rng.integers(1, 40)))
+                for i in range(n)
+            ],
+        }
+    )
+    got = (
+        pack_sequences(rd.from_pandas(docs), budget=512)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(_ORACLE.format(b=512)).df()
+    pd.testing.assert_frame_equal(got, want)
+    # the packing plan is gapless: starts are the exclusive cumsum
+    srt = got.sort_values("doc_id")
+    assert (
+        srt["start_tok"].to_numpy()
+        == np.cumsum(srt["n_tokens"].to_numpy()) - srt["n_tokens"].to_numpy()
+    ).all()
+
+
+def test_ordered_prefix_sum_dense_ids():
+    df = pd.DataFrame(
+        {"doc_id": np.arange(100, dtype=np.int64)[::-1],
+         "w": np.arange(100, dtype=np.int64)}
+    )
+    got = (
+        ordered_prefix_sum(rd.from_pandas(df), "doc_id", "w")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    w_by_id = df.sort_values("doc_id")["w"].to_numpy()
+    assert (got["start"].to_numpy() == np.cumsum(w_by_id) - w_by_id).all()
