@@ -345,6 +345,48 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             dim=16, fake=False,
         ).count()
         q["multimodal_decode"] = round(time.perf_counter() - t, 3)
+
+        # banded interval self-join over events (1-day window, 219k pairs
+        # at sf0.1): one (user, band) exchange, packed-searchsorted kernel
+        from raylink.ops.window import range_join
+
+        ev3 = read_table(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+        t = time.perf_counter()
+        range_join(ev3, ev3, "user_id", "ts", "ts", 0.0, 86400.0).count()
+        q["range_join"] = round(time.perf_counter() - t, 3)
+
+        # concat-and-chunk packing plan: distributed ordered prefix sum
+        from raylink.ops.pack import pack_sequences
+
+        t = time.perf_counter()
+        pack_sequences(docs, budget=2048).count()
+        q["pack_sequences"] = round(time.perf_counter() - t, 3)
+
+        # integer-exact TF-IDF cosine evidence over consecutive-id pairs
+        from raylink.ops.tfidf import tfidf_cosine_evidence
+
+        t = time.perf_counter()
+        n_docs = docs.count()
+
+        def _pairs(b):
+            import numpy as _np
+            import pyarrow as _pa
+
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return _pa.table(
+                {
+                    "id_a": _pa.array(ids, type=_pa.int64()),
+                    "id_b": _pa.array(ids + 1, type=_pa.int64()),
+                }
+            )
+
+        prs = docs.map_batches(_pairs, batch_format="pyarrow").filter(
+            expr=f"id_b < {int(n_docs)}"
+        )
+        tfidf_cosine_evidence(prs, docs).count()
+        q["tfidf_cosine"] = round(time.perf_counter() - t, 3)
         return q
 
     # ---- repetitions: median-of-N (host noise robust) --------------------

@@ -89,11 +89,20 @@ def ordered_prefix_sum(
     offsets = np.cumsum(totals) - totals  # exclusive
     oref = ray.put(offsets)
 
+    # route whole buckets by bucket % nparts with EXPLICIT sort
+    # boundaries: a raw bucket-valued pid has data-dependent cardinality
+    # (can drop below the partition count on tiny/sparse ids), and
+    # sampled boundaries over few distinct values collide into
+    # schema-less empty sort partitions (the executor-warning class).
+    # Bucket ids are monotone in id, so within a partition's id-sorted
+    # rows each bucket is one contiguous run — the scan kernel's
+    # first-occurrence logic is routing-agnostic.
     def _tag(batch: pa.Table) -> pa.Table:
         ids = batch.column(order_col).to_numpy(zero_copy_only=False)
+        pid = ((ids >> shift) % nparts).astype(np.int64)
         return pa.table(
             {
-                "_pid": pa.array((ids >> shift).astype(np.int64)),
+                "_pid": pa.array(pid),
                 order_col: batch.column(order_col),
                 weight_col: batch.column(weight_col),
             }
@@ -135,7 +144,8 @@ def ordered_prefix_sum(
         _tag, batch_format="pyarrow"
     )
     return sorted_partition_apply(
-        tagged.repartition(nparts), "_pid", _scan, out_schema
+        tagged, "_pid", _scan, out_schema,
+        boundaries=list(range(1, nparts)),
     )
 
 

@@ -75,14 +75,37 @@ def tfidf_vocab(
             }
         )
 
-    from ray.data.aggregate import Count
+    # df counts via per-batch partials + a driver fold (the
+    # temperature_sample device), NOT a groupby(token) exchange: the
+    # vocabulary is driver-held by contract anyway (it broadcasts), a
+    # sort-based Aggregate walks one Python group per distinct token, and
+    # on a tiny/synthetic corpus the token cardinality can drop below the
+    # partition count, making schema-less empty sort partitions (the
+    # executor-warning class). Partial rows reaching the driver are
+    # blocks × per-block vocab — the same driver-size contract as the
+    # broadcast itself.
+    def _dfcount(part: pa.Table) -> pa.Table:
+        # (token, doc) rows are globally distinct (each doc lives in one
+        # explode batch), so df = row count per token
+        vc = part.to_pandas()["token"].value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(), type=pa.string()),
+                "df": pa.array(vc.to_numpy().astype(np.int64)),
+            }
+        )
 
-    df_tbl = (
+    partials = (
         docs.select_columns([id_col, text_col])
         .map_batches(_explode, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Count(alias_name="df"))
+        .map_batches(_dfcount, batch_format="pyarrow")
         .to_pandas()
+    )
+    df_tbl = (
+        partials.groupby("token", as_index=False)["df"]
+        .sum()
+        .sort_values("token")
+        .reset_index(drop=True)
     )
     idf = np.round(
         1000.0 * np.log(float(n_docs) / df_tbl["df"].to_numpy())
