@@ -1322,6 +1322,89 @@ def _q_pack_sequences(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_bcubed(sf_dir: str):
+    # Distributed B-cubed ER evaluation (raylink/evaluate.py
+    # bcubed_evidence): assignment = near-dup connected components
+    # (singletons fill with their own id) scored against truth classes =
+    # exact-text groups (min doc_id). Per-record integer evidence
+    # (n_both, n_cluster, n_truth) in two hash exchanges; B3
+    # precision/recall are driver-side means of the rationals.
+    import ray as _ray
+
+    from raylink.evaluate import bcubed_evidence
+    from raylink.util import shuffle_merge
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    clusters = _cc_clusters_ds(sf_dir)
+
+    # truth classes: min doc_id per identical text, one text-hash exchange
+    from raylink.util import sorted_partition_apply
+
+    P = np.uint64(1 << 31)
+
+    def _ttag(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text").to_numpy(zero_copy_only=False)
+        pid = (pd.util.hash_array(txt) % P).astype(np.int64)
+        return pa.table(
+            {
+                "_pid": pa.array(pid),
+                "doc_id": batch.column("doc_id"),
+                "text": batch.column("text"),
+            }
+        )
+
+    def _tmin(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        tmin = df.groupby("text")["doc_id"].transform("min")
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy()),
+                "truth_id": pa.array(tmin.to_numpy().astype(np.int64)),
+            }
+        )
+
+    truth = sorted_partition_apply(
+        docs.map_batches(_ttag, batch_format="pyarrow").repartition(8),
+        "_pid",
+        _tmin,
+        pa.schema([("doc_id", pa.int64()), ("truth_id", pa.int64())]),
+    )
+
+    # assignment: truth rows left-join cluster labels, singletons keep
+    # their own id (one hash exchange)
+    def _coalesce(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        m = ldf.merge(
+            rdf.drop_duplicates("doc_id"), how="left", on="doc_id"
+        )
+        m["cluster_id"] = (
+            m["cluster_id"].fillna(m["doc_id"]).astype("int64")
+        )
+        return m[["doc_id", "truth_id", "cluster_id"]]
+
+    assign = shuffle_merge(
+        truth,
+        clusters,
+        ["doc_id"],
+        ["doc_id"],
+        _coalesce,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("truth_id", pa.int64()),
+                ("cluster_id", pa.int64()),
+            ]
+        ),
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("truth_id", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("doc_id", pa.int64()), ("cluster_id", pa.int64())]
+        ),
+    )
+    out = bcubed_evidence(assign).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1749,6 +1832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_cosine": _q_tfidf_cosine,
         "sequence_agg": _q_sequence_agg,
         "pack_sequences": _q_pack_sequences,
+        "bcubed": _q_bcubed,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2824,6 +2908,67 @@ def oracle_sql() -> dict[str, str]:
         # deterministic sort; n guards against silent truncation
         # the distributed scan replayed as a window prefix sum; chunk ids
         # are integer floor-division, -1 sentinels for empty docs
+        # B-cubed evidence over the near-dup component assignment vs
+        # exact-text truth classes; same recursive-CTE reachability as
+        # connected_components, singletons filled with their own id
+        "bcubed": r"""
+            WITH RECURSIVE norm AS (
+                SELECT doc_id,
+                       array_to_string(regexp_extract_all(lower(text), '\S+'), ' ') AS t
+                FROM documents
+            ),
+            shing AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, GREATEST(length(t) - 3, 2)),
+                           i -> substr(t, i, 5))) AS s
+                FROM norm
+            ),
+            edges AS (
+                SELECT id_a, id_b
+                FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+                           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union
+                    FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+                )
+                WHERE 2 * n_common >= n_union
+            ),
+            bi AS (
+                SELECT id_a AS src, id_b AS dst FROM edges
+                UNION ALL
+                SELECT id_b, id_a FROM edges
+            ),
+            reach AS (
+                SELECT DISTINCT src AS node, src AS r FROM bi
+                UNION
+                SELECT reach.node, bi.dst
+                FROM reach JOIN bi ON bi.src = reach.r
+            ),
+            cc AS (
+                SELECT node AS doc_id, MIN(r) AS cluster_id
+                FROM reach GROUP BY node
+            ),
+            a AS (
+                SELECT d.doc_id,
+                       COALESCE(cc.cluster_id, d.doc_id) AS cl,
+                       MIN(d.doc_id) OVER (PARTITION BY d.text) AS tr
+                FROM documents d
+                LEFT JOIN cc ON cc.doc_id = d.doc_id
+            ),
+            cell AS (SELECT cl, tr, count(*)::BIGINT AS n_both
+                     FROM a GROUP BY cl, tr),
+            cs AS (SELECT cl, count(*)::BIGINT AS n_cluster
+                   FROM a GROUP BY cl),
+            ts AS (SELECT tr, count(*)::BIGINT AS n_truth
+                   FROM a GROUP BY tr)
+            SELECT a.doc_id, cell.n_both, cs.n_cluster, ts.n_truth
+            FROM a
+            JOIN cell ON cell.cl = a.cl AND cell.tr = a.tr
+            JOIN cs ON cs.cl = a.cl
+            JOIN ts ON ts.tr = a.tr
+            ORDER BY a.doc_id
+        """,
         "pack_sequences": r"""
             WITH t AS (
                 SELECT doc_id,

@@ -117,3 +117,114 @@ def blocking_quality(
         },
         dtype="int64",
     )
+
+
+def bcubed_evidence(
+    assign: "ray.data.Dataset",
+    cluster_col: str = "cluster_id",
+    truth_col: str = "truth_id",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Distributed B-cubed evaluation evidence for an entity-resolution
+    assignment table ``(id, cluster, truth)``: per RECORD, the exact
+    integer triple ``(n_both, n_cluster, n_truth)`` — the size of the
+    record's (cluster ∩ truth-class) cell, its predicted cluster, and its
+    truth class. B³ precision/recall are then driver-side means of the
+    per-record rationals (``mean(n_both/n_cluster)``,
+    ``mean(n_both/n_truth)``); emitting the integers instead of the means
+    keeps the operator inside the bit-exact SQL gate (no float summation)
+    and lets callers reweight (macro/micro) without a second pass.
+
+    Two hash exchanges, no corpus-scale driver state:
+    1. route by CLUSTER — a cluster's (cluster, truth) cells nest inside
+       it, so one vectorized factorize per partition yields every
+       record's ``n_both`` and ``n_cluster``;
+    2. route by TRUTH — attaches ``n_truth`` the same way.
+    Skew bound: the hottest cluster / truth class must fit a partition
+    (the sessionize contract)."""
+    import numpy as np
+    import ray.data  # noqa: F401
+
+    from raylink.ops.dedup import _default_partitions, _mix64
+    from raylink.util import pa_type, sorted_partition_apply
+
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
+    schema = assign.schema()
+    types = dict(zip(schema.names, (pa_type(t) for t in schema.types)))
+
+    def _tag(col):
+        def _t(batch: pa.Table) -> pa.Table:
+            keys = batch.column(col).to_numpy(zero_copy_only=False)
+            pid = (_mix64(keys.astype(np.uint64)) % P).astype(np.int64)
+            # strip pandas metadata: blocks carrying the b'pandas' blob
+            # defeat the executor's schema hash (unhashable-dict warning)
+            return batch.append_column(
+                "_pid", pa.array(pid)
+            ).replace_schema_metadata(None)
+
+        return _t
+
+    def _cell_counts(part: pa.Table) -> pa.Table:
+        cl = part.column(cluster_col).to_numpy(zero_copy_only=False)
+        tr = part.column(truth_col).to_numpy(zero_copy_only=False)
+        ccodes, _ = pd.factorize(cl, sort=False)
+        tcodes, _ = pd.factorize(tr, sort=False)
+        cell, _ = pd.factorize(
+            ccodes.astype(np.int64) * (tcodes.max() + 1) + tcodes, sort=False
+        )
+        n_both = np.bincount(cell)[cell]
+        n_cl = np.bincount(ccodes)[ccodes]
+        return pa.table(
+            {
+                id_col: part.column(id_col),
+                truth_col: part.column(truth_col),
+                "n_both": pa.array(n_both.astype(np.int64)),
+                "n_cluster": pa.array(n_cl.astype(np.int64)),
+            }
+        )
+
+    def _truth_counts(part: pa.Table) -> pa.Table:
+        tr = part.column(truth_col).to_numpy(zero_copy_only=False)
+        tcodes, _ = pd.factorize(tr, sort=False)
+        n_tr = np.bincount(tcodes)[tcodes]
+        return pa.table(
+            {
+                id_col: part.column(id_col),
+                "n_both": part.column("n_both"),
+                "n_cluster": part.column("n_cluster"),
+                "n_truth": pa.array(n_tr.astype(np.int64)),
+            }
+        )
+
+    s1 = pa.schema(
+        [
+            (id_col, types[id_col]),
+            (truth_col, types[truth_col]),
+            ("n_both", pa.int64()),
+            ("n_cluster", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            (id_col, types[id_col]),
+            ("n_both", pa.int64()),
+            ("n_cluster", pa.int64()),
+            ("n_truth", pa.int64()),
+        ]
+    )
+    stage1 = sorted_partition_apply(
+        assign.map_batches(_tag(cluster_col), batch_format="pyarrow")
+        .repartition(nparts),
+        "_pid",
+        _cell_counts,
+        s1,
+    )
+    return sorted_partition_apply(
+        stage1.map_batches(_tag(truth_col), batch_format="pyarrow")
+        .repartition(nparts),
+        "_pid",
+        _truth_counts,
+        out_schema,
+    )

@@ -1030,3 +1030,50 @@ def test_rollup_agg_matches_duckdb_rollup():
     pd.testing.assert_frame_equal(got, want)
     # grand total is the full row count exactly once
     assert got[got.lvl == 0]["n"].tolist() == [5000]
+
+
+def test_bcubed_evidence_matches_duckdb_counts():
+    import duckdb
+
+    from raylink.evaluate import bcubed_evidence
+
+    rng = np.random.default_rng(8)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "cluster_id": rng.integers(0, 900, n),
+            "truth_id": rng.integers(0, 800, n),
+        }
+    )
+    got = (
+        bcubed_evidence(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("a", df)
+    want = con.execute(
+        """SELECT a.doc_id,
+                  (SELECT count(*) FROM a x
+                   WHERE x.cluster_id = a.cluster_id
+                     AND x.truth_id = a.truth_id)::BIGINT AS n_both,
+                  (SELECT count(*) FROM a x
+                   WHERE x.cluster_id = a.cluster_id)::BIGINT AS n_cluster,
+                  (SELECT count(*) FROM a x
+                   WHERE x.truth_id = a.truth_id)::BIGINT AS n_truth
+           FROM a ORDER BY doc_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # perfect assignment -> all three counts equal -> B3 P = R = 1
+    perfect = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "cluster_id": np.array([0, 0, 1, 1, 2, 2], dtype=np.int64),
+            "truth_id": np.array([0, 0, 1, 1, 2, 2], dtype=np.int64),
+        }
+    )
+    ev = bcubed_evidence(rd.from_pandas(perfect)).to_pandas()
+    assert (ev["n_both"] == ev["n_cluster"]).all()
+    assert (ev["n_both"] == ev["n_truth"]).all()
