@@ -1405,6 +1405,20 @@ def _q_bcubed(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_shuffle_rank(sf_dir: str):
+    # Deterministic epoch shuffle (raylink/ops/pack.py
+    # deterministic_shuffle): each doc's global position under the
+    # (knuth-hash, id) pseudo-random total order — resume-safe corpus
+    # shuffling with no RNG state. Hash-high-bit buckets balance the
+    # histogram regardless of id skew; one explicit-boundary exchange
+    # finishes the rank.
+    from raylink.ops.pack import deterministic_shuffle
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    out = deterministic_shuffle(docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1833,6 +1847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_agg": _q_sequence_agg,
         "pack_sequences": _q_pack_sequences,
         "bcubed": _q_bcubed,
+        "shuffle_rank": _q_shuffle_rank,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2911,6 +2926,21 @@ def oracle_sql() -> dict[str, str]:
         # B-cubed evidence over the near-dup component assignment vs
         # exact-text truth classes; same recursive-CTE reachability as
         # connected_components, singletons filled with their own id
+        # the split_by_hash Knuth fold replayed in HUGEINT, ranked by
+        # (hash, id) — the engine's exact pseudo-random total order
+        "shuffle_rank": """
+            WITH h AS (
+                SELECT doc_id,
+                       xor((doc_id::HUGEINT * 2654435761) % 4294967296,
+                           ((doc_id::HUGEINT * 2654435761) % 4294967296) >> 16)
+                           AS hv
+                FROM documents
+            )
+            SELECT doc_id,
+                   (row_number() OVER (ORDER BY hv, doc_id) - 1)::BIGINT
+                       AS shuffle_rank
+            FROM h ORDER BY doc_id
+        """,
         "bcubed": r"""
             WITH RECURSIVE norm AS (
                 SELECT doc_id,

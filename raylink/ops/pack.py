@@ -67,7 +67,10 @@ def ordered_prefix_sum(
         w = batch.column(weight_col).to_numpy(zero_copy_only=False)
         b = (ids >> shift).astype(np.int64)
         uniq, inv = np.unique(b, return_inverse=True)
-        sums = np.bincount(inv, weights=w.astype(np.float64)).astype(np.int64)
+        # int64 accumulation (np.bincount's weights= path goes through
+        # float64, which silently loses exactness past 2^53)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, w.astype(np.int64))
         return pa.table(
             {"bucket": pa.array(uniq), "wsum": pa.array(sums)}
         )
@@ -204,3 +207,96 @@ def pack_sequences(
         )
 
     return scanned.map_batches(_chunks, batch_format="pyarrow")
+
+
+def deterministic_shuffle(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    prefix_bits: int = 12,
+) -> ray.data.Dataset:
+    """Epoch-shuffle ranks: every row's 0-based GLOBAL position under the
+    pseudo-random total order ``(knuth-hash(id), id)`` — the
+    deterministic, resume-safe way to shuffle a training corpus (same
+    data → same order, no RNG state to checkpoint, any shard of the
+    permutation is recomputable independently). Emits
+    ``(id_col, shuffle_rank)``.
+
+    Same two-pass scan shape as :func:`ordered_prefix_sum`, but bucketed
+    on the HASH's high bits (uniform by construction, so bucket counts
+    are balanced regardless of id skew): a per-batch bucket histogram
+    folds into ≤2^prefix_bits driver-held exclusive offsets, then ONE
+    explicit-boundary exchange sorts each partition by (hash, id) and
+    ranks vectorized. The hash is the ``split_by_hash``/
+    ``stratified_sample`` Knuth fold, so DuckDB replays the order with
+    HUGEINT arithmetic + ROW_NUMBER."""
+    from raylink.ops.dedup import _default_partitions
+    from raylink.ops.sample import id_hash
+    from raylink.util import pa_type, sorted_partition_apply
+
+    nparts = num_partitions or _default_partitions()
+    shift = 32 - prefix_bits  # hash values live in [0, 2^32)
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        b = (id_hash(ids) >> np.uint64(shift)).astype(np.int64)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    hist = (
+        ds.select_columns([id_col])
+        .map_batches(_hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bucket", as_index=False)["n"]
+        .sum()
+    )
+    nb = 1 << prefix_bits
+    totals = np.zeros(nb, dtype=np.int64)
+    totals[hist["bucket"].to_numpy()] = hist["n"].to_numpy()
+    offsets = np.cumsum(totals) - totals
+    oref = ray.put(offsets)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = id_hash(ids)
+        pid = ((h >> np.uint64(shift)) % np.uint64(nparts)).astype(np.int64)
+        return pa.table(
+            {
+                "_pid": pa.array(pid),
+                id_col: batch.column(id_col),
+                "_h": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def _rank(part: pa.Table) -> pa.Table:
+        off = ray.get(oref)
+        ids = part.column(id_col).to_numpy(zero_copy_only=False)
+        h = part.column("_h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        ids, h = ids[order], h[order]
+        b = (h >> shift).astype(np.int64)  # monotone in h: contiguous runs
+        pos = np.arange(len(b), dtype=np.int64)
+        first = np.flatnonzero(np.diff(b, prepend=-1))
+        base = np.repeat(pos[first], np.diff(np.append(first, len(b))))
+        rank = off[b] + (pos - base)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "shuffle_rank": pa.array(rank),
+            }
+        )
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, (pa_type(t) for t in schema.types)))
+    out_schema = pa.schema(
+        [(id_col, types[id_col]), ("shuffle_rank", pa.int64())]
+    )
+    tagged = ds.select_columns([id_col]).map_batches(
+        _tag, batch_format="pyarrow"
+    )
+    return sorted_partition_apply(
+        tagged, "_pid", _rank, out_schema,
+        boundaries=list(range(1, nparts)),
+    )

@@ -71,3 +71,31 @@ def test_ordered_prefix_sum_dense_ids():
     )
     w_by_id = df.sort_values("doc_id")["w"].to_numpy()
     assert (got["start"].to_numpy() == np.cumsum(w_by_id) - w_by_id).all()
+
+
+def test_deterministic_shuffle_matches_row_number():
+    from raylink.ops.pack import deterministic_shuffle
+
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(500_000)[:40_000].astype(np.int64)
+    got = (
+        deterministic_shuffle(rd.from_pandas(pd.DataFrame({"doc_id": ids})))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc_id": ids}))
+    want = con.execute(
+        """WITH h AS (SELECT doc_id,
+               xor((doc_id::HUGEINT * 2654435761) % 4294967296,
+                   ((doc_id::HUGEINT * 2654435761) % 4294967296) >> 16) AS hv
+               FROM t)
+           SELECT doc_id,
+                  (row_number() OVER (ORDER BY hv, doc_id) - 1)::BIGINT
+                      AS shuffle_rank
+           FROM h ORDER BY doc_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # a permutation: every rank exactly once
+    assert sorted(got["shuffle_rank"].tolist()) == list(range(len(ids)))
