@@ -1419,6 +1419,25 @@ def _q_shuffle_rank(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_interval_lookup(sf_dir: str):
+    # Broadcast interval join (raylink/ops/relational.py
+    # interval_lookup): the dimension-lookup shape — intervals sorted
+    # once on the driver, broadcast, every task answers its batch with
+    # one vectorized searchsorted; the fact side streams map-only.
+    from raylink.ops.relational import interval_lookup
+
+    iv = pd.DataFrame(
+        {
+            "lo": [0.0, 1.0, 5.0, 20.0, 100.0],
+            "hi": [1.0, 5.0, 20.0, 100.0, 1e9],
+            "label": ["tiny", "small", "mid", "big", "huge"],
+        }
+    )
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+    out = interval_lookup(ev, iv, "value").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1848,6 +1867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "bcubed": _q_bcubed,
         "shuffle_rank": _q_shuffle_rank,
+        "interval_lookup": _q_interval_lookup,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2928,6 +2948,16 @@ def oracle_sql() -> dict[str, str]:
         # connected_components, singletons filled with their own id
         # the split_by_hash Knuth fold replayed in HUGEINT, ranked by
         # (hash, id) — the engine's exact pseudo-random total order
+        # half-open [lo, hi) intervals as a literal dimension table
+        "interval_lookup": """
+            WITH iv(lo, hi, label) AS (VALUES
+                (0.0, 1.0, 'tiny'), (1.0, 5.0, 'small'), (5.0, 20.0, 'mid'),
+                (20.0, 100.0, 'big'), (100.0, 1e9, 'huge'))
+            SELECT e.event_id, e.value, iv.label
+            FROM events e
+            LEFT JOIN iv ON e.value >= iv.lo AND e.value < iv.hi
+            ORDER BY e.event_id
+        """,
         "shuffle_rank": """
             WITH h AS (
                 SELECT doc_id,

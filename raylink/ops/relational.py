@@ -392,3 +392,43 @@ def rollup_agg(
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def interval_lookup(
+    points: ray.data.Dataset,
+    intervals: pd.DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    label_col: str = "label",
+    out_col: str = "label",
+) -> ray.data.Dataset:
+    """Broadcast interval join: attach to every point row the label of
+    the half-open interval ``[lo, hi)`` containing ``value_col`` (NULL
+    when none). The classic dimension-lookup shape (IP→geo ranges,
+    value→bucket tiers): the interval table is validated non-overlapping,
+    sorted ONCE on the driver and broadcast via ``ray.put``; every task
+    answers its batch with one vectorized ``np.searchsorted`` — zero
+    shuffle, zero per-row Python.
+
+    Scale contract: the interval table is dimension-sized (fits the
+    object store); the fact side streams map-only."""
+    iv = intervals[[lo_col, hi_col, label_col]].sort_values(lo_col)
+    lo = iv[lo_col].to_numpy()
+    hi = iv[hi_col].to_numpy()
+    if (hi <= lo).any() or (lo[1:] < hi[:-1]).any():
+        raise ValueError("intervals must be non-empty and non-overlapping")
+    labels = iv[label_col].to_numpy()
+    ref = ray.put((lo, hi, labels))
+
+    def _lookup(batch: pa.Table) -> pa.Table:
+        lo_, hi_, lab_ = ray.get(ref)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lo_, v, side="right") - 1
+        ok = (idx >= 0) & (v < hi_[np.clip(idx, 0, len(hi_) - 1)])
+        out = np.where(ok, lab_[np.clip(idx, 0, len(lab_) - 1)], None)
+        return batch.append_column(
+            out_col, pa.array(out.tolist(), type=pa.string())
+        )
+
+    return points.map_batches(_lookup, batch_format="pyarrow")

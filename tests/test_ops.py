@@ -1077,3 +1077,58 @@ def test_bcubed_evidence_matches_duckdb_counts():
     ev = bcubed_evidence(rd.from_pandas(perfect)).to_pandas()
     assert (ev["n_both"] == ev["n_cluster"]).all()
     assert (ev["n_both"] == ev["n_truth"]).all()
+
+
+def test_interval_lookup_matches_duckdb_between_join():
+    import duckdb
+
+    from raylink.ops.relational import interval_lookup
+
+    rng = np.random.default_rng(12)
+    pts = pd.DataFrame(
+        {
+            "event_id": np.arange(10_000, dtype=np.int64),
+            "value": rng.normal(50, 60, 10_000),
+        }
+    )
+    iv = pd.DataFrame(
+        {
+            "lo": [0.0, 1.0, 5.0, 20.0, 100.0],
+            "hi": [1.0, 5.0, 20.0, 100.0, 1e9],
+            "label": ["tiny", "small", "mid", "big", "huge"],
+        }
+    )
+    got = (
+        interval_lookup(rd.from_pandas(pts), iv, "value")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("p", pts)
+    con.register("iv", iv)
+    want = con.execute(
+        """SELECT p.event_id, p.value, iv.label
+           FROM p LEFT JOIN iv ON p.value >= iv.lo AND p.value < iv.hi
+           ORDER BY p.event_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # half-open semantics: exact lo included, exact hi excluded
+    edge = pd.DataFrame({"event_id": np.array([0, 1], dtype=np.int64),
+                         "value": [1.0, 5.0]})
+    out = interval_lookup(rd.from_pandas(edge), iv, "value").to_pandas()
+    assert out.sort_values("event_id")["label"].tolist() == ["small", "mid"]
+
+
+def test_interval_lookup_rejects_overlap():
+    import pytest as _pytest
+
+    from raylink.ops.relational import interval_lookup
+
+    bad = pd.DataFrame({"lo": [0.0, 0.5], "hi": [1.0, 2.0], "label": ["a", "b"]})
+    with _pytest.raises(ValueError):
+        interval_lookup(
+            rd.from_pandas(pd.DataFrame({"event_id": [1], "value": [0.7]})),
+            bad,
+            "value",
+        )
