@@ -1438,6 +1438,18 @@ def _q_interval_lookup(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_grouped_mode(sf_dir: str):
+    # Deterministic grouped mode (raylink/ops/relational.py
+    # grouped_mode): each user's most frequent event_type, ties broken
+    # by smallest value — SQL mode() leaves ties unspecified, so the
+    # oracle ranks explicitly. Partials move, rows never do.
+    from raylink.ops.relational import grouped_mode
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    out = grouped_mode(ev, "user_id", "event_type").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1868,6 +1880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bcubed": _q_bcubed,
         "shuffle_rank": _q_shuffle_rank,
         "interval_lookup": _q_interval_lookup,
+        "grouped_mode": _q_grouped_mode,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2949,6 +2962,18 @@ def oracle_sql() -> dict[str, str]:
         # the split_by_hash Knuth fold replayed in HUGEINT, ranked by
         # (hash, id) — the engine's exact pseudo-random total order
         # half-open [lo, hi) intervals as a literal dimension table
+        # explicit (count DESC, value ASC) ranking = the engine's stated
+        # tie rule; mode() itself leaves ties unspecified
+        "grouped_mode": """
+            WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS cnt
+                       FROM events GROUP BY user_id, event_type),
+            r AS (SELECT user_id, event_type, cnt,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY cnt DESC, event_type) AS rn
+                  FROM c)
+            SELECT user_id, event_type AS mode, cnt AS n_mode
+            FROM r WHERE rn = 1 ORDER BY user_id
+        """,
         "interval_lookup": """
             WITH iv(lo, hi, label) AS (VALUES
                 (0.0, 1.0, 'tiny'), (1.0, 5.0, 'small'), (5.0, 20.0, 'mid'),

@@ -432,3 +432,77 @@ def interval_lookup(
         )
 
     return points.map_batches(_lookup, batch_format="pyarrow")
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Most-frequent value per group with a DETERMINISTIC tie rule
+    (highest count, then smallest value) — SQL ``mode()`` leaves ties
+    unspecified, so this is the replayable variant. Emits
+    ``(group_col, mode, n_mode)``.
+
+    Shape: per-batch pandas partial (group, value, count) rows — the
+    exchange moves partials, never rows — then one hash route by group
+    and a vectorized all-groups argmax per partition (sort by
+    (group, -count, value), take group firsts)."""
+    from raylink.ops.dedup import _default_partitions, _mix64
+    from raylink.util import pa_type, sorted_partition_apply
+
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
+    schema = ds.schema()
+    types = dict(zip(schema.names, (pa_type(t) for t in schema.types)))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([group_col, value_col], sort=False).size()
+        out = g.reset_index(name="cnt")
+        return out
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(group_col).to_numpy(zero_copy_only=False)
+        pid = (_mix64(keys.astype(np.uint64)) % P).astype(np.int64)
+        return batch.append_column(
+            "_pid", pa.array(pid)
+        ).replace_schema_metadata(None)
+
+    def _argmax(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        # partials for the same (group, value) may arrive from many
+        # batches: fold first, then rank
+        df = df.groupby([group_col, value_col], as_index=False)["cnt"].sum()
+        df = df.sort_values(
+            [group_col, "cnt", value_col],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        firsts = df.groupby(group_col, as_index=False, sort=False).first()
+        return pa.table(
+            {
+                group_col: pa.array(
+                    firsts[group_col].to_numpy(), type=types[group_col]
+                ),
+                "mode": pa.array(
+                    firsts[value_col].to_numpy(), type=types[value_col]
+                ),
+                "n_mode": pa.array(firsts["cnt"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            (group_col, types[group_col]),
+            ("mode", types[value_col]),
+            ("n_mode", pa.int64()),
+        ]
+    )
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        _partial, batch_format="pandas"
+    )
+    tagged = partials.map_batches(_tag, batch_format="pyarrow")
+    return sorted_partition_apply(
+        tagged.repartition(nparts), "_pid", _argmax, out_schema
+    )

@@ -1132,3 +1132,39 @@ def test_interval_lookup_rejects_overlap():
             bad,
             "value",
         )
+
+
+def test_grouped_mode_deterministic_tie_rule():
+    import duckdb
+
+    from raylink.ops.relational import grouped_mode
+
+    rng = np.random.default_rng(14)
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 200, 30_000),
+            "v": rng.choice(["click", "view", "buy", "share"], 30_000),
+        }
+    )
+    got = (
+        grouped_mode(rd.from_pandas(df), "u", "v")
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    got["u"] = got["u"].astype("int64")
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """WITH c AS (SELECT u, v, count(*)::BIGINT AS cnt
+                      FROM t GROUP BY u, v),
+           r AS (SELECT u, v, cnt, row_number() OVER (PARTITION BY u
+                     ORDER BY cnt DESC, v) AS rn FROM c)
+           SELECT u, v AS mode, cnt AS n_mode FROM r WHERE rn = 1
+           ORDER BY u"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # explicit tie: equal counts -> smallest value wins
+    tie = pd.DataFrame({"u": [1, 1, 1, 1], "v": ["b", "b", "a", "a"]})
+    out = grouped_mode(rd.from_pandas(tie), "u", "v").to_pandas()
+    assert out["mode"].tolist() == ["a"] and out["n_mode"].tolist() == [2]
