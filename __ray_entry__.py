@@ -1450,6 +1450,20 @@ def _q_grouped_mode(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_tfidf_link(sf_dir: str):
+    # Third COMPLETE linkage pipeline (raylink/ops/tfidf.py tfidf_link):
+    # SNM blocking over the text order -> integer-exact TF-IDF cosine
+    # acceptance at tau = 4/5 (dot>0 and 25*dot^2 >= 16*na2*nb2, exact
+    # 128-bit arithmetic on both sides) -> distributed min-label
+    # components. Unsupervised, label-free, embedding-free; the oracle
+    # is self-contained with NO frozen state.
+    from raylink.ops.tfidf import tfidf_link
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    _edges, clusters = tfidf_link(docs, window=8, tau=(4, 5))
+    return clusters.to_pandas().sort_values("id").reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1881,6 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_rank": _q_shuffle_rank,
         "interval_lookup": _q_interval_lookup,
         "grouped_mode": _q_grouped_mode,
+        "tfidf_link": _q_tfidf_link,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2964,6 +2979,71 @@ def oracle_sql() -> dict[str, str]:
         # half-open [lo, hi) intervals as a literal dimension table
         # explicit (count DESC, value ASC) ranking = the engine's stated
         # tie rule; mode() itself leaves ties unspecified
+        # SNM window pairs + integer TF-IDF acceptance (HUGEINT replay
+        # of the engine's 128-bit keep rule) + recursive-CTE components
+        "tfidf_link": r"""
+            WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(text, '[0-9A-Za-z_]+'))) AS token
+                FROM documents
+            ),
+            dfs AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df
+                    FROM tok GROUP BY token),
+            idf AS (
+                SELECT token,
+                       CAST(ROUND(1000 * ln(
+                           (SELECT count(*)::DOUBLE FROM documents) / df))
+                           AS BIGINT) AS idf_e3
+                FROM dfs
+            ),
+            w AS (
+                SELECT doc_id, token, count(*)::BIGINT * idf.idf_e3 AS w
+                FROM tok JOIN idf USING (token)
+                GROUP BY doc_id, token, idf.idf_e3
+            ),
+            norms AS (SELECT doc_id, SUM(w*w)::BIGINT AS n2
+                      FROM w GROUP BY doc_id),
+            r AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY text, doc_id) AS rn
+                FROM documents
+            ),
+            prs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8
+            ),
+            dots AS (
+                SELECT p.id_a, p.id_b,
+                       COALESCE(SUM(wa.w * wb.w), 0)::HUGEINT AS dot
+                FROM prs p
+                LEFT JOIN w wa ON wa.doc_id = p.id_a
+                LEFT JOIN w wb ON wb.doc_id = p.id_b AND wb.token = wa.token
+                GROUP BY p.id_a, p.id_b
+            ),
+            acc AS (
+                SELECT d.id_a, d.id_b
+                FROM dots d
+                LEFT JOIN norms na ON na.doc_id = d.id_a
+                LEFT JOIN norms nb ON nb.doc_id = d.id_b
+                WHERE d.dot > 0
+                  AND 25 * d.dot * d.dot >=
+                      16 * COALESCE(na.n2, 0)::HUGEINT
+                         * COALESCE(nb.n2, 0)::HUGEINT
+            ),
+            bi AS (
+                SELECT id_a AS src, id_b AS dst FROM acc
+                UNION ALL
+                SELECT id_b, id_a FROM acc
+            ),
+            reach AS (
+                SELECT DISTINCT src AS node, src AS x FROM bi
+                UNION
+                SELECT reach.node, bi.dst
+                FROM reach JOIN bi ON bi.src = reach.x
+            )
+            SELECT node AS id, CAST(MIN(x) AS BIGINT) AS cluster
+            FROM reach GROUP BY node ORDER BY id
+        """,
         "grouped_mode": """
             WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS cnt
                        FROM events GROUP BY user_id, event_type),

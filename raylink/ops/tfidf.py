@@ -234,3 +234,101 @@ def tfidf_cosine_evidence(
             [(id_col, pa.int64()), (text_col, pa.string())]
         ),
     )
+
+
+def tfidf_link(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    tau: tuple[int, int] = (4, 5),
+    num_partitions: int | None = None,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Third COMPLETE linkage pipeline — unsupervised, label-free,
+    embedding-free, and fully SQL-expressible with no frozen state:
+    sorted-neighborhood blocking over the text order → integer-exact
+    TF-IDF cosine acceptance → distributed min-label connected
+    components. Returns ``(edges, clusters)``: edges =
+    ``(id_a, id_b, dot, na2, nb2)`` accepted pairs, clusters =
+    ``(id, cluster)`` for every record on an accepted edge.
+
+    Acceptance is pure integer arithmetic under the rational threshold
+    ``tau = t_num/t_den``: keep iff ``dot > 0`` and
+    ``t_den²·dot² ≥ t_num²·na2·nb2`` — evaluated in arbitrary-precision
+    Python ints (dot² overflows int64; DuckDB replays the same rule in
+    HUGEINT), so engine and oracle share an exact keep rule and
+    acceptance can never flip on a rounding boundary.
+
+    Scale shape: the SNM exchanges, the TF-IDF attach exchanges, and the
+    O(log diameter) label-propagation rounds — nothing new; this is the
+    composition that demonstrates the pieces ARE a pipeline.
+    """
+    from raylink.cluster import cluster_label_propagation
+    from raylink.ops.snm import sorted_neighborhood_pairs
+
+    t_num, t_den = tau
+    if t_num <= 0 or t_den <= 0:
+        raise ValueError("tau must be a positive rational (num, den)")
+    pairs = sorted_neighborhood_pairs(
+        docs, text_col, id_col, window, num_partitions=num_partitions
+    ).select_columns(["id_a", "id_b"])
+    ev = tfidf_cosine_evidence(
+        pairs, docs, text_col=text_col, id_col=id_col,
+        num_partitions=num_partitions,
+    )
+    n2, d2 = t_num * t_num, t_den * t_den
+
+    def _accept(batch: pa.Table) -> pa.Table:
+        dot = batch.column("dot").to_numpy(zero_copy_only=False)
+        na2 = batch.column("na2").to_numpy(zero_copy_only=False)
+        nb2 = batch.column("nb2").to_numpy(zero_copy_only=False)
+        # exact: dot^2 needs 128 bits — Python-int arithmetic per row on
+        # the (window-bounded) candidate stream, same rule as the oracle's
+        # HUGEINT replay
+        keep = np.fromiter(
+            (
+                d > 0 and d2 * int(d) * int(d) >= n2 * int(a) * int(b)
+                for d, a, b in zip(dot, na2, nb2)
+            ),
+            dtype=bool,
+            count=len(dot),
+        )
+        return batch.filter(pa.array(keep))
+
+    edges = ev.map_batches(_accept, batch_format="pyarrow")
+
+    def _to_str_edges(batch: pa.Table) -> pa.Table:
+        ia = batch.column("id_a").to_numpy(zero_copy_only=False)
+        ib = batch.column("id_b").to_numpy(zero_copy_only=False)
+        if len(ia) and (min(ia.min(), ib.min()) < 0):
+            raise ValueError(
+                "tfidf_link requires non-negative ids (zero-padded string "
+                "min-labels must order like the ints)"
+            )
+        return pa.table(
+            {
+                "block": pa.array(["x"] * len(ia), type=pa.string()),
+                "key_a": pa.array([f"{v:020d}" for v in ia], type=pa.string()),
+                "key_b": pa.array([f"{v:020d}" for v in ib], type=pa.string()),
+            }
+        )
+
+    labels = cluster_label_propagation(
+        edges.map_batches(_to_str_edges, batch_format="pyarrow"),
+        num_partitions=num_partitions,
+    )
+
+    def _back(batch: pa.Table) -> pa.Table:
+        ids = np.array(
+            [int(s) for s in batch.column("key").to_pylist()], dtype=np.int64
+        )
+        lab = np.array(
+            [
+                int(s.split("|", 1)[1])
+                for s in batch.column("entity_id").to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        return pa.table({"id": pa.array(ids), "cluster": pa.array(lab)})
+
+    return edges, labels.map_batches(_back, batch_format="pyarrow")

@@ -89,3 +89,37 @@ def test_tfidf_vocab_df_counts():
     idf = dict(zip(vocab.token, vocab.idf_e3))
     assert idf["a"] == round(1000 * np.log(3 / 2))
     assert idf["d"] == round(1000 * np.log(3 / 1))
+
+
+def test_tfidf_link_clusters_near_duplicates():
+    from raylink.ops.tfidf import tfidf_link
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+                "completely different subject matter entirely here",
+                "completely different subject matter entirely now",  # near-dup of 2
+                "unrelated solitary document about graph theory",
+                "quantum flux capacitors and time travel notes",
+                "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+                "zzz yyy xxx www vvv",
+            ],
+        }
+    )
+    edges, clusters = tfidf_link(
+        rd.from_pandas(docs), window=4, tau=(3, 5)
+    )
+    c = clusters.to_pandas().set_index("id")["cluster"].to_dict()
+    # near/exact duplicates cluster together under the min id
+    assert c[0] == c[1] == c[6] == 0
+    assert c[2] == c[3] == 2
+    # singletons with no accepted edge are absent from the cluster table
+    assert 7 not in c and 5 not in c
+    # edges carry exact integer evidence and satisfy the keep rule
+    e = edges.to_pandas()
+    assert len(e) >= 3
+    for _, row in e.iterrows():
+        assert 25 * int(row["dot"]) ** 2 >= 9 * int(row["na2"]) * int(row["nb2"])
