@@ -1464,6 +1464,19 @@ def _q_tfidf_link(sf_dir: str):
     return clusters.to_pandas().sort_values("id").reset_index(drop=True)
 
 
+def _q_value_rank(sf_dir: str):
+    # Global RANK of a value column (raylink/ops/pack.py value_rank):
+    # percentile features without a global sort — monotone IEEE bit-image
+    # buckets (equal values share a bucket, so ties never straddle
+    # partitions), histogram pass -> driver-held offsets -> one
+    # explicit-boundary exchange, vectorized tie-aware ranking.
+    from raylink.ops.pack import value_rank
+
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+    out = value_rank(ev, "value", id_col="event_id").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1896,6 +1909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_lookup": _q_interval_lookup,
         "grouped_mode": _q_grouped_mode,
         "tfidf_link": _q_tfidf_link,
+        "value_rank": _q_value_rank,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2981,6 +2995,12 @@ def oracle_sql() -> dict[str, str]:
         # tie rule; mode() itself leaves ties unspecified
         # SNM window pairs + integer TF-IDF acceptance (HUGEINT replay
         # of the engine's 128-bit keep rule) + recursive-CTE components
+        # RANK() = 1 + count of strictly smaller values; ties share
+        "value_rank": """
+            SELECT event_id, value,
+                   RANK() OVER (ORDER BY value)::BIGINT AS rank
+            FROM events ORDER BY event_id
+        """,
         "tfidf_link": r"""
             WITH RECURSIVE tok AS (
                 SELECT doc_id,

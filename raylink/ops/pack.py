@@ -300,3 +300,123 @@ def deterministic_shuffle(
         tagged, "_pid", _rank, out_schema,
         boundaries=list(range(1, nparts)),
     )
+
+
+def _order_bits(v: np.ndarray) -> np.ndarray:
+    """Monotone uint64 image of float64 values (IEEE total-order trick:
+    flip all bits of negatives, the sign bit of non-negatives), so value
+    buckets can come from high bits. -0.0 canonicalizes to +0.0 first —
+    they compare equal and must share a rank, but their bit patterns
+    differ. NaNs are rejected upstream."""
+    v = np.where(v == 0.0, 0.0, v)
+    bits = v.view(np.uint64)
+    neg = bits >> np.uint64(63) == 1
+    out = bits.copy()
+    out[neg] = ~bits[neg]
+    out[~neg] = bits[~neg] | np.uint64(1 << 63)
+    return out
+
+
+def value_rank(
+    ds: ray.data.Dataset,
+    value_col: str,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    prefix_bits: int = 12,
+) -> ray.data.Dataset:
+    """Global RANK of a float64 value column — for each row, ``1 + the
+    number of rows with a strictly smaller value`` (ties share a rank:
+    SQL ``RANK() OVER (ORDER BY value)``). The building block for
+    corpus-wide percentile features ("this document's quality sits at
+    p93") without a global sort.
+
+    Same prefix-bucket scan shape as :func:`deterministic_shuffle`, but
+    bucketing the VALUE's monotone bit image (equal values share a
+    bucket by construction, so ties never straddle partitions): one
+    histogram pass → ≤2^prefix_bits driver-held exclusive offsets → one
+    explicit-boundary exchange, then each partition ranks its buckets
+    vectorized (sort + first-occurrence-of-value backfill). NaNs are
+    rejected loudly — their order is undefined."""
+    from raylink.ops.dedup import _default_partitions
+    from raylink.util import pa_type, sorted_partition_apply
+
+    nparts = num_partitions or _default_partitions()
+    shift = 64 - prefix_bits
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        if np.isnan(v).any():
+            raise ValueError("value_rank: NaN values have no defined rank")
+        b = (_order_bits(v) >> np.uint64(shift)).astype(np.int64)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    hist = (
+        ds.select_columns([value_col])
+        .map_batches(_hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bucket", as_index=False)["n"]
+        .sum()
+    )
+    nb = 1 << prefix_bits
+    totals = np.zeros(nb, dtype=np.int64)
+    totals[hist["bucket"].to_numpy()] = hist["n"].to_numpy()
+    offsets = np.cumsum(totals) - totals
+    oref = ray.put(offsets)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        b = (_order_bits(v) >> np.uint64(shift)).astype(np.int64)
+        return pa.table(
+            {
+                "_pid": pa.array((b % nparts).astype(np.int64)),
+                id_col: batch.column(id_col),
+                value_col: batch.column(value_col),
+            }
+        )
+
+    def _rank(part: pa.Table) -> pa.Table:
+        off = ray.get(oref)
+        ids = part.column(id_col).to_numpy(zero_copy_only=False)
+        v = part.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        ids, v = ids[order], v[order]
+        ob = _order_bits(v)  # canonicalized: equal values share an image
+        b = (ob >> np.uint64(shift)).astype(np.int64)
+        pos = np.arange(len(v), dtype=np.int64)
+        bfirst = np.flatnonzero(np.diff(b, prepend=-1))
+        bbase = np.repeat(pos[bfirst], np.diff(np.append(bfirst, len(b))))
+        # RANK semantics: every row of a tie group takes the group's
+        # first position
+        vfirst = np.flatnonzero(
+            np.diff(ob, prepend=~ob[0] if len(ob) else np.uint64(0))
+            != np.uint64(0)
+        )
+        vbase = np.repeat(pos[vfirst], np.diff(np.append(vfirst, len(v))))
+        rank = off[b] + (vbase - bbase) + 1
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                value_col: pa.array(v),
+                "rank": pa.array(rank),
+            }
+        )
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, (pa_type(t) for t in schema.types)))
+    out_schema = pa.schema(
+        [
+            (id_col, types[id_col]),
+            (value_col, types[value_col]),
+            ("rank", pa.int64()),
+        ]
+    )
+    tagged = ds.select_columns([id_col, value_col]).map_batches(
+        _tag, batch_format="pyarrow"
+    )
+    return sorted_partition_apply(
+        tagged, "_pid", _rank, out_schema,
+        boundaries=list(range(1, nparts)),
+    )

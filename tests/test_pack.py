@@ -99,3 +99,45 @@ def test_deterministic_shuffle_matches_row_number():
     pd.testing.assert_frame_equal(got, want)
     # a permutation: every rank exactly once
     assert sorted(got["shuffle_rank"].tolist()) == list(range(len(ids)))
+
+
+def test_value_rank_ties_and_negative_zero():
+    from raylink.ops.pack import value_rank
+
+    rng = np.random.default_rng(21)
+    v = np.round(rng.normal(0, 100, 30_000), 1)  # heavy ties
+    v[rng.integers(0, 30_000, 500)] = -0.0
+    df = pd.DataFrame(
+        {"doc_id": np.arange(30_000, dtype=np.int64), "value": v}
+    )
+    got = (
+        value_rank(rd.from_pandas(df), "value")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """SELECT doc_id, value, RANK() OVER (ORDER BY value)::BIGINT AS rank
+           FROM t ORDER BY doc_id"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.drop(columns=["value"]), want.drop(columns=["value"])
+    )
+    # -0.0 and 0.0 compare equal and must share one rank
+    zeros = got[got["value"] == 0.0]["rank"].unique()
+    assert len(zeros) == 1
+
+
+def test_value_rank_rejects_nan():
+    import pytest as _pytest
+
+    from raylink.ops.pack import value_rank
+
+    df = pd.DataFrame(
+        {"doc_id": np.array([1, 2], dtype=np.int64),
+         "value": [1.0, float("nan")]}
+    )
+    with _pytest.raises(Exception):
+        value_rank(rd.from_pandas(df), "value").to_pandas()
