@@ -1477,6 +1477,18 @@ def _q_value_rank(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_grouped_nunique(sf_dir: str):
+    # Exact COUNT(DISTINCT event_type) per user (raylink/ops/relational.py
+    # grouped_nunique): per-batch pair dedup shrinks the exchange, one
+    # hash route, vectorized per-partition count. The sketch alternative
+    # at corpus scale is hll_sketch; this is the exact path.
+    from raylink.ops.relational import grouped_nunique
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    out = grouped_nunique(ev, "user_id", "event_type").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1910,6 +1922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mode": _q_grouped_mode,
         "tfidf_link": _q_tfidf_link,
         "value_rank": _q_value_rank,
+        "grouped_nunique": _q_grouped_nunique,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2996,6 +3009,10 @@ def oracle_sql() -> dict[str, str]:
         # SNM window pairs + integer TF-IDF acceptance (HUGEINT replay
         # of the engine's 128-bit keep rule) + recursive-CTE components
         # RANK() = 1 + count of strictly smaller values; ties share
+        "grouped_nunique": """
+            SELECT user_id, COUNT(DISTINCT event_type)::BIGINT AS n_distinct
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
         "value_rank": """
             SELECT event_id, value,
                    RANK() OVER (ORDER BY value)::BIGINT AS rank

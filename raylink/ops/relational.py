@@ -506,3 +506,59 @@ def grouped_mode(
     return sorted_partition_apply(
         tagged.repartition(nparts), "_pid", _argmax, out_schema
     )
+
+
+def grouped_nunique(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact distinct-value count per group — ``COUNT(DISTINCT v)``.
+    Per-batch (group, value) dedup shrinks the exchange to distinct
+    pairs per batch; one hash route by group, then a vectorized
+    drop_duplicates + value_counts per partition answers all its groups.
+    (The mergeable-sketch alternative at corpus scale is
+    ``ops/sketch.hll_registers`` — this is the exact path.)"""
+    from raylink.ops.dedup import _default_partitions, _mix64
+    from raylink.util import pa_type, sorted_partition_apply
+
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
+    schema = ds.schema()
+    types = dict(zip(schema.names, (pa_type(t) for t in schema.types)))
+
+    def _pair_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates([group_col, value_col])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(group_col).to_numpy(zero_copy_only=False)
+        pid = (_mix64(keys.astype(np.uint64)) % P).astype(np.int64)
+        return batch.append_column(
+            "_pid", pa.array(pid)
+        ).replace_schema_metadata(None)
+
+    def _count(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates([group_col, value_col])
+        vc = df[group_col].value_counts().sort_index()
+        return pa.table(
+            {
+                group_col: pa.array(
+                    vc.index.to_numpy(), type=types[group_col]
+                ),
+                "n_distinct": pa.array(vc.to_numpy().astype(np.int64)),
+            }
+        )
+
+    out_schema = pa.schema(
+        [(group_col, types[group_col]), ("n_distinct", pa.int64())]
+    )
+    deduped = ds.select_columns([group_col, value_col]).map_batches(
+        _pair_dedup, batch_format="pandas"
+    )
+    return sorted_partition_apply(
+        deduped.map_batches(_tag, batch_format="pyarrow").repartition(nparts),
+        "_pid",
+        _count,
+        out_schema,
+    )

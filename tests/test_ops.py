@@ -1168,3 +1168,28 @@ def test_grouped_mode_deterministic_tie_rule():
     tie = pd.DataFrame({"u": [1, 1, 1, 1], "v": ["b", "b", "a", "a"]})
     out = grouped_mode(rd.from_pandas(tie), "u", "v").to_pandas()
     assert out["mode"].tolist() == ["a"] and out["n_mode"].tolist() == [2]
+
+
+def test_grouped_nunique_matches_count_distinct():
+    import duckdb
+
+    from raylink.ops.relational import grouped_nunique
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {"u": rng.integers(0, 150, 40_000), "v": rng.integers(0, 80, 40_000)}
+    )
+    got = (
+        grouped_nunique(rd.from_pandas(df), "u", "v")
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    got["u"] = got["u"].astype("int64")
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """SELECT u, COUNT(DISTINCT v)::BIGINT AS n_distinct
+           FROM t GROUP BY u ORDER BY u"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
