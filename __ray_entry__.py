@@ -1489,6 +1489,18 @@ def _q_grouped_nunique(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_pivot_counts(sf_dir: str):
+    # Long->wide category-count pivot (raylink/ops/relational.py
+    # pivot_counts): one row per user with a cnt_<event_type> column per
+    # category — the feature-table shape. Domain discovered in a tiny
+    # distinct pass; partials route through one exchange.
+    from raylink.ops.relational import pivot_counts
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    out = pivot_counts(ev, "user_id", "event_type").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1923,6 +1935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_link": _q_tfidf_link,
         "value_rank": _q_value_rank,
         "grouped_nunique": _q_grouped_nunique,
+        "pivot_counts": _q_pivot_counts,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -3009,6 +3022,18 @@ def oracle_sql() -> dict[str, str]:
         # SNM window pairs + integer TF-IDF acceptance (HUGEINT replay
         # of the engine's 128-bit keep rule) + recursive-CTE components
         # RANK() = 1 + count of strictly smaller values; ties share
+        # the category domain is data (5 event types, all sfs) but the
+        # oracle spells it out as CASE sums — a domain drift would fail
+        # the schema compare loudly
+        "pivot_counts": """
+            SELECT user_id,
+                   SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END)::BIGINT AS cnt_click,
+                   SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END)::BIGINT AS cnt_error,
+                   SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)::BIGINT AS cnt_purchase,
+                   SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)::BIGINT AS cnt_signup,
+                   SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END)::BIGINT AS cnt_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
         "grouped_nunique": """
             SELECT user_id, COUNT(DISTINCT event_type)::BIGINT AS n_distinct
             FROM events GROUP BY user_id ORDER BY user_id

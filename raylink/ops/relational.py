@@ -562,3 +562,75 @@ def grouped_nunique(
         _count,
         out_schema,
     )
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    group_col: str,
+    cat_col: str,
+    prefix: str = "cnt_",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Long→wide pivot of category counts: one row per group with a
+    ``prefix<category>`` int64 column per distinct category (the
+    feature-table shape model trainers consume). The category domain is
+    discovered in one tiny distinct pass (contract: dimension-small —
+    columns are schema, not data), then per-batch (group, cat) partial
+    counts route through ONE hash exchange and each partition emits its
+    groups' wide rows vectorized.
+    """
+    from raylink.ops.dedup import _default_partitions, _mix64
+    from raylink.util import pa_type, sorted_partition_apply
+
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
+    schema = ds.schema()
+    types = dict(zip(schema.names, (pa_type(t) for t in schema.types)))
+    cats = sorted(
+        ds.select_columns([cat_col])
+        .groupby(cat_col)
+        .aggregate(Count())
+        .to_pandas()[cat_col]
+        .tolist()
+    )
+    cat_idx = {c: i for i, c in enumerate(cats)}
+    cref = ray.put(cat_idx)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([group_col, cat_col], sort=False).size()
+        return g.reset_index(name="cnt")
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(group_col).to_numpy(zero_copy_only=False)
+        pid = (_mix64(keys.astype(np.uint64)) % P).astype(np.int64)
+        return batch.append_column(
+            "_pid", pa.array(pid)
+        ).replace_schema_metadata(None)
+
+    def _widen(part: pa.Table) -> pa.Table:
+        idx = ray.get(cref)
+        df = part.to_pandas()
+        gcodes, guniq = pd.factorize(
+            df[group_col].to_numpy(), sort=True
+        )
+        ccodes = df[cat_col].map(idx).to_numpy()
+        mat = np.zeros((len(guniq), len(idx)), dtype=np.int64)
+        np.add.at(mat, (gcodes, ccodes), df["cnt"].to_numpy())
+        cols = {group_col: pa.array(guniq, type=types[group_col])}
+        for c, i in idx.items():
+            cols[prefix + c] = pa.array(mat[:, i])
+        return pa.table(cols)
+
+    out_schema = pa.schema(
+        [(group_col, types[group_col])]
+        + [(prefix + c, pa.int64()) for c in cats]
+    )
+    partials = ds.select_columns([group_col, cat_col]).map_batches(
+        _partial, batch_format="pandas"
+    )
+    return sorted_partition_apply(
+        partials.map_batches(_tag, batch_format="pyarrow").repartition(nparts),
+        "_pid",
+        _widen,
+        out_schema,
+    )

@@ -1193,3 +1193,40 @@ def test_grouped_nunique_matches_count_distinct():
            FROM t GROUP BY u ORDER BY u"""
     ).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_pivot_counts_matches_case_sums():
+    import duckdb
+
+    from raylink.ops.relational import pivot_counts
+
+    rng = np.random.default_rng(33)
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 120, 30_000),
+            "t": rng.choice(["a", "b", "c", "d"], 30_000, p=[0.5, 0.3, 0.15, 0.05]),
+        }
+    )
+    got = (
+        pivot_counts(rd.from_pandas(df), "u", "t")
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    got["u"] = got["u"].astype("int64")
+    con = duckdb.connect()
+    con.register("x", df)
+    want = con.execute(
+        """SELECT u,
+               SUM(CASE WHEN t='a' THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+               SUM(CASE WHEN t='b' THEN 1 ELSE 0 END)::BIGINT AS cnt_b,
+               SUM(CASE WHEN t='c' THEN 1 ELSE 0 END)::BIGINT AS cnt_c,
+               SUM(CASE WHEN t='d' THEN 1 ELSE 0 END)::BIGINT AS cnt_d
+           FROM x GROUP BY u ORDER BY u"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # row sums reproduce the group sizes exactly
+    assert (
+        got[["cnt_a", "cnt_b", "cnt_c", "cnt_d"]].sum(axis=1).to_numpy()
+        == df.groupby("u").size().sort_index().to_numpy()
+    ).all()
