@@ -1501,6 +1501,21 @@ def _q_pivot_counts(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_rolling_sum(sf_dir: str):
+    # Per-entity trailing-5 rolling sum (raylink/ops/window.py
+    # rolling_sum): values quantized to e6 per row BEFORE summing, so
+    # the rolling sums are exact int64 and the window replay is
+    # order-free. One exchange, cumsum-difference kernel, no per-window
+    # loop.
+    from raylink.ops.window import rolling_sum
+
+    ev = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = rolling_sum(ev, k=5).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1936,6 +1951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_rank": _q_value_rank,
         "grouped_nunique": _q_grouped_nunique,
         "pivot_counts": _q_pivot_counts,
+        "rolling_sum": _q_rolling_sum,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -3025,6 +3041,21 @@ def oracle_sql() -> dict[str, str]:
         # the category domain is data (5 event types, all sfs) but the
         # oracle spells it out as CASE sums — a domain drift would fail
         # the schema compare loudly
+        # ROWS k-1 PRECEDING over per-row e6 integers = exact replay
+        "rolling_sum": """
+            WITH q AS (
+                SELECT event_id, user_id, ts,
+                       CAST(ROUND(value * 1000000) AS BIGINT) AS v6
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   COUNT(*) OVER w::BIGINT AS n_window,
+                   SUM(v6) OVER w::BIGINT AS roll_sum_e6
+            FROM q
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS 4 PRECEDING)
+            ORDER BY event_id
+        """,
         "pivot_counts": """
             SELECT user_id,
                    SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END)::BIGINT AS cnt_click,

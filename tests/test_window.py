@@ -423,3 +423,43 @@ def test_sequence_agg_matches_duckdb_string_agg():
     ).df()
     pd.testing.assert_frame_equal(got, want)
     assert int(got["n"].sum()) == n
+
+
+def test_rolling_sum_matches_duckdb_window_frame():
+    import duckdb
+
+    from raylink.ops.window import rolling_sum
+
+    rng = np.random.default_rng(41)
+    n = 30_000
+    ev = pd.DataFrame(
+        {
+            "event_id": rng.permutation(n).astype(np.int64),
+            "user_id": rng.integers(0, 200, n),
+            "ts": pd.to_datetime(rng.integers(0, 10_000_000, n), unit="ms"),
+            "value": rng.normal(0, 10, n),
+        }
+    )
+    got = (
+        rolling_sum(rd.from_pandas(ev), k=5)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got["user_id"] = got["user_id"].astype("int64")
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute(
+        """WITH q AS (SELECT event_id, user_id, ts,
+                  CAST(ROUND(value*1000000) AS BIGINT) AS v6 FROM events)
+           SELECT event_id, user_id,
+                  COUNT(*) OVER w::BIGINT AS n_window,
+                  SUM(v6) OVER w::BIGINT AS roll_sum_e6
+           FROM q
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS 4 PRECEDING)
+           ORDER BY event_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # head-of-entity windows shrink: n_window in [1, 5]
+    assert got["n_window"].between(1, 5).all()
