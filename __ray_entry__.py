@@ -1516,6 +1516,44 @@ def _q_rolling_sum(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_full_outer(sf_dir: str):
+    # Distributed FULL OUTER hash join (raylink/ops/relational.py
+    # full_outer_join): one shuffle_merge exchange, per-partition pandas
+    # outer merges, keys coalesced into the left names, int64 payloads
+    # survive null padding as typed nulls. Left = BUILDING-segment
+    # customers (unmatched when they never ordered), right = per-customer
+    # order counts (unmatched for every non-BUILDING customer).
+    import pyarrow as _pa
+    from ray.data.aggregate import Count as _Count
+
+    from raylink.ops.relational import full_outer_join
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).filter(expr="c_mktsegment == 'BUILDING'").select_columns(
+        ["c_custkey", "c_name"]
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    cnt = (
+        orders.groupby("o_custkey")
+        .aggregate(_Count())
+        .rename_columns({"count()": "order_cnt"})
+    )
+    out = full_outer_join(
+        cust,
+        cnt,
+        ["c_custkey"],
+        right_keys=["o_custkey"],
+        left_schema=_pa.schema(
+            [("c_custkey", _pa.int64()), ("c_name", _pa.string())]
+        ),
+        right_schema=_pa.schema(
+            [("o_custkey", _pa.int64()), ("order_cnt", _pa.int64())]
+        ),
+    ).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def _q_blocking_quality(sf_dir: str):
     # Blocking-scheme evaluation (reduction ratio + pairs completeness,
     # raylink/evaluate.py blocking_quality): the SNM window-8 candidate
@@ -1952,6 +1990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_nunique": _q_grouped_nunique,
         "pivot_counts": _q_pivot_counts,
         "rolling_sum": _q_rolling_sum,
+        "full_outer": _q_full_outer,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -3073,6 +3112,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value,
                    RANK() OVER (ORDER BY value)::BIGINT AS rank
             FROM events ORDER BY event_id
+        """,
+        "full_outer": """
+            SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+                   c.c_name,
+                   o.order_cnt
+            FROM (SELECT c_custkey, c_name FROM customer
+                  WHERE c_mktsegment = 'BUILDING') c
+            FULL OUTER JOIN
+                 (SELECT o_custkey, COUNT(*)::BIGINT AS order_cnt
+                  FROM orders GROUP BY o_custkey) o
+            ON c.c_custkey = o.o_custkey
+            ORDER BY c_custkey
         """,
         "tfidf_link": r"""
             WITH RECURSIVE tok AS (

