@@ -319,3 +319,101 @@ def group_quantiles(
     return sorted_partition_apply(
         tagged.repartition(nparts), "_pid", _quant, out_schema
     )
+
+
+def top_p_select(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    p_num: int,
+    p_den: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Nucleus (top-p) selection per group: keep, per group, the minimal
+    prefix of rows — ordered by score descending, id ascending — whose
+    cumulative score reaches fraction ``p = p_num/p_den`` of the group's
+    total score.  The data-mixing shape: "keep the highest-quality
+    documents carrying 90% of each source's quality mass".
+
+    Exactness contract: scores quantize to e6 micro-units per row BEFORE
+    any summation (``v6 = llround(value·1e6)``, the ``rolling_sum``
+    pattern), rows with ``v6 <= 0`` are dropped (mass must be positive),
+    ``p`` is a RATIONAL so the per-group target ``ceil(tot·p_num/p_den)``
+    is exact integer arithmetic, and the (v6 DESC, id ASC) tie order is
+    total — the kept set is therefore partitioning- and order-independent
+    and the SQL replay is bit-exact: ``cum - v6 < (tot*p_num + p_den - 1)
+    // p_den`` under ``SUM(v6) OVER (PARTITION BY g ORDER BY v6 DESC,
+    id)``.
+
+    Shape: rows route through ONE hash exchange on the group key (the
+    sessionize ``_pid`` pattern); each partition answers ALL its groups
+    with one lexsort + factorize + cumsum — no per-group loop. Skew bound
+    is the hottest group. Emits ``(group_col, id_col, v6)``.
+    """
+    if p_num < 1 or p_den < 1 or p_num > p_den:
+        raise ValueError(f"need 0 < p_num/p_den <= 1, got {p_num}/{p_den}")
+    from raylink.ops.dedup import _default_partitions, _mix64
+    from raylink.util import pa_type, sorted_partition_apply
+
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
+    schema = ds.schema()
+    types = dict(zip(schema.names, (pa_type(t) for t in schema.types)))
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        v6 = np.round(v * 1e6).astype(np.int64)
+        keep = v6 > 0
+        pid = (_mix64(keys[keep].astype(np.uint64)) % P).astype(np.int64)
+        return pa.table(
+            {
+                "_pid": pa.array(pid),
+                group_col: pa.array(keys[keep], type=types[group_col]),
+                id_col: batch.column(id_col).filter(pa.array(keep)),
+                "v6": pa.array(v6[keep]),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            (group_col, types[group_col]),
+            (id_col, types[id_col]),
+            ("v6", pa.int64()),
+        ]
+    )
+
+    def _select(part: pa.Table) -> pa.Table:
+        g = part.column(group_col).to_numpy(zero_copy_only=False)
+        v6 = part.column("v6").to_numpy(zero_copy_only=False)
+        ids = part.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -v6, g))
+        g, v6, ids = g[order], v6[order], ids[order]
+        codes, _ = pd.factorize(g, sort=False)  # sorted: contiguous groups
+        counts = np.bincount(codes)
+        starts = np.cumsum(counts) - counts
+        cum = np.cumsum(v6)
+        base = np.concatenate(([0], cum[starts[1:] - 1])) if len(counts) > 1 else np.zeros(1, dtype=np.int64)
+        cum = cum - base[codes]  # per-group inclusive cumulative, exact int64
+        tot = cum[starts + counts - 1]
+        # ceil(tot * p_num / p_den) in exact integer arithmetic; object
+        # dtype guards the tot*p_num product against int64 overflow for
+        # extreme group masses
+        tgt = (tot.astype(object) * p_num + p_den - 1) // p_den
+        target = np.array([int(t) for t in tgt], dtype=np.int64)
+        keep = (cum - v6) < target[codes]
+        return pa.table(
+            {
+                group_col: pa.array(g[keep], type=types[group_col]),
+                id_col: pa.array(ids[keep], type=types[id_col]),
+                "v6": pa.array(v6[keep]),
+            }
+        )
+
+    tagged = ds.select_columns([group_col, id_col, value_col]).map_batches(
+        _tag, batch_format="pyarrow"
+    )
+    return sorted_partition_apply(
+        tagged.repartition(nparts), "_pid", _select, out_schema
+    )
