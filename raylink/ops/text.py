@@ -448,3 +448,69 @@ def pii_scrub(
     return ds.map_batches(
         PiiScrub(text_col=text_col, out_col=out_col), batch_format="pyarrow"
     )
+
+
+def bpe_pair_counts(
+    ds: ray.data.Dataset,
+    k: int = 50,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Global top-k ADJACENT token pairs by corpus frequency — the
+    statistic one BPE merge step maximizes (the candidate merge is the
+    top-1 row; a tokenizer-training loop re-runs this after each merge).
+
+    Same 100-TB shape as :func:`vocab_topk`: the map side tokenizes and
+    pre-aggregates per-batch pair counts (Zipf shrinks the exchange), the
+    groupby key is the single string ``"t1 t2"`` (tokens are ``[0-9a-z_]+``
+    so the space separator sorts BELOW every token character — ordering by
+    the joined key is exactly ``ORDER BY t1, t2``), each post-groupby block
+    forwards only its local top-k, and the final total-order sort sees
+    ≤ blocks×k rows. Emits ``(t1, t2, n)`` under the total tie order
+    (n DESC, t1 ASC, t2 ASC).
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = [s.lower() for s in _WORD_RE.findall(t)] if t else []
+            c.update(map(" ".join, zip(toks, toks[1:])))
+        return pa.table(
+            {
+                "pair": pa.array(list(c.keys()), type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) <= k:
+            return batch
+        df = batch.to_pandas()
+        df = df.sort_values(["n", "pair"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def _split(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = pc.split_pattern(batch.column("pair"), " ")
+        return pa.table(
+            {
+                "t1": pc.list_element(parts, 0),
+                "t2": pc.list_element(parts, 1),
+                "n": batch.column("n"),
+            }
+        )
+
+    summed = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return (
+        summed.map_batches(_local_topk, batch_format="pyarrow")
+        .sort(["n", "pair"], descending=[True, False])
+        .limit(k)
+        .map_batches(_split, batch_format="pyarrow")
+    )
