@@ -1516,6 +1516,47 @@ def _q_rolling_sum(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_bpe_pairs(sf_dir: str):
+    # Top-50 adjacent token pairs (raylink/ops/text.py bpe_pair_counts):
+    # the BPE merge-step statistic. Per-batch Counter partials -> one
+    # (pair, n) groupby -> per-block local top-k -> blocks*k final sort;
+    # total tie order (n DESC, t1, t2).
+    from raylink.ops.text import bpe_pair_counts
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    out = bpe_pair_counts(docs, k=50).to_pandas()
+    return out.sort_values(["n", "t1", "t2"], ascending=[False, True, True]).reset_index(
+        drop=True
+    )
+
+
+def _q_chunk_documents(sf_dir: str):
+    # Overlapping context-window chunking (raylink/ops/pack.py
+    # chunk_documents): within-document sliding windows of 64 tokens
+    # every 48 — the complement of pack_sequences' cross-document
+    # concat-and-chunk. Stateless flat map, no shuffle; chunk_text is
+    # the canonical space-joined detokenization so DuckDB replays it
+    # with list_slice + array_to_string.
+    from raylink.ops.pack import chunk_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = chunk_documents(docs, window=64, stride=48).to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def _q_top_p(sf_dir: str):
+    # Nucleus (top-p) selection per user (raylink/ops/sample.py
+    # top_p_select): keep the minimal high-score prefix carrying 90% of
+    # each user's e6-quantized value mass — the data-mixing shape. One
+    # hash exchange, all-groups-at-once lexsort+cumsum kernel, rational
+    # p so the target is exact integer arithmetic.
+    from raylink.ops.sample import top_p_select
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    out = top_p_select(ev, "user_id", "value", "event_id", 9, 10).to_pandas()
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
 def _q_full_outer(sf_dir: str):
     # Distributed FULL OUTER hash join (raylink/ops/relational.py
     # full_outer_join): one shuffle_merge exchange, per-partition pandas
@@ -1991,6 +2032,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_counts": _q_pivot_counts,
         "rolling_sum": _q_rolling_sum,
         "full_outer": _q_full_outer,
+        "top_p_select": _q_top_p,
+        "chunk_documents": _q_chunk_documents,
+        "bpe_pairs": _q_bpe_pairs,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -3112,6 +3156,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value,
                    RANK() OVER (ORDER BY value)::BIGINT AS rank
             FROM events ORDER BY event_id
+        """,
+        "bpe_pairs": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-z_]+') AS toks
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS pos
+                FROM t
+            ),
+            cnt AS (
+                SELECT a.tok AS t1, b.tok AS t2, COUNT(*)::BIGINT AS n
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                GROUP BY a.tok, b.tok
+            )
+            SELECT t1, t2, n FROM cnt
+            ORDER BY n DESC, t1, t2 LIMIT 50
+        """,
+        "chunk_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-z_]+') AS toks
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, toks,
+                       CASE WHEN len(toks) = 0 THEN 0
+                            WHEN len(toks) <= 64 THEN 1
+                            ELSE 1 + (len(toks) - 64 + 47) // 48 END AS n_chunks
+                FROM t
+            )
+            SELECT doc_id,
+                   i AS chunk_id,
+                   len(list_slice(toks, i*48 + 1, i*48 + 64))::BIGINT AS n_tokens,
+                   array_to_string(list_slice(toks, i*48 + 1, i*48 + 64), ' ') AS chunk_text
+            FROM n, UNNEST(range(n_chunks)) AS u(i)
+            ORDER BY doc_id, chunk_id
+        """,
+        "top_p_select": """
+            WITH q AS (
+                SELECT user_id, event_id,
+                       CAST(ROUND(value * 1000000) AS BIGINT) AS v6
+                FROM events
+                WHERE CAST(ROUND(value * 1000000) AS BIGINT) > 0
+            ),
+            c AS (
+                SELECT user_id, event_id, v6,
+                       SUM(v6) OVER (PARTITION BY user_id
+                                     ORDER BY v6 DESC, event_id) AS cum,
+                       SUM(v6) OVER (PARTITION BY user_id) AS tot
+                FROM q
+            )
+            SELECT user_id, event_id, v6
+            FROM c
+            WHERE cum - v6 < (tot * 9 + 9) // 10
+            ORDER BY user_id, event_id
         """,
         "full_outer": """
             SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,

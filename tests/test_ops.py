@@ -1307,3 +1307,77 @@ def test_full_outer_join_drops_null_keys():
     ).to_pandas()
     # NULL keys never match NOR survive (M2 rule, documented deviation)
     assert sorted(got["k"].tolist()) == [1, 5]
+
+
+def test_top_p_select_matches_pandas():
+    from raylink.ops.sample import top_p_select
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 37, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "val": np.round(rng.uniform(-0.1, 5.0, n), 4),
+        }
+    )
+    got = (
+        top_p_select(rd.from_arrow(pa.Table.from_pandas(df)), "g", "val", "id", 9, 10)
+        .to_pandas()
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)
+    )
+    q = df.copy()
+    q["v6"] = np.round(q["val"] * 1e6).astype(np.int64)
+    q = q[q.v6 > 0]
+    rows = []
+    for _, sub in q.groupby("g"):
+        sub = sub.sort_values(["v6", "id"], ascending=[False, True])
+        tgt = -(-sub.v6.sum() * 9 // 10)
+        keep = (sub.v6.cumsum() - sub.v6) < tgt
+        rows.append(sub[keep][["g", "id", "v6"]])
+    exp = pd.concat(rows).sort_values(["g", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # every group keeps >= ceil(p * mass): prefix property
+    kept_mass = got.groupby("g")["v6"].sum()
+    tot_mass = q.groupby("g")["v6"].sum()
+    assert (kept_mass >= (tot_mass * 9 + 9) // 10).all()
+
+
+def test_top_p_select_p_one_keeps_all_positive():
+    from raylink.ops.sample import top_p_select
+
+    df = pd.DataFrame(
+        {
+            "g": np.zeros(4, dtype=np.int64),
+            "id": np.arange(4, dtype=np.int64),
+            "val": np.array([1.0, 2.0, 0.0, -1.0]),
+        }
+    )
+    got = top_p_select(
+        rd.from_arrow(pa.Table.from_pandas(df)), "g", "val", "id", 1, 1
+    ).to_pandas()
+    assert sorted(got["id"]) == [0, 1]  # non-positive mass rows dropped
+
+
+def test_bpe_pair_counts_matches_counter():
+    from collections import Counter
+
+    from raylink.ops.text import bpe_pair_counts
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "THE CAT sat",  # case folds into the same pairs
+        "",
+    ]
+    got = bpe_pair_counts(
+        rd.from_arrow(pa.table({"text": texts})), k=4
+    ).to_pandas()
+    c = Counter()
+    for t in texts:
+        toks = t.lower().split()
+        c.update(zip(toks, toks[1:]))
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert list(zip(zip(got["t1"], got["t2"]), got["n"])) == exp
+    assert got["n"].iloc[0] == 3 and (got["t1"].iloc[0], got["t2"].iloc[0]) == ("the", "cat")

@@ -4,6 +4,7 @@ SQL window scan exactly, including sparse shuffled ids and empty docs."""
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from raylink.ops.pack import ordered_prefix_sum, pack_sequences
@@ -141,3 +142,43 @@ def test_value_rank_rejects_nan():
     )
     with _pytest.raises(Exception):
         value_rank(rd.from_pandas(df), "value").to_pandas()
+
+
+def test_chunk_documents_layout_and_coverage():
+    import re
+
+    from raylink.ops.pack import chunk_documents
+
+    texts = [
+        "",  # empty: no chunks
+        "one two three",  # < window: one short chunk
+        " ".join(f"tok{i}" for i in range(10)),  # exact multi-chunk layout
+        " ".join(f"w{i}" for i in range(7)),  # window-exact boundary
+    ]
+    tab = pa.table(
+        {"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    out = (
+        chunk_documents(rd.from_arrow(tab), window=4, stride=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert 0 not in set(out["doc_id"])  # empty doc emits nothing
+    assert out[out.doc_id == 1]["chunk_text"].tolist() == ["one two three"]
+    d2 = out[out.doc_id == 2]
+    # 10 tokens, w=4, s=3 -> chunks at 0,3,6 and the tail chunk at 9
+    assert d2["chunk_id"].tolist() == [0, 1, 2]
+    assert d2["n_tokens"].tolist() == [4, 4, 4]
+    assert d2["chunk_text"].iloc[1] == "tok3 tok4 tok5 tok6"
+    # every token index appears in at least one chunk (coverage)
+    seen = set()
+    for cid, txt in zip(d2["chunk_id"], d2["chunk_text"]):
+        for t in txt.split():
+            seen.add(int(re.match(r"tok(\d+)", t).group(1)))
+    assert seen == set(range(10))
+    # 7 tokens, w=4, s=3 -> 2 chunks, last is exactly [3:7)
+    d3 = out[out.doc_id == 3]
+    assert d3["n_tokens"].tolist() == [4, 4]
+    assert d3["chunk_text"].iloc[1] == "w3 w4 w5 w6"
