@@ -1516,6 +1516,18 @@ def _q_rolling_sum(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_grouped_moments(sf_dir: str):
+    # Exact per-user first/second moments (raylink/ops/relational.py
+    # grouped_moments): e6-quantized per row, so n/Σv/Σv² are exact
+    # int64 and order-free; partials move through the exchange, rows
+    # never do. Mean/variance are consumer arithmetic with no float seam.
+    from raylink.ops.relational import grouped_moments
+
+    ev = _read(sf_dir, "events", columns=["user_id", "value"])
+    out = grouped_moments(ev, "user_id", "value").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_bpe_pairs(sf_dir: str):
     # Top-50 adjacent token pairs (raylink/ops/text.py bpe_pair_counts):
     # the BPE merge-step statistic. Per-batch Counter partials -> one
@@ -2035,6 +2047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_p_select": _q_top_p,
         "chunk_documents": _q_chunk_documents,
         "bpe_pairs": _q_bpe_pairs,
+        "grouped_moments": _q_grouped_moments,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -3156,6 +3169,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value,
                    RANK() OVER (ORDER BY value)::BIGINT AS rank
             FROM events ORDER BY event_id
+        """,
+        "grouped_moments": """
+            WITH q AS (
+                SELECT user_id,
+                       CAST(ROUND(value * 1000000) AS BIGINT) AS v6
+                FROM events
+            )
+            SELECT user_id,
+                   COUNT(*)::BIGINT AS n,
+                   SUM(v6)::BIGINT AS sum_e6,
+                   SUM(v6 * v6)::BIGINT AS sumsq_e12
+            FROM q GROUP BY user_id ORDER BY user_id
         """,
         "bpe_pairs": """
             WITH t AS (

@@ -715,3 +715,42 @@ def full_outer_join(
         left_schema=lschema,
         right_schema=rschema,
     )
+
+
+def grouped_moments(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    final_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact distributed first/second moments per group: emits
+    ``(group_col, n, sum_e6, sumsq_e12)`` where values quantize to e6
+    micro-units per row first (the ``rolling_sum`` device), so BOTH sums
+    are exact int64 and summation-order-free — mean and variance are then
+    pure driver/consumer arithmetic with no float seam, and the SQL replay
+    (``SUM(v6)``, ``SUM(v6*v6)``) is bit-exact.
+
+    The moments shape, not the groupby shape: per-batch partial (n, Σv,
+    Σv²) rows — one row per group per batch — move through the exchange,
+    never the value rows (``preagg_sum_count`` contract). Overflow bound:
+    |v|·1e6 must stay under ~3e9 for sumsq room (Σv² per group under
+    2^63), i.e. values in ±3000 with 1e12 rows per group — stated, not
+    silently truncated."""
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v6 = np.round(batch[value_col].to_numpy() * 1e6).astype(np.int64)
+        g = pd.DataFrame({group_col: batch[group_col], "_v": v6, "_v2": v6 * v6})
+        return g.groupby(group_col, as_index=False, sort=False).agg(
+            sum_e6=("_v", "sum"), sumsq_e12=("_v2", "sum"), _n=("_v", "size")
+        )
+
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        _partial, batch_format="pandas"
+    )
+    if final_partitions is not None:
+        partials = partials.repartition(final_partitions)
+    return partials.groupby(group_col).aggregate(
+        Sum("_n", alias_name="n"),
+        Sum("sum_e6", alias_name="sum_e6"),
+        Sum("sumsq_e12", alias_name="sumsq_e12"),
+    )

@@ -1381,3 +1381,38 @@ def test_bpe_pair_counts_matches_counter():
     exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
     assert list(zip(zip(got["t1"], got["t2"]), got["n"])) == exp
     assert got["n"].iloc[0] == 3 and (got["t1"].iloc[0], got["t2"].iloc[0]) == ("the", "cat")
+
+
+def test_grouped_moments_exact_and_orderfree():
+    from raylink.ops.relational import grouped_moments
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 9, 2000).astype(np.int64),
+            "val": np.round(rng.normal(0, 3, 2000), 5),
+        }
+    )
+    got = (
+        grouped_moments(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(7), "g", "val"
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    v6 = np.round(df["val"].to_numpy() * 1e6).astype(np.int64)
+    ref = pd.DataFrame({"g": df["g"], "v": v6, "v2": v6 * v6}).groupby(
+        "g", as_index=False
+    ).agg(n=("v", "size"), sum_e6=("v", "sum"), sumsq_e12=("v2", "sum"))
+    assert got["n"].tolist() == ref["n"].tolist()
+    assert got["sum_e6"].tolist() == ref["sum_e6"].tolist()
+    assert got["sumsq_e12"].tolist() == ref["sumsq_e12"].tolist()
+    # variance from the exact partials matches numpy to float precision
+    m = got["sum_e6"] / got["n"] / 1e6
+    var = got["sumsq_e12"] / got["n"] / 1e12 - m**2
+    npvar = df.groupby("g")["val"].apply(
+        lambda s: np.mean(np.round(s * 1e6) ** 2) / 1e12
+        - (np.mean(np.round(s * 1e6)) / 1e6) ** 2
+    )
+    assert np.allclose(var.to_numpy(), npvar.to_numpy(), rtol=1e-9)
