@@ -387,6 +387,31 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         )
         tfidf_cosine_evidence(prs, docs).count()
         q["tfidf_cosine"] = round(time.perf_counter() - t, 3)
+
+        # overlapping context-window chunking: stateless flat map
+        from raylink.ops.pack import chunk_documents
+
+        t = time.perf_counter()
+        chunk_documents(docs, window=64, stride=48).count()
+        q["chunk_documents"] = round(time.perf_counter() - t, 3)
+
+        # nucleus top-p mass selection per user: one hash exchange
+        from raylink.ops.sample import top_p_select
+
+        ev4 = read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "value"],
+        )
+        t = time.perf_counter()
+        top_p_select(ev4, "user_id", "value", "event_id", 9, 10).count()
+        q["top_p_select"] = round(time.perf_counter() - t, 3)
+
+        # BPE merge-pair statistic: Counter partials -> (pair, n) groupby
+        from raylink.ops.text import bpe_pair_counts
+
+        t = time.perf_counter()
+        bpe_pair_counts(docs, k=50).count()
+        q["bpe_pairs"] = round(time.perf_counter() - t, 3)
         return q
 
     # ---- repetitions: median-of-N (host noise robust) --------------------
