@@ -106,3 +106,91 @@ def test_range_join_matches_brute_force(rows, win_s):
     keep = m[(dt > pd.Timedelta(0)) & (dt <= pd.Timedelta(seconds=win_s))]
     want = set(zip(keep.event_id_a, keep.event_id_b))
     assert set(zip(got.left_id, got.right_id)) == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),  # group
+            st.integers(min_value=-50, max_value=200),  # value (centi-units)
+        ),
+        min_size=1,
+        max_size=100,
+    ),
+    st.integers(min_value=1, max_value=5),
+    st.randoms(),
+)
+def test_top_p_select_invariant_and_matches_reference(rows, nblocks, rnd):
+    from raylink.ops.sample import top_p_select
+
+    df = pd.DataFrame(rows, columns=["g", "cv"])
+    df["id"] = np.arange(len(df), dtype=np.int64)
+    df["g"] = df["g"].astype(np.int64)
+    df["val"] = df["cv"] / 100.0
+    shuffled = df.sample(frac=1.0, random_state=rnd.randint(0, 10**6))
+    got = top_p_select(
+        _as_blocks(shuffled[["g", "id", "val"]], nblocks),
+        "g", "val", "id", 7, 10,
+    ).to_pandas()
+    if got.empty:
+        # Ray 2.49 to_pandas drops the schema on 0-row datasets; the
+        # operator's Arrow schema is correct — just verify emptiness
+        assert (np.round(df["val"] * 1e6) <= 0).all()
+        return
+    got = got.sort_values(["g", "id"]).reset_index(drop=True)
+    q = df.copy()
+    q["v6"] = np.round(q["val"] * 1e6).astype(np.int64)
+    q = q[q.v6 > 0]
+    kept = []
+    for _, sub in q.groupby("g"):
+        sub = sub.sort_values(["v6", "id"], ascending=[False, True])
+        tgt = -(-sub.v6.sum() * 7 // 10)
+        kept.append(sub[(sub.v6.cumsum() - sub.v6) < tgt][["g", "id", "v6"]])
+    exp = (
+        pd.concat(kept).sort_values(["g", "id"]).reset_index(drop=True)
+        if kept
+        else pd.DataFrame(columns=["g", "id", "v6"])
+    )
+    assert got["id"].tolist() == exp["id"].tolist()
+    assert got["v6"].tolist() == exp["v6"].tolist()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=15), min_size=0, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=15), min_size=0, max_size=40),
+    st.integers(min_value=1, max_value=4),
+    st.randoms(),
+)
+def test_full_outer_join_invariant_and_matches_pandas(lkeys, rkeys, nblocks, rnd):
+    from raylink.ops.relational import full_outer_join
+
+    left = pd.DataFrame(
+        {"k": np.array(lkeys, dtype=np.int64),
+         "lv": np.arange(len(lkeys), dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": np.array(rkeys, dtype=np.int64),
+         "rv": np.arange(len(rkeys), dtype=np.int64) * 7}
+    )
+    if len(left) == 0 and len(right) == 0:
+        return
+    got = (
+        full_outer_join(
+            _as_blocks(left.sample(frac=1.0, random_state=rnd.randint(0, 10**6)), nblocks),
+            _as_blocks(right.sample(frac=1.0, random_state=rnd.randint(0, 10**6)), nblocks),
+            ["k"],
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, how="outer", on="k")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["lv"].fillna(-1).tolist() == exp["lv"].fillna(-1).tolist()
+    assert got["rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist()
