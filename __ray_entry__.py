@@ -1516,6 +1516,21 @@ def _q_rolling_sum(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_basket_pairs(sf_dir: str):
+    # Within-session item co-occurrence (raylink/ops/window.py
+    # basket_pairs): gap-rule sessions -> distinct item sets -> all
+    # unordered pairs, counted over sessions. One entity-key exchange,
+    # closed-form vectorized pair expansion, per-partition partials so
+    # the second exchange is item-domain-bounded.
+    from raylink.ops.window import basket_pairs
+
+    ev = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    out = basket_pairs(ev, 3600.0).to_pandas()
+    return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+
 def _q_grouped_moments(sf_dir: str):
     # Exact per-user first/second moments (raylink/ops/relational.py
     # grouped_moments): e6-quantized per row, so n/Σv/Σv² are exact
@@ -2048,6 +2063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "bpe_pairs": _q_bpe_pairs,
         "grouped_moments": _q_grouped_moments,
+        "basket_pairs": _q_basket_pairs,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -3169,6 +3185,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value,
                    RANK() OVER (ORDER BY value)::BIGINT AS rank
             FROM events ORDER BY event_id
+        """,
+        "basket_pairs": """
+            WITH x AS (
+                SELECT event_id, user_id, ts, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 3600 SECOND
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            y AS (
+                SELECT user_id, event_type,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sgrp
+                FROM x
+            ),
+            s AS (SELECT DISTINCT user_id, sgrp, event_type FROM y)
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   COUNT(*)::BIGINT AS n_sessions
+            FROM s a JOIN s b
+              ON a.user_id = b.user_id AND a.sgrp = b.sgrp
+             AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+            ORDER BY item_a, item_b
         """,
         "grouped_moments": """
             WITH q AS (

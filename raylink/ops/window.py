@@ -794,3 +794,98 @@ def rolling_sum(
     return sorted_partition_apply(
         tagged.repartition(nparts), "_pid", _roll, out_schema
     )
+
+
+def basket_pairs(
+    events: ray.data.Dataset,
+    gap_seconds: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    item_col: str = "event_type",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Within-session item co-occurrence counts (market-basket support):
+    sessionize each entity with the gap rule (same semantics as
+    :func:`sessionize`), reduce each session to its DISTINCT item set, and
+    count, over all sessions, every unordered item pair ``(item_a <
+    item_b)`` that co-occurred. Emits ``(item_a, item_b, n_sessions)``.
+
+    Shape: ONE hash exchange on the entity key (sessions never straddle
+    partitions), then each partition handles ALL its sessions at once —
+    sort, vectorized session breaks, ``drop_duplicates`` to (session,
+    item), and a closed-form index-arithmetic expansion of all
+    within-session pairs (``np.repeat`` + exclusive-cumsum ranks — no
+    per-session Python loop). Pair counts pre-aggregate per partition, so
+    the second exchange moves one row per distinct pair per partition —
+    at corpus scale the item domain, not the event count, bounds it.
+    Skew bound: the hottest session's distinct-item count m costs
+    m(m-1)/2 emitted pairs; cap upstream if items-per-session is unbounded.
+    """
+    from ray.data.aggregate import Sum
+
+    from raylink.util import sorted_partition_apply
+
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
+    gap = pd.Timedelta(seconds=gap_seconds)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        pid = (_mix64(keys.astype(np.uint64)) % P).astype(np.int64)
+        return pa.table(
+            {
+                "_pid": pa.array(pid),
+                id_col: batch.column(id_col),
+                key_col: batch.column(key_col),
+                ts_col: batch.column(ts_col),
+                item_col: batch.column(item_col),
+            }
+        )
+
+    pair_schema = pa.schema(
+        [("item_a", pa.string()), ("item_b", pa.string()), ("n", pa.int64())]
+    )
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        df = df.sort_values([key_col, ts_col, id_col], kind="stable")
+        new_user = df[key_col].ne(df[key_col].shift())
+        brk = new_user | (df[ts_col].diff() > gap)
+        df["_sess"] = brk.cumsum()
+        s = df[["_sess", item_col]].drop_duplicates().sort_values(
+            ["_sess", item_col], kind="stable"
+        )
+        items = s[item_col].to_numpy()
+        sizes = s.groupby("_sess", sort=False).size().to_numpy()
+        m = np.repeat(sizes, sizes)
+        starts = np.cumsum(sizes) - sizes
+        idx_in = np.arange(len(s)) - np.repeat(starts, sizes)
+        rep = (m - idx_in - 1).astype(np.int64)
+        total = int(rep.sum())
+        if total == 0:
+            return pair_schema.empty_table()
+        a_idx = np.repeat(np.arange(len(s)), rep)
+        excl = np.cumsum(rep) - rep
+        rank = np.arange(total) - np.repeat(excl, rep)
+        b_idx = a_idx + 1 + rank
+        pairs = pd.DataFrame({"item_a": items[a_idx], "item_b": items[b_idx]})
+        cnt = pairs.groupby(["item_a", "item_b"], as_index=False).size()
+        return pa.table(
+            {
+                "item_a": pa.array(cnt["item_a"], type=pa.string()),
+                "item_b": pa.array(cnt["item_b"], type=pa.string()),
+                "n": pa.array(cnt["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    tagged = events.select_columns(
+        [id_col, key_col, ts_col, item_col]
+    ).map_batches(_tag, batch_format="pyarrow")
+    partials = sorted_partition_apply(
+        tagged.repartition(nparts), "_pid", _pairs, pair_schema
+    )
+    return (
+        partials.groupby(["item_a", "item_b"])
+        .aggregate(Sum("n", alias_name="n_sessions"))
+    )

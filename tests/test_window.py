@@ -463,3 +463,48 @@ def test_rolling_sum_matches_duckdb_window_frame():
     pd.testing.assert_frame_equal(got, want)
     # head-of-entity windows shrink: n_window in [1, 5]
     assert got["n_window"].between(1, 5).all()
+
+
+def test_basket_pairs_matches_bruteforce():
+    from itertools import combinations
+
+    from raylink.ops.window import basket_pairs
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    ts = pd.to_datetime(
+        np.sort(rng.integers(0, 10**6, n)), unit="s"
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "ts": ts,
+            "event_type": rng.choice(list("abcdef"), n),
+        }
+    )
+    got = (
+        basket_pairs(rd.from_arrow(pa.Table.from_pandas(df)), 3600.0)
+        .to_pandas()
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    # brute force: sessionize per user, distinct items, pair count
+    from collections import Counter
+
+    c = Counter()
+    for _, sub in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        sub = sub.sort_values(["ts", "event_id"])
+        brk = sub["ts"].diff() > pd.Timedelta(seconds=3600)
+        for _, sess in sub.groupby(brk.cumsum()):
+            for a, b in combinations(sorted(set(sess["event_type"])), 2):
+                c[(a, b)] += 1
+    exp = (
+        pd.DataFrame(
+            [(a, b, v) for (a, b), v in c.items()],
+            columns=["item_a", "item_b", "n_sessions"],
+        )
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
