@@ -1516,6 +1516,103 @@ def _q_rolling_sum(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_q3_topk(sf_dir: str):
+    # TPC-H Q3-shaped composition: segment-filtered customers (small
+    # side -> broadcast semi-join set), date-filtered orders, one
+    # shuffle_merge exchange against date-filtered lineitem, integer
+    # e4 revenue partials (price_e2 * (100 - disc_e2) is EXACT int64),
+    # two-key preagg, top-10 under a total order. Demonstrates the
+    # relational primitives composing end-to-end; every stage is the
+    # scale shape it claims (the one driver collection is the filtered
+    # customer key set, |customer|/5 rows, documented like semi_join's).
+    from datetime import datetime
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from raylink.ops.relational import preagg_sum_count, semi_join
+    from raylink.util import shuffle_merge
+
+    cut = datetime(1997, 6, 1)
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+        .to_pandas()
+    )
+    keys = set(cust["c_custkey"].tolist())
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(_pc.less(t.column("o_orderdate"), _pa.scalar(cut))),
+        batch_format="pyarrow",
+    )
+    orders = semi_join(orders, "o_custkey", keys).select_columns(
+        ["o_orderkey", "o_orderdate"]
+    )
+
+    def _li_prep(t: _pa.Table) -> _pa.Table:
+        t = t.filter(_pc.greater(t.column("l_shipdate"), _pa.scalar(cut)))
+        import numpy as _np
+
+        price_e2 = _np.round(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(_np.int64)
+        disc_e2 = _np.round(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(_np.int64)
+        return _pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_e4": _pa.array(price_e2 * (100 - disc_e2)),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(_li_prep, batch_format="pyarrow")
+
+    out_schema = _pa.schema(
+        [
+            ("o_orderkey", _pa.int64()),
+            ("o_orderdate", _pa.timestamp("us")),
+            ("rev_e4", _pa.int64()),
+        ]
+    )
+
+    def _inner(odf, ldf):
+        m = odf.merge(ldf, how="inner", left_on="o_orderkey", right_on="l_orderkey")
+        return m[["o_orderkey", "o_orderdate", "rev_e4"]]
+
+    joined = shuffle_merge(
+        orders,
+        li,
+        ["o_orderkey"],
+        ["l_orderkey"],
+        _inner,
+        out_schema,
+        left_schema=_pa.schema(
+            [("o_orderkey", _pa.int64()), ("o_orderdate", _pa.timestamp("us"))]
+        ),
+        right_schema=_pa.schema(
+            [("l_orderkey", _pa.int64()), ("rev_e4", _pa.int64())]
+        ),
+    )
+    agg = preagg_sum_count(
+        joined, ["o_orderkey", "o_orderdate"], {"rev_e4": "revenue_e4"}
+    )
+    out = (
+        agg.select_columns(["o_orderkey", "o_orderdate", "revenue_e4"])
+        .sort(["revenue_e4", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
+
+
 def _q_basket_pairs(sf_dir: str):
     # Within-session item co-occurrence (raylink/ops/window.py
     # basket_pairs): gap-rule sessions -> distinct item sets -> all
@@ -2064,6 +2161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": _q_bpe_pairs,
         "grouped_moments": _q_grouped_moments,
         "basket_pairs": _q_basket_pairs,
+        "q3_topk": _q_q3_topk,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -3185,6 +3283,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value,
                    RANK() OVER (ORDER BY value)::BIGINT AS rank
             FROM events ORDER BY event_id
+        """,
+        "q3_topk": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_e4
+                FROM lineitem
+                WHERE l_shipdate > TIMESTAMP '1997-06-01'
+            )
+            SELECT o.o_orderkey, o.o_orderdate,
+                   SUM(li.rev_e4)::BIGINT AS revenue_e4
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN li ON li.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1997-06-01'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10
         """,
         "basket_pairs": """
             WITH x AS (
