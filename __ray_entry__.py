@@ -1516,6 +1516,19 @@ def _q_rolling_sum(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_vector_mean(sf_dir: str):
+    # Per-label embedding centroid evidence (raylink/ops/kmeans.py
+    # grouped_vector_mean): e6-quantized per component, per-batch
+    # np.add.at partials, (label, dim) exchange bounded by groups*dim —
+    # the class-prototype / fixed-assignment M-step shape.
+    from raylink.ops.kmeans import grouped_vector_mean
+
+    em = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+    out = grouped_vector_mean(em, "label", "embedding").to_pandas()
+    out["label"] = out["label"].astype("int64")
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
 def _q_q3_topk(sf_dir: str):
     # TPC-H Q3-shaped composition: segment-filtered customers (small
     # side -> broadcast semi-join set), date-filtered orders, one
@@ -2162,6 +2175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_moments": _q_grouped_moments,
         "basket_pairs": _q_basket_pairs,
         "q3_topk": _q_q3_topk,
+        "vector_mean": _q_vector_mean,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -3283,6 +3297,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value,
                    RANK() OVER (ORDER BY value)::BIGINT AS rank
             FROM events ORDER BY event_id
+        """,
+        "vector_mean": """
+            WITH e AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1)::BIGINT AS dim,
+                       CAST(ROUND(unnest(embedding)::DOUBLE * 1000000)
+                            AS BIGINT) AS v6
+                FROM embeddings
+            )
+            SELECT label::BIGINT AS label, dim,
+                   COUNT(*)::BIGINT AS n,
+                   SUM(v6)::BIGINT AS sum_e6
+            FROM e GROUP BY label, dim ORDER BY label, dim
         """,
         "q3_topk": """
             WITH li AS (

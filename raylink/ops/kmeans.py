@@ -137,3 +137,49 @@ def assign_clusters(
         )
 
     return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def grouped_vector_mean(
+    ds: ray.data.Dataset,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Exact per-group embedding centroid evidence: emits LONG rows
+    ``(group, dim, n, sum_e6)`` where each vector component quantizes to
+    e6 micro-units (float32 promoted to float64 first, matching SQL's
+    float→DOUBLE read of the same bits) BEFORE summing — both aggregates
+    are exact int64 and order-free, so the centroid ``sum_e6 / n / 1e6``
+    is a pure function of the data and the DuckDB replay
+    (``unnest``/``generate_subscripts`` + ``SUM``) is bit-exact.
+
+    The class-centroid shape (label-conditioned prototypes, LDA-style
+    means, k-means M-step over fixed assignments): per-batch partials
+    reduce each batch to (groups_in_batch × dim) rows via one
+    ``np.add.at`` scatter — the exchange moves partials bounded by
+    |groups|·dim per batch, never the vectors."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _to_matrix(batch.column(vec_col)).astype(np.float64)
+        v6 = np.round(mat * 1e6).astype(np.int64)
+        codes, uniq = pd.factorize(g, sort=True)
+        sums = np.zeros((len(uniq), v6.shape[1]), dtype=np.int64)
+        np.add.at(sums, codes, v6)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        k, d = sums.shape
+        return pa.table(
+            {
+                group_col: pa.array(np.repeat(uniq, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+                "n": pa.array(np.repeat(counts, d)),
+                "sum_e6": pa.array(sums.reshape(-1)),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, vec_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby([group_col, "dim"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_e6", alias_name="sum_e6"))
+    )

@@ -1416,3 +1416,34 @@ def test_grouped_moments_exact_and_orderfree():
         - (np.mean(np.round(s * 1e6)) / 1e6) ** 2
     )
     assert np.allclose(var.to_numpy(), npvar.to_numpy(), rtol=1e-9)
+
+
+def test_grouped_vector_mean_matches_numpy():
+    from raylink.ops.kmeans import grouped_vector_mean
+
+    rng = np.random.default_rng(13)
+    n, d = 300, 8
+    mat = rng.normal(0, 1, (n, d)).astype(np.float32)
+    lab = rng.integers(0, 5, n).astype(np.int32)
+    tab = pa.table(
+        {
+            "label": pa.array(lab, type=pa.int32()),
+            "embedding": pa.array(list(mat), type=pa.list_(pa.float32())),
+        }
+    )
+    got = (
+        grouped_vector_mean(rd.from_arrow(tab).repartition(5))
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    v6 = np.round(mat.astype(np.float64) * 1e6).astype(np.int64)
+    for g in range(5):
+        sub = got[got.label == g]
+        assert (sub["n"] == (lab == g).sum()).all()
+        assert sub["sum_e6"].tolist() == v6[lab == g].sum(axis=0).tolist()
+    # centroid recovery: exact partials -> float centroid within quantization
+    c0 = got[got.label == 0].sort_values("dim")["sum_e6"].to_numpy() / (
+        (lab == 0).sum() * 1e6
+    )
+    assert np.allclose(c0, mat[lab == 0].astype(np.float64).mean(axis=0), atol=1e-6)
