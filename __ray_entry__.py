@@ -1516,6 +1516,18 @@ def _q_rolling_sum(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_winsorize(sf_dir: str):
+    # Percentile clipping at exact quantile VALUES (raylink/ops/sample.py
+    # winsorize): two select_kth histogram-bisection searches (no sort)
+    # + one stateless clip map.
+    from raylink.ops.sample import winsorize
+
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+    lo6, hi6, out = winsorize(ev, "value", 0.05, 0.95, "event_id")
+    df = out.to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_vector_mean(sf_dir: str):
     # Per-label embedding centroid evidence (raylink/ops/kmeans.py
     # grouped_vector_mean): e6-quantized per component, per-batch
@@ -2176,6 +2188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs": _q_basket_pairs,
         "q3_topk": _q_q3_topk,
         "vector_mean": _q_vector_mean,
+        "winsorize": _q_winsorize,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -3297,6 +3310,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value,
                    RANK() OVER (ORDER BY value)::BIGINT AS rank
             FROM events ORDER BY event_id
+        """,
+        "winsorize": """
+            WITH q AS (
+                SELECT event_id,
+                       CAST(ROUND(value * 1000000) AS BIGINT) AS v6
+                FROM events
+            ),
+            r AS (
+                SELECT v6, row_number() OVER (ORDER BY v6) AS rn,
+                       count(*) OVER () AS n
+                FROM q
+            )
+            SELECT event_id,
+                   LEAST(GREATEST(v6,
+                       (SELECT v6 FROM r WHERE rn = CAST(ceil(0.05 * n - 1e-9) AS BIGINT) LIMIT 1)),
+                       (SELECT v6 FROM r WHERE rn = CAST(ceil(0.95 * n - 1e-9) AS BIGINT) LIMIT 1)
+                   ) AS v6_w
+            FROM q ORDER BY event_id
         """,
         "vector_mean": """
             WITH e AS (

@@ -417,3 +417,57 @@ def top_p_select(
     return sorted_partition_apply(
         tagged.repartition(nparts), "_pid", _select, out_schema
     )
+
+
+def winsorize(
+    ds: ray.data.Dataset,
+    value_col: str,
+    p_lo: float,
+    p_hi: float,
+    id_col: str,
+    num_buckets: int = 1 << 16,
+) -> tuple[int, int, ray.data.Dataset]:
+    """Winsorize an e6-quantized column at its EXACT [p_lo, p_hi] quantile
+    values: thresholds are the ceil(p·n)-th smallest v6 (the element, not
+    an interpolation — :func:`select_kth`), then a stateless clip map.
+    Returns ``(lo6, hi6, dataset)`` with rows ``(id_col, v6_w)``.
+
+    Scale shape: two histogram-bisection threshold searches (O(log_B
+    range) map-only passes each, 512 KiB driver footprint — the
+    :func:`select_kth` contract) plus ONE clip map; no sort, no shuffle.
+    The input lineage re-executes per pass, so feed it a cheap projection
+    (a parquet read of two columns), not an expensive upstream pipeline.
+    """
+    if not (0.0 < p_lo <= p_hi <= 1.0):
+        raise ValueError(f"need 0 < p_lo <= p_hi <= 1, got {p_lo}, {p_hi}")
+
+    def _q6(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "v6": pa.array(np.round(v * 1e6).astype(np.int64)),
+            }
+        )
+
+    q6 = ds.select_columns([id_col, value_col]).map_batches(
+        _q6, batch_format="pyarrow"
+    )
+    n = q6.count()
+    # float-noise epsilon: same device as quantile_filter (0.9*500 is
+    # 450.000000000000006 in binary)
+    k_lo = max(1, int(math.ceil(p_lo * n - 1e-9)))
+    k_hi = max(1, int(math.ceil(p_hi * n - 1e-9)))
+    lo6 = select_kth(q6, "v6", k_lo, num_buckets=num_buckets)
+    hi6 = select_kth(q6, "v6", k_hi, num_buckets=num_buckets)
+
+    def _clip(batch: pa.Table) -> pa.Table:
+        v = batch.column("v6").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "v6_w": pa.array(np.clip(v, lo6, hi6)),
+            }
+        )
+
+    return lo6, hi6, q6.map_batches(_clip, batch_format="pyarrow")

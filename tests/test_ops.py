@@ -1447,3 +1447,29 @@ def test_grouped_vector_mean_matches_numpy():
         (lab == 0).sum() * 1e6
     )
     assert np.allclose(c0, mat[lab == 0].astype(np.float64).mean(axis=0), atol=1e-6)
+
+
+def test_winsorize_matches_numpy_percentile_clip():
+    from raylink.ops.sample import winsorize
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "val": np.round(rng.normal(0, 10, n), 4),
+        }
+    )
+    lo6, hi6, out = winsorize(
+        rd.from_arrow(pa.Table.from_pandas(df)), "val", 0.05, 0.95, "id"
+    )
+    got = out.to_pandas().sort_values("id").reset_index(drop=True)
+    v6 = np.round(df["val"].to_numpy() * 1e6).astype(np.int64)
+    sv = np.sort(v6)
+    exp_lo = sv[int(np.ceil(0.05 * n)) - 1]
+    exp_hi = sv[int(np.ceil(0.95 * n)) - 1]
+    assert (lo6, hi6) == (exp_lo, exp_hi)
+    assert got["v6_w"].tolist() == np.clip(v6, exp_lo, exp_hi).tolist()
+    # boundary semantics: 5% of rows at or below lo, 5% at or above hi
+    assert (got["v6_w"] == exp_lo).sum() >= 1
+    assert got["v6_w"].min() == exp_lo and got["v6_w"].max() == exp_hi
