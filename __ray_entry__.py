@@ -1516,6 +1516,65 @@ def _q_rolling_sum(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_triangles(sf_dir: str):
+    # Distributed triangle counting (raylink/ops/graph.py
+    # triangle_counts, compact-forward): edges = same-source doc pairs
+    # within id-band 60 (generated per source partition, vectorized
+    # offset-k scan); wedges expand at the LOW endpoint and close
+    # through ONE shuffle_merge against the edge table. Per-node
+    # participation counts, every triangle counted once at its lowest
+    # node.
+    import numpy as _np
+    import pyarrow as _pa
+
+    from raylink.ops.dedup import _default_partitions
+    from raylink.ops.graph import triangle_counts
+    from raylink.util import hash_partition_ids, sorted_partition_apply
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    edge_schema = _pa.schema([("a", _pa.int64()), ("b", _pa.int64())])
+
+    def _tag(t: _pa.Table) -> _pa.Table:
+        pid = hash_partition_ids(t, ["source"], 1 << 31)
+        return t.append_column("_pid", pid).replace_schema_metadata(None)
+
+    def _edges(part: _pa.Table) -> _pa.Table:
+        df = part.to_pandas().sort_values(["source", "doc_id"], kind="stable")
+        ids = df["doc_id"].to_numpy()
+        src = df["source"].to_numpy()
+        outs_a, outs_b = [], []
+        k = 1
+        # same-source rows are contiguous after the sort and diffs grow
+        # with the offset, so the first offset with zero matches proves
+        # no larger offset can match (break-on-empty is complete)
+        while k < len(ids):
+            m = (src[k:] == src[:-k]) & (ids[k:] - ids[:-k] <= 60)
+            if not m.any():
+                break
+            outs_a.append(ids[:-k][m])
+            outs_b.append(ids[k:][m])
+            k += 1
+        if not outs_a:
+            return edge_schema.empty_table()
+        return _pa.table(
+            {
+                "a": _pa.array(_np.concatenate(outs_a).astype(_np.int64)),
+                "b": _pa.array(_np.concatenate(outs_b).astype(_np.int64)),
+            }
+        )
+
+    edges = sorted_partition_apply(
+        docs.map_batches(_tag, batch_format="pyarrow").repartition(
+            _default_partitions()
+        ),
+        "_pid",
+        _edges,
+        edge_schema,
+    )
+    out = triangle_counts(edges).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def _q_winsorize(sf_dir: str):
     # Percentile clipping at exact quantile VALUES (raylink/ops/sample.py
     # winsorize): two select_kth histogram-bisection searches (no sort)
@@ -2189,6 +2248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_topk": _q_q3_topk,
         "vector_mean": _q_vector_mean,
         "winsorize": _q_winsorize,
+        "triangles": _q_triangles,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -3310,6 +3370,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value,
                    RANK() OVER (ORDER BY value)::BIGINT AS rank
             FROM events ORDER BY event_id
+        """,
+        "triangles": """
+            WITH e AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM documents a JOIN documents b
+                  ON a.source = b.source
+                 AND b.doc_id > a.doc_id
+                 AND b.doc_id - a.doc_id <= 60
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT node, COUNT(*)::BIGINT AS n_triangles
+            FROM (SELECT x AS node FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri)
+            GROUP BY node ORDER BY node
         """,
         "winsorize": """
             WITH q AS (

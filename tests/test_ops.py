@@ -1473,3 +1473,43 @@ def test_winsorize_matches_numpy_percentile_clip():
     # boundary semantics: 5% of rows at or below lo, 5% at or above hi
     assert (got["v6_w"] == exp_lo).sum() >= 1
     assert got["v6_w"].min() == exp_lo and got["v6_w"].max() == exp_hi
+
+
+def test_triangle_counts_matches_bruteforce():
+    from raylink.ops.graph import triangle_counts
+
+    rng = np.random.default_rng(2)
+    n = 60
+    E = sorted(
+        {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.15}
+    )
+    edf = pd.DataFrame(E, columns=["a", "b"]).astype(np.int64)
+    got = (
+        triangle_counts(rd.from_arrow(pa.Table.from_pandas(edf)).repartition(5))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    es = set(E)
+    cnt: dict = {}
+    for a, b in E:
+        for c in range(b + 1, n):
+            if (a, c) in es and (b, c) in es:
+                for x in (a, b, c):
+                    cnt[x] = cnt.get(x, 0) + 1
+    exp = pd.DataFrame(sorted(cnt.items()), columns=["node", "n_triangles"]).astype(
+        np.int64
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # each triangle credits exactly 3 corners
+    assert got["n_triangles"].sum() % 3 == 0
+
+
+def test_triangle_counts_rejects_unordered_edges():
+    import pytest as _pytest
+
+    from raylink.ops.graph import triangle_counts
+
+    edf = pd.DataFrame({"a": [2], "b": [1]}).astype(np.int64)
+    with _pytest.raises(Exception):
+        triangle_counts(rd.from_arrow(pa.Table.from_pandas(edf))).to_pandas()
