@@ -257,6 +257,80 @@ def _q_jw(sf_dir: str):
     return out.to_pandas().sort_values(["c_custkey", "s_suppkey"]).reset_index(drop=True)
 
 
+def _q_lev(sf_dir: str):
+    """Plain-Levenshtein kernel over the same broadcast cross product as
+    ``jw_kernel`` — features.lev_cross is a pair-axis-vectorized DP (no
+    per-pair Python loop), gated bit-exact vs DuckDB's levenshtein()."""
+    import ray
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    ref = ray.put(
+        (supp["s_suppkey"].to_numpy(), [s.lower() for s in supp["s_name"]])
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def _cross(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        from raylink.features import lev_cross
+
+        s_ids, s_low = _ray.get(ref)
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        c_low = [c.lower() for c in batch.column("c_name").to_pylist()]
+        nc, ns = len(c_low), len(s_low)
+        ai = np.repeat(np.arange(nc), ns)
+        bi = np.tile(np.arange(ns), nc)
+        lev = lev_cross(c_low, s_low, ai, bi)
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck[ai], type=pa.int64()),
+                "s_suppkey": pa.array(s_ids[bi], type=pa.int64()),
+                "lev": pa.array(lev, type=pa.int64()),
+            }
+        )
+
+    out = cust.map_batches(_cross, batch_format="pyarrow")
+    return out.to_pandas().sort_values(["c_custkey", "s_suppkey"]).reset_index(drop=True)
+
+
+def _q_jaccard_kernel(sf_dir: str):
+    """Character-set Jaccard (DuckDB jaccard() semantics) over the same
+    cross product, via one membership-matrix build per side and boolean
+    reductions per pair (features.charset_jaccard_cross)."""
+    import ray
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    ref = ray.put(
+        (supp["s_suppkey"].to_numpy(), [s.lower() for s in supp["s_name"]])
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def _cross(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        from raylink.features import charset_jaccard_cross
+
+        s_ids, s_low = _ray.get(ref)
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        c_low = [c.lower() for c in batch.column("c_name").to_pylist()]
+        nc, ns = len(c_low), len(s_low)
+        ai = np.repeat(np.arange(nc), ns)
+        bi = np.tile(np.arange(ns), nc)
+        sim = charset_jaccard_cross(c_low, s_low, ai, bi)
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck[ai], type=pa.int64()),
+                "s_suppkey": pa.array(s_ids[bi], type=pa.int64()),
+                "jac_e6": pa.array(
+                    np.round(sim * 1_000_000).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    out = cust.map_batches(_cross, batch_format="pyarrow")
+    return out.to_pandas().sort_values(["c_custkey", "s_suppkey"]).reset_index(drop=True)
+
+
 def _q_ann_topk(sf_dir: str):
     from raylink.ops.ann import knn_brute_force
 
@@ -2201,6 +2275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "jw_kernel": _q_jw,
+        "lev_kernel": _q_lev,
+        "jaccard_kernel": _q_jaccard_kernel,
         "ann_topk": _q_ann_topk,
         "knn_ivf": _q_knn_ivf,
         "quantile_filter": _q_quantile_filter,
@@ -2476,6 +2552,18 @@ def oracle_sql() -> dict[str, str]:
         "jw_kernel": """
             SELECT c_custkey, s_suppkey,
                    CAST(ROUND(jaro_winkler_similarity(lower(c_name), lower(s_name)) * 1000000) AS BIGINT) AS jw_e6
+            FROM customer CROSS JOIN supplier
+            ORDER BY c_custkey, s_suppkey
+        """,
+        "lev_kernel": """
+            SELECT c_custkey, s_suppkey,
+                   CAST(levenshtein(lower(c_name), lower(s_name)) AS BIGINT) AS lev
+            FROM customer CROSS JOIN supplier
+            ORDER BY c_custkey, s_suppkey
+        """,
+        "jaccard_kernel": """
+            SELECT c_custkey, s_suppkey,
+                   CAST(ROUND(jaccard(lower(c_name), lower(s_name)) * 1000000) AS BIGINT) AS jac_e6
             FROM customer CROSS JOIN supplier
             ORDER BY c_custkey, s_suppkey
         """,

@@ -119,6 +119,122 @@ def osa_distance(a: str, b: str) -> int:
     return prev[lb]
 
 
+def levenshtein_distance(a: str, b: str) -> int:
+    """Plain Levenshtein (insert/delete/substitute, NO transposition —
+    distinct from :func:`osa_distance`). Scalar reference kernel; the
+    vectorized cross-product form is :func:`lev_cross`."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[lb]
+
+
+def lev_cross(
+    keys_a: list[str],
+    keys_b: list[str],
+    ai: np.ndarray,
+    bi: np.ndarray,
+) -> np.ndarray:
+    """Plain Levenshtein for an index-expanded cross product, vectorized
+    over the PAIR axis: the (max_len_a × max_len_b) DP grid runs as scalar
+    loop steps whose bodies are O(n_pairs) contiguous numpy ops, so total
+    cost is grid_cells × n_pairs vector work instead of a per-pair Python
+    DP (~100× faster at typical name lengths). Each side is encoded once
+    (na + nb encodes, not na·nb); overlong/astral rows fall back to the
+    scalar kernel. Bit-equal to DuckDB's ``levenshtein()`` — gated over a
+    150k-pair cross product in the ``lev_kernel`` oracle query."""
+    n = len(ai)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    EA, la_s, ok_a = _encode_strings(keys_a, _JW_CAP)
+    EB, lb_s, ok_b = _encode_strings(keys_b, _JW_CAP)
+    A = EA[ai]
+    B = EB[bi]
+    la, lb = la_s[ai], lb_s[bi]
+    ok = ok_a[ai] & ok_b[bi]
+    out = np.zeros(n, dtype=np.int64)
+    if not ok.all():
+        for idx in np.nonzero(~ok)[0]:
+            out[idx] = levenshtein_distance(keys_a[ai[idx]], keys_b[bi[idx]])
+    if not ok.any():
+        return out
+    la_max = int(la[ok].max())
+    lb_max = int(lb[ok].max())
+    # rows with la == 0: distance is lb
+    out[ok & (la == 0)] = lb[ok & (la == 0)]
+    if la_max == 0 or lb_max == 0:
+        out[ok & (lb == 0)] = la[ok & (lb == 0)]
+        return out
+    # D[p, j] = edit distance between a[:i] and b[:j] for every pair p at
+    # the current DP row i; the j scan is sequential (cur[j-1] dependency)
+    # but each step is one vectorized min over all pairs
+    D = np.broadcast_to(
+        np.arange(lb_max + 1, dtype=np.int32), (n, lb_max + 1)
+    ).copy()
+    AT = np.ascontiguousarray(A[:, :la_max].T)  # (la_max, n)
+    BT = np.ascontiguousarray(B[:, :lb_max].T)
+    for i in range(1, la_max + 1):
+        cur = np.empty_like(D)
+        cur[:, 0] = i
+        ca = AT[i - 1]
+        for j in range(1, lb_max + 1):
+            cost = (ca != BT[j - 1]).astype(np.int32)
+            np.minimum(D[:, j] + 1, D[:, j - 1] + cost, out=cost)
+            np.minimum(cost, cur[:, j - 1] + 1, out=cost)
+            cur[:, j] = cost
+        D = cur
+        # capture finished rows; lb == 0 rows read D[p, 0] = i = la, which
+        # is already the right distance, so no special case
+        done = ok & (la == i)
+        if done.any():
+            out[done] = D[done, lb[done]]
+    return out
+
+
+def charset_jaccard_cross(
+    keys_a: list[str],
+    keys_b: list[str],
+    ai: np.ndarray,
+    bi: np.ndarray,
+) -> np.ndarray:
+    """Character-SET Jaccard similarity (q=1 grams as sets, the semantics
+    of DuckDB's ``jaccard()``) for an index-expanded cross product. Each
+    side becomes an (n, |alphabet|) membership matrix built once; pair
+    scores are two boolean reductions. Gated bit-exact (e6 micro-units)
+    against DuckDB in the ``jaccard_kernel`` oracle query."""
+    n = len(ai)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    alphabet = sorted({ch for s in keys_a for ch in s} | {ch for s in keys_b for ch in s})
+    pos = {ch: k for k, ch in enumerate(alphabet)}
+    K = max(len(alphabet), 1)
+
+    def _membership(keys: list[str]) -> np.ndarray:
+        M = np.zeros((len(keys), K), dtype=bool)
+        for r, s in enumerate(keys):
+            for ch in s:
+                M[r, pos[ch]] = True
+        return M
+
+    SA = _membership(keys_a)[ai]
+    SB = _membership(keys_b)[bi]
+    inter = (SA & SB).sum(axis=1)
+    union = (SA | SB).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = inter / union
+    return np.where(union == 0, 1.0, sim)
+
+
 # --------------------------------------------------------------------------
 # q-gram kernels (q=1, the stringdist default used by the reference)
 

@@ -125,3 +125,53 @@ def test_monge_elkan_matches_scalar_reference():
         assert ntok[i] == len(ta)
     # repeated token counts once per occurrence: "a a b" vs "a"
     assert sums[4] == 2_000_000 + round(1e6 * jaro_winkler_sim("b", "a", 0.1, 0.7))
+
+
+def test_lev_cross_matches_scalar_and_duckdb():
+    """Pair-axis vectorized Levenshtein == scalar DP == DuckDB, including
+    empty strings, transposition cases (lev != OSA), and a long-string
+    scalar-fallback row."""
+    import random
+
+    from raylink.features import lev_cross, levenshtein_distance
+
+    rng = random.Random(11)
+    alpha = "abcde #"
+    A = ["", "ab", "ba"] + [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        for _ in range(40)
+    ] + ["x" * 80]  # > _JW_CAP → scalar fallback path
+    B = ["", "ba"] + [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        for _ in range(30)
+    ]
+    na, nb = len(A), len(B)
+    ai = np.repeat(np.arange(na), nb)
+    bi = np.tile(np.arange(nb), na)
+    got = lev_cross(A, B, ai, bi)
+    con = duckdb.connect()
+    for k in range(len(ai)):
+        a, b = A[ai[k]], B[bi[k]]
+        exp = con.sql("select levenshtein(?, ?)", params=[a, b]).fetchone()[0]
+        assert got[k] == exp == levenshtein_distance(a, b), (a, b)
+    # transposition: plain lev counts 2, OSA counts 1
+    assert levenshtein_distance("ab", "ba") == 2
+    assert osa_distance("ab", "ba") == 1
+
+
+def test_charset_jaccard_cross_matches_duckdb():
+    from raylink.features import charset_jaccard_cross
+
+    A = ["night", "abc", "aab", "customer#0001"]
+    B = ["nacht", "abd", "ab", "supplier#0009"]
+    ai = np.repeat(np.arange(4), 4)
+    bi = np.tile(np.arange(4), 4)
+    got = charset_jaccard_cross(A, B, ai, bi)
+    con = duckdb.connect()
+    for k in range(len(ai)):
+        a, b = A[ai[k]], B[bi[k]]
+        exp = con.sql("select jaccard(?, ?)", params=[a, b]).fetchone()[0]
+        assert got[k] == exp, (a, b)
+    # empty-vs-empty is 1.0, empty-vs-nonempty 0.0 (DuckDB raises on these)
+    assert charset_jaccard_cross([""], [""], np.array([0]), np.array([0]))[0] == 1.0
+    assert charset_jaccard_cross([""], ["a"], np.array([0]), np.array([0]))[0] == 0.0
