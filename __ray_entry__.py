@@ -193,6 +193,20 @@ def _q_events_rank(sf_dir: str):
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_lead_lag(sf_dir: str):
+    # library operator (ops/window.lead_lag): LAG/LEAD/NTILE in one hash
+    # exchange, one vectorized groupby-shift per partition
+    from raylink.ops.window import lead_lag
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = lead_lag(
+        ev, "user_id", ["ts", "event_id"], "event_id",
+        lags=(1,), leads=(1,), ntile_n=4,
+    )
+    df = out.to_pandas()
+    return df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+
+
 def _q_dedup_exact(sf_dir: str):
     from raylink.ops.dedup import dedup_exact
 
@@ -2271,6 +2285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": _q_grouped_topk,
         "sort_limit": _q_sort_limit,
         "events_rank": _q_events_rank,
+        "lead_lag": _q_lead_lag,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
@@ -2531,6 +2546,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
             FROM events ORDER BY event_id
+        """,
+        "lead_lag": """
+            SELECT user_id, ts, event_id,
+                   LAG(event_id) OVER w AS lag_1,
+                   LEAD(event_id) OVER w AS lead_1,
+                   CAST(NTILE(4) OVER w AS BIGINT) AS ntile
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, ts, event_id
         """,
         "dedup_exact": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id

@@ -275,6 +275,85 @@ def windowed_rank(
     )
 
 
+def lead_lag(
+    events: ray.data.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    lags: tuple[int, ...] = (1,),
+    leads: tuple[int, ...] = (1,),
+    ntile_n: int | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """``LAG/LEAD(value_col, k) OVER (PARTITION BY key_col ORDER BY
+    order_cols)`` (+ optional ``NTILE(ntile_n)``) in one pass: the same
+    single hash-of-key all-to-all as :func:`windowed_rank`, with every
+    key of a partition handled by ONE vectorized groupby-shift (pandas'
+    C groupby kernel — no per-key Python). Out-of-window offsets are NULL,
+    exactly the SQL default. NTILE uses the SQL split (the first
+    ``count % n`` buckets get the extra row), computed vectorized from the
+    0-based row number and per-key group size.
+
+    Output columns: ``(key_col, *order_cols, value_col, lag_<k>...,
+    lead_<k>..., [ntile])``. Partitioning assumption: the hottest key's
+    rows fit one partition (same skew bound as :func:`sessionize`).
+    """
+    from raylink.util import pa_type, sorted_partition_apply
+
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
+    keep = [key_col, *order_cols]
+    if value_col not in keep:
+        keep.append(value_col)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(keys.dtype, np.integer):
+            pid = (_mix64(keys.astype(np.uint64)) % P).astype(np.int64)
+        else:
+            pid = (pd.util.hash_array(keys.astype(object)) % P).astype(np.int64)
+        cols = {"_pid": pa.array(pid)}
+        for c in keep:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    def _shift(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        df = df.sort_values([key_col, *order_cols], kind="stable")
+        g = df.groupby(key_col, sort=False)
+        cols = {c: pa.array(df[c]) for c in keep}
+        vt = pa_type(part.schema.field(value_col).type)
+        for k in lags:
+            cols[f"lag_{k}"] = pa.array(g[value_col].shift(k), type=vt, from_pandas=True)
+        for k in leads:
+            cols[f"lead_{k}"] = pa.array(g[value_col].shift(-k), type=vt, from_pandas=True)
+        if ntile_n:
+            rn0 = g.cumcount().to_numpy()
+            cnt = g[value_col].transform("size").to_numpy()
+            q, r = cnt // ntile_n, cnt % ntile_n
+            big = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+            tile = np.where(
+                rn0 < big,
+                rn0 // np.maximum(q + 1, 1),
+                r + (rn0 - big) // np.maximum(q, 1),
+            )
+            cols["ntile"] = pa.array((tile + 1).astype(np.int64))
+        return pa.table(cols)
+
+    eschema = events.schema()
+    etype = dict(zip(eschema.names, (pa_type(t) for t in eschema.types)))
+    fields = [(c, etype[c]) for c in keep]
+    fields += [(f"lag_{k}", etype[value_col]) for k in lags]
+    fields += [(f"lead_{k}", etype[value_col]) for k in leads]
+    if ntile_n:
+        fields.append(("ntile", pa.int64()))
+    out_schema = pa.schema(fields)
+    tagged = events.map_batches(_tag, batch_format="pyarrow")
+    return sorted_partition_apply(
+        tagged.repartition(nparts), "_pid", _shift, out_schema
+    )
+
+
 def window_aggregate(
     events: ray.data.Dataset,
     width_seconds: int,

@@ -508,3 +508,44 @@ def test_basket_pairs_matches_bruteforce():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_lead_lag_ntile_matches_duckdb():
+    """LAG/LEAD/NTILE in one exchange vs DuckDB window functions, incl.
+    NULLs at partition edges and the SQL NTILE uneven-bucket split."""
+    import duckdb
+
+    from raylink.ops.window import lead_lag
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 37, n).astype(np.int64),
+            "t": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(0, 10**6, n).astype(np.int64),
+        }
+    )
+    got = (
+        lead_lag(rd.from_pandas(df).repartition(4), "u", ["t"], "v",
+                 lags=(1, 3), leads=(2,), ntile_n=5)
+        .to_pandas()
+        .sort_values(["u", "t"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        """
+        SELECT u, t, v,
+               LAG(v) OVER w AS lag_1, LAG(v, 3) OVER w AS lag_3,
+               LEAD(v, 2) OVER w AS lead_2,
+               CAST(NTILE(5) OVER w AS BIGINT) AS ntile
+        FROM df WINDOW w AS (PARTITION BY u ORDER BY t)
+        ORDER BY u, t
+        """
+    ).df()
+    for c in ["lag_1", "lag_3", "lead_2"]:
+        a = got[c].to_numpy(dtype=float)
+        b = exp[c].to_numpy(dtype=float)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+    assert (got["ntile"].to_numpy() == exp["ntile"].to_numpy()).all()
+    assert (got["v"].to_numpy() == exp["v"].to_numpy()).all()
