@@ -1604,19 +1604,15 @@ def _q_rolling_sum(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
-def _q_triangles(sf_dir: str):
-    # Distributed triangle counting (raylink/ops/graph.py
-    # triangle_counts, compact-forward): edges = same-source doc pairs
-    # within id-band 60 (generated per source partition, vectorized
-    # offset-k scan); wedges expand at the LOW endpoint and close
-    # through ONE shuffle_merge against the edge table. Per-node
-    # participation counts, every triangle counted once at its lowest
-    # node.
+def _doc_band_edges(sf_dir: str):
+    """Shared gate-graph edge set: same-source doc pairs within id-band
+    60 (a < b), generated per source partition with the vectorized
+    offset-k scan. Used by the triangles and pagerank gates; the SQL
+    oracles reproduce it with a band self-join."""
     import numpy as _np
     import pyarrow as _pa
 
     from raylink.ops.dedup import _default_partitions
-    from raylink.ops.graph import triangle_counts
     from raylink.util import hash_partition_ids, sorted_partition_apply
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
@@ -1651,7 +1647,7 @@ def _q_triangles(sf_dir: str):
             }
         )
 
-    edges = sorted_partition_apply(
+    return sorted_partition_apply(
         docs.map_batches(_tag, batch_format="pyarrow").repartition(
             _default_partitions()
         ),
@@ -1659,8 +1655,43 @@ def _q_triangles(sf_dir: str):
         _edges,
         edge_schema,
     )
-    out = triangle_counts(edges).to_pandas()
+
+
+def _q_triangles(sf_dir: str):
+    # Distributed triangle counting (raylink/ops/graph.py
+    # triangle_counts, compact-forward): wedges expand at the LOW
+    # endpoint and close through ONE shuffle_merge against the edge
+    # table. Per-node participation counts, every triangle counted once
+    # at its lowest node.
+    from raylink.ops.graph import triangle_counts
+
+    out = triangle_counts(_doc_band_edges(sf_dir)).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
+
+
+def _q_pagerank(sf_dir: str):
+    # Integer fixed-point PageRank (raylink/ops/graph.py pagerank) on the
+    # symmetrized gate graph (both orientations of the band edges): every
+    # step is int64 arithmetic, so the 4-iteration result is replayed
+    # bit-exactly by the unrolled per-iteration CTEs in _pagerank_sql.
+    import pyarrow as _pa
+
+    from raylink.ops.graph import pagerank
+
+    und = _doc_band_edges(sf_dir)
+
+    def _sym(t: _pa.Table) -> _pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return _pa.table(
+            {
+                "src": _pa.array(np.concatenate([a, b])),
+                "dst": _pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    pr = pagerank(und.map_batches(_sym, batch_format="pyarrow"), iters=4)
+    return pr.to_pandas().sort_values("node").reset_index(drop=True)
 
 
 def _q_winsorize(sf_dir: str):
@@ -2340,6 +2371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_mean": _q_vector_mean,
         "winsorize": _q_winsorize,
         "triangles": _q_triangles,
+        "pagerank": _q_pagerank,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2367,6 +2399,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans_assign,
         "semantic_dedup": _q_semantic_dedup,
     }
+
+
+def _pagerank_sql(iters: int = 4, scale: int = 10**9, damping_pct: int = 85) -> str:
+    """The integer fixed-point PageRank replayed exactly: one CTE pair per
+    iteration (contrib sum + rank update), unrolled — all arithmetic stays
+    integral (``//`` floor division, SUM over BIGINT), so DuckDB reproduces
+    ops/graph.pagerank bit-for-bit."""
+    base = (scale * (100 - damping_pct)) // 100
+    parts = [
+        f"""
+        WITH und AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM documents a JOIN documents b
+              ON a.source = b.source
+             AND b.doc_id > a.doc_id
+             AND b.doc_id - a.doc_id <= 60
+        ),
+        e AS (SELECT a AS src, b AS dst FROM und
+              UNION ALL SELECT b AS src, a AS dst FROM und),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e GROUP BY src),
+        pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        s{k} AS (
+            SELECT e.dst AS node, SUM(p.pr // d.deg) AS s
+            FROM e
+            JOIN pr{k - 1} p ON p.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ),
+        pr{k} AS (
+            SELECT n.node,
+                   CAST({base} + ({damping_pct} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN s{k} s ON s.node = n.node
+        )"""
+        )
+    parts.append(f"\n        SELECT node, pr FROM pr{iters} ORDER BY node")
+    return "".join(parts)
 
 
 def _curation_sql() -> str:
@@ -3503,6 +3576,7 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT z FROM tri)
             GROUP BY node ORDER BY node
         """,
+        "pagerank": _pagerank_sql(),
         "winsorize": """
             WITH q AS (
                 SELECT event_id,

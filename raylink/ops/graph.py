@@ -139,3 +139,168 @@ def triangle_counts(
         right_schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
     )
     return partials.groupby("node").aggregate(Sum("c", alias_name="n_triangles"))
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Integer fixed-point PageRank over a DIRECTED edge table — every
+    arithmetic step is int64, so the result is bit-reproducible and
+    SQL-replayable with unrolled per-iteration CTEs (the ``pagerank``
+    oracle gate):
+
+    * ``pr_0(v) = scale`` for every node (unnormalized mass convention);
+    * ``contrib(u) = pr(u) // outdeg(u)`` (floor division; dangling-node
+      mass is dropped, the standard simplification — document it to
+      callers);
+    * ``pr_{k+1}(v) = (scale*(100-damping_pct))//100
+      + (damping_pct * Σ_{(u,v)∈E} contrib(u)) // 100``.
+
+    Scale shape: the degree-annotated edge table is built ONCE (one
+    groupby + one ``shuffle_merge``) and materialized for reuse; each
+    iteration is exactly TWO exchanges — ``shuffle_merge`` of the
+    node-scale ``pr`` table onto the edge partitions (contribs are
+    pre-summed per dst INSIDE the merge kernel, so the second exchange
+    moves per-partition partials, not per-edge rows) and one global
+    ``groupby(node).sum``. Zero-rows for every node ride the same
+    groupby, folding the no-inbound-edges left join into the exchange
+    that already happens. Nodes = distinct endpoints of ``edges``.
+    Returns ``(node, pr)`` rows.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from raylink.util import shuffle_merge
+
+    base = (scale * (100 - damping_pct)) // 100
+
+    epair = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column(src_col).cast(pa.int64()),
+                "dst": t.column(dst_col).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    deg = epair.groupby("src").aggregate(Count(alias_name="deg"))
+
+    edge_schema = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("deg", pa.int64())]
+    )
+
+    def _attach_deg(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if len(ldf) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64) for c in ("src", "dst", "deg")}
+            )
+        m = ldf.merge(rdf, left_on="src", right_on="src", how="inner")
+        return m[["src", "dst", "deg"]].astype(np.int64)
+
+    E = shuffle_merge(
+        epair,
+        deg,
+        ["src"],
+        ["src"],
+        _attach_deg,
+        edge_schema,
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        right_schema=pa.schema([("src", pa.int64()), ("deg", pa.int64())]),
+    ).materialize()
+
+    def _endpoints(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                t.column("src").to_numpy(zero_copy_only=False),
+                t.column("dst").to_numpy(zero_copy_only=False),
+            ]
+        )
+        return pa.table({"node": pa.array(np.unique(both))})
+
+    nodes = (
+        epair.map_batches(_endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["node"])
+        .materialize()
+    )
+    zeros = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "s": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    pr = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "pr": pa.array(np.full(t.num_rows, scale, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    partial_schema = pa.schema([("node", pa.int64()), ("s", pa.int64())])
+
+    def _contrib(edf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(edf) == 0 or len(pdf) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=np.int64),
+                 "s": pd.Series([], dtype=np.int64)}
+            )
+        m = edf.merge(pdf, left_on="src", right_on="node", how="inner")
+        c = m["pr"].to_numpy(np.int64) // m["deg"].to_numpy(np.int64)
+        # map-side combine: per-dst partial sums leave this partition,
+        # never the per-edge contrib rows
+        out = (
+            pd.DataFrame({"node": m["dst"].to_numpy(np.int64), "s": c})
+            .groupby("node", sort=False, as_index=False)["s"]
+            .sum()
+        )
+        return out.astype(np.int64)
+
+    for _ in range(iters):
+        partials = shuffle_merge(
+            E,
+            pr,
+            ["src"],
+            ["node"],
+            _contrib,
+            partial_schema,
+            num_partitions=num_partitions,
+            left_schema=edge_schema,
+            right_schema=pa.schema([("node", pa.int64()), ("pr", pa.int64())]),
+        )
+        summed = (
+            partials.union(zeros)
+            .groupby("node")
+            .aggregate(Sum("s", alias_name="s"))
+        )
+        pr = summed.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "pr": pa.array(
+                        base
+                        + (
+                            damping_pct
+                            * t.column("s").to_numpy(zero_copy_only=False)
+                        )
+                        // 100
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    return pr

@@ -1513,3 +1513,38 @@ def test_triangle_counts_rejects_unordered_edges():
     edf = pd.DataFrame({"a": [2], "b": [1]}).astype(np.int64)
     with _pytest.raises(Exception):
         triangle_counts(rd.from_arrow(pa.Table.from_pandas(edf))).to_pandas()
+
+
+def test_pagerank_matches_python_fixpoint():
+    """Integer fixed-point PageRank vs a dict-based reference: same
+    floor-division arithmetic, including zero-inbound nodes (base rank
+    only) and a hub node; symmetric and asymmetric edges."""
+    from raylink.ops.graph import pagerank
+
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 60, 400)
+    dst = rng.integers(0, 60, 400)
+    keep = src != dst
+    edf = pd.DataFrame({"src": src[keep], "dst": dst[keep]}).drop_duplicates()
+    # a sink-only node: id 60 receives but never sends
+    edf = pd.concat(
+        [edf, pd.DataFrame({"src": [0, 1], "dst": [60, 60]})], ignore_index=True
+    )
+    got = (
+        pagerank(rd.from_pandas(edf).repartition(4), iters=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    nodes = np.unique(np.concatenate([edf["src"], edf["dst"]]))
+    deg = edf.groupby("src").size().to_dict()
+    pr = {v: 10**9 for v in nodes}
+    for _ in range(3):
+        s = {v: 0 for v in nodes}
+        for u, v in zip(edf["src"], edf["dst"]):
+            s[v] += pr[u] // deg[u]
+        pr = {v: (10**9 * 15) // 100 + (85 * s[v]) // 100 for v in nodes}
+    assert (got["node"].to_numpy() == nodes).all()
+    assert (got["pr"].to_numpy() == np.array([pr[v] for v in nodes])).all()
+    # the sink node collected mass but contributes none (dropped, documented)
+    assert pr[60] > (10**9 * 15) // 100
