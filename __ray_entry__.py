@@ -1694,6 +1694,20 @@ def _q_pagerank(sf_dir: str):
     return pr.to_pandas().sort_values("node").reset_index(drop=True)
 
 
+def _q_kcore(sf_dir: str):
+    # Distributed k-core peeling (raylink/ops/graph.py k_core): per round
+    # one degree groupby + two anti-joins (the peel set never hits the
+    # driver). The gate compares the ROUND-LIMITED peel (4 rounds of
+    # k=4) — a deterministic function with no corpus-dependent
+    # convergence assumption, replayed exactly by 4 unrolled CTE rounds
+    # (the band graph is path-like per source, so its true 4-core peels
+    # one layer per round; bounding rounds keeps the gate scale-stable).
+    from raylink.ops.graph import k_core
+
+    out = k_core(_doc_band_edges(sf_dir), 4, max_rounds=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def _q_winsorize(sf_dir: str):
     # Percentile clipping at exact quantile VALUES (raylink/ops/sample.py
     # winsorize): two select_kth histogram-bisection searches (no sort)
@@ -2372,6 +2386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": _q_winsorize,
         "triangles": _q_triangles,
         "pagerank": _q_pagerank,
+        "kcore": _q_kcore,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2439,6 +2454,49 @@ def _pagerank_sql(iters: int = 4, scale: int = 10**9, damping_pct: int = 85) -> 
         )"""
         )
     parts.append(f"\n        SELECT node, pr FROM pr{iters} ORDER BY node")
+    return "".join(parts)
+
+
+def _kcore_sql(k: int = 4, rounds: int = 8) -> str:
+    """Round-limited k-core peeling replayed with unrolled per-round
+    CTEs — the SAME round count as the Ray side, so the gate compares a
+    deterministic bounded-peel function and never depends on the corpus's
+    convergence depth (peeling is monotone: extra rounds past fixpoint
+    are no-ops on both sides)."""
+    parts = [
+        """
+        WITH e0 AS MATERIALIZED (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM documents a JOIN documents b
+              ON a.source = b.source
+             AND b.doc_id > a.doc_id
+             AND b.doc_id - a.doc_id <= 60
+        )"""
+    ]
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and each round references
+    # the previous one three times — unmaterialized, the plan (and the
+    # parquet scans) would grow 3^rounds
+    for r in range(rounds):
+        parts.append(
+            f""",
+        d{r} AS MATERIALIZED (
+            SELECT node, COUNT(*) AS deg
+            FROM (SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r})
+            GROUP BY node
+        ),
+        bad{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg < {k}),
+        e{r + 1} AS MATERIALIZED (
+            SELECT a, b FROM e{r}
+            WHERE a NOT IN (SELECT node FROM bad{r})
+              AND b NOT IN (SELECT node FROM bad{r})
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT DISTINCT node
+        FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+        ORDER BY node"""
+    )
     return "".join(parts)
 
 
@@ -3577,6 +3635,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY node ORDER BY node
         """,
         "pagerank": _pagerank_sql(),
+        "kcore": _kcore_sql(rounds=4),
         "winsorize": """
             WITH q AS (
                 SELECT event_id,

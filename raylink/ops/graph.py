@@ -304,3 +304,87 @@ def pagerank(
             batch_format="pyarrow",
         ).materialize()
     return pr
+
+
+def k_core(
+    edges: ray.data.Dataset,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 100,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Nodes of the k-CORE: the maximal subgraph where every node keeps
+    degree ≥ k, by distributed iterative peeling. Input: distinct
+    undirected edges (``a_col`` < ``b_col``). Per round: one
+    edge-scale groupby counts degrees, nodes under ``k`` form the peel
+    set, and TWO distributed anti-joins (one per endpoint — the peel set
+    is never collected or broadcast, so round 1 of a large ``k`` can drop
+    half the graph without touching the driver) remove their edges.
+    Monotone, so it terminates; rounds are bounded by the peel depth
+    (the driver sees one scalar count per round — the fixpoint test).
+    Returns ``(node,)`` rows of the surviving core.
+    """
+    from ray.data.aggregate import Count
+
+    from raylink.ops.relational import anti_join
+
+    E = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "a": t.column(a_col).cast(pa.int64()),
+                "b": t.column(b_col).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate(
+                        [
+                            t.column("a").to_numpy(zero_copy_only=False),
+                            t.column("b").to_numpy(zero_copy_only=False),
+                        ]
+                    )
+                )
+            }
+        )
+
+    for _ in range(max_rounds):
+        deg = (
+            E.map_batches(_endpoints, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Count(alias_name="deg"))
+        )
+        bad = deg.map_batches(
+            lambda t: t.filter(
+                pa.compute.less(t.column("deg"), pa.scalar(k))
+            ).select(["node"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if bad.count() == 0:
+            break
+        E = anti_join(
+            anti_join(E, bad, ["a"], ["node"], num_partitions=num_partitions),
+            bad,
+            ["b"],
+            ["node"],
+            num_partitions=num_partitions,
+        ).materialize()
+        if E.count() == 0:
+            break
+    if E.count() == 0:
+        # a fully-unraveled graph: typed empty result (a groupby over an
+        # empty dataset would drop the schema)
+        return ray.data.from_arrow(
+            pa.schema([("node", pa.int64())]).empty_table()
+        )
+    return (
+        E.map_batches(_endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["node"])
+    )

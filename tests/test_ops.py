@@ -1548,3 +1548,50 @@ def test_pagerank_matches_python_fixpoint():
     assert (got["pr"].to_numpy() == np.array([pr[v] for v in nodes])).all()
     # the sink node collected mass but contributes none (dropped, documented)
     assert pr[60] > (10**9 * 15) // 100
+
+
+def test_k_core_matches_python_peel():
+    """Fixpoint k-core vs a set-based peel oracle on a random graph (runs
+    to convergence, multiple cascade rounds), plus the round-limited mode
+    the SQL gate uses."""
+    from collections import Counter
+
+    from raylink.ops.graph import k_core
+
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 80, 500)
+    b = rng.integers(0, 80, 500)
+    keep = a < b
+    edf = pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
+
+    def peel(k, rounds=10**9):
+        E = set(map(tuple, edf.to_numpy()))
+        for _ in range(rounds):
+            d = Counter()
+            for x, y in E:
+                d[x] += 1
+                d[y] += 1
+            bad = {v for v, c in d.items() if c < k}
+            if not bad:
+                break
+            E = {(x, y) for x, y in E if x not in bad and y not in bad}
+        d = Counter()
+        for x, y in E:
+            d[x] += 1
+            d[y] += 1
+        return sorted(d)
+
+    for k in (3, 5):
+        out = k_core(rd.from_pandas(edf).repartition(4), k)
+        df = out.to_pandas()
+        # Ray's to_pandas drops columns on ANY empty dataset; the Arrow
+        # schema itself stays typed (checked below for the empty case)
+        got = sorted(df["node"]) if len(df) else []
+        if not len(df):
+            assert [f.name for f in out.schema().base_schema] == ["node"]
+        assert got == peel(k), k
+    got2 = sorted(
+        k_core(rd.from_pandas(edf).repartition(4), 5, max_rounds=2)
+        .to_pandas()["node"]
+    )
+    assert got2 == peel(5, rounds=2)
