@@ -1694,6 +1694,30 @@ def _q_pagerank(sf_dir: str):
     return pr.to_pandas().sort_values("node").reset_index(drop=True)
 
 
+def _q_block_topk(sf_dir: str):
+    # Blocking-key skew profile (raylink/ops/profile.py block_profile):
+    # hottest blocking keys with their quadratic pair contribution — the
+    # quantity the engine's salting/tiling bounds. Map-side value_counts
+    # partials, one groupby exchange, per-block local top-N.
+    from raylink.ops.profile import block_profile
+
+    top, _ = block_profile(
+        _read(sf_dir, "orders", columns=["o_custkey"]), "o_custkey", top_n=20
+    )
+    return top
+
+
+def _q_block_hist(sf_dir: str):
+    # log2 block-size histogram from the same profile: singleton blocks
+    # (bucket 0) can skip the pair stage; the top bucket is the skew bound.
+    from raylink.ops.profile import block_profile
+
+    _, hist = block_profile(
+        _read(sf_dir, "orders", columns=["o_custkey"]), "o_custkey", top_n=20
+    )
+    return hist
+
+
 def _q_kcore(sf_dir: str):
     # Distributed k-core peeling (raylink/ops/graph.py k_core): per round
     # one degree groupby + two anti-joins (the peel set never hits the
@@ -2387,6 +2411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": _q_triangles,
         "pagerank": _q_pagerank,
         "kcore": _q_kcore,
+        "block_topk": _q_block_topk,
+        "block_hist": _q_block_hist,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -3636,6 +3662,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "kcore": _kcore_sql(rounds=4),
+        "block_topk": """
+            WITH b AS (
+                SELECT o_custkey, COUNT(*)::BIGINT AS n_rows
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT o_custkey, n_rows,
+                   (n_rows * (n_rows - 1)) // 2 AS n_pairs
+            FROM b ORDER BY n_rows DESC, o_custkey LIMIT 20
+        """,
+        "block_hist": """
+            WITH b AS (
+                SELECT COUNT(*)::BIGINT AS n
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT CAST(FLOOR(LOG2(n)) AS BIGINT) AS bucket,
+                   COUNT(*)::BIGINT AS n_blocks,
+                   SUM(n)::BIGINT AS n_rows
+            FROM b GROUP BY bucket ORDER BY bucket
+        """,
         "winsorize": """
             WITH q AS (
                 SELECT event_id,

@@ -1595,3 +1595,37 @@ def test_k_core_matches_python_peel():
         .to_pandas()["node"]
     )
     assert got2 == peel(5, rounds=2)
+
+
+def test_block_profile_matches_pandas():
+    """Skew profile vs a pandas reference: top-N total order, quadratic
+    pair counts, and the log2 histogram (incl. singleton bucket 0)."""
+    from raylink.ops.profile import block_profile
+
+    rng = np.random.default_rng(31)
+    # zipf-ish skew: a few hot keys, many singletons
+    keys = np.concatenate(
+        [np.repeat(0, 500), np.repeat(1, 100), rng.integers(2, 2000, 2000)]
+    ).astype(np.int64)
+    df = pd.DataFrame({"k": rng.permutation(keys)})
+    top, hist = block_profile(rd.from_pandas(df).repartition(6), "k", top_n=10)
+    vc = df["k"].value_counts()
+    exp = (
+        pd.DataFrame({"k": vc.index.to_numpy(np.int64), "n_rows": vc.to_numpy(np.int64)})
+        .sort_values(["n_rows", "k"], ascending=[False, True], kind="stable")
+        .head(10)
+        .reset_index(drop=True)
+    )
+    exp["n_pairs"] = exp["n_rows"] * (exp["n_rows"] - 1) // 2
+    pd.testing.assert_frame_equal(top, exp)
+    b = np.floor(np.log2(vc.to_numpy())).astype(np.int64)
+    eh = (
+        pd.DataFrame({"bucket": b, "n_blocks": 1, "n_rows": vc.to_numpy(np.int64)})
+        .groupby("bucket", as_index=False)
+        .agg(n_blocks=("n_blocks", "sum"), n_rows=("n_rows", "sum"))
+        .astype(np.int64)
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(hist, eh)
+    assert top.loc[0, "k"] == 0 and top.loc[0, "n_rows"] == 500
