@@ -1694,6 +1694,47 @@ def _q_pagerank(sf_dir: str):
     return pr.to_pandas().sort_values("node").reset_index(drop=True)
 
 
+def _q_negative_pairs(sf_dir: str):
+    # Deterministic negative sampling (raylink/ops/sample.py
+    # negative_pairs): per customer, 3 suppliers OUTSIDE its nation
+    # (positives = same-nation pairs, the blocking relation), proposed by
+    # the replayable Knuth-mix hash, anti-joined distributed, first-3 by
+    # trial per key. The supplier key directory is the broadcast small
+    # side; the SQL oracle replays the hash with HUGEINT arithmetic.
+    from raylink.ops.sample import negative_pairs
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def _pos(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        grp = {n: supp.loc[supp["s_nationkey"] == n, "s_suppkey"].to_numpy()
+               for n in np.unique(nk)}
+        reps = np.array([len(grp[n]) for n in nk], dtype=np.int64)
+        return pa.table(
+            {
+                "c_custkey": pa.array(np.repeat(ck, reps)),
+                "s_suppkey": pa.array(
+                    np.concatenate([grp[n] for n in nk])
+                    if len(nk)
+                    else np.array([], dtype=np.int64)
+                ),
+            }
+        )
+
+    positives = cust.map_batches(_pos, batch_format="pyarrow")
+    out = negative_pairs(
+        cust, supp["s_suppkey"].to_numpy(), positives,
+        "c_custkey", "s_suppkey", n_neg=3, n_trials=7,
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["c_custkey", "trial"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_block_topk(sf_dir: str):
     # Blocking-key skew profile (raylink/ops/profile.py block_profile):
     # hottest blocking keys with their quadratic pair contribution — the
@@ -2413,6 +2454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": _q_kcore,
         "block_topk": _q_block_topk,
         "block_hist": _q_block_hist,
+        "negative_pairs": _q_negative_pairs,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -3680,6 +3722,48 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_blocks,
                    SUM(n)::BIGINT AS n_rows
             FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        # the Knuth-mix trial hash replayed in HUGEINT; dedup keeps the
+        # min trial, positives (same-nation pairs) anti-joined, first 3
+        # survivors per customer by trial order
+        "negative_pairs": """
+            WITH r AS (
+                SELECT s_suppkey AS b,
+                       row_number() OVER (ORDER BY s_suppkey) - 1 AS idx
+                FROM supplier
+            ),
+            cand0 AS (
+                SELECT c.c_custkey AS a, t.t,
+                       CAST(((c.c_custkey::HUGEINT * 2654435761
+                              + t.t * 2246822519) % 4294967296)
+                            % (SELECT COUNT(*) FROM supplier) AS BIGINT) AS idx
+                FROM customer c
+                CROSS JOIN (SELECT unnest(range(0, 7)) AS t) t
+            ),
+            cand1 AS (
+                SELECT a, MIN(t)::BIGINT AS trial, r.b
+                FROM cand0 JOIN r USING (idx)
+                GROUP BY a, r.b
+            ),
+            neg AS (
+                SELECT c1.a, c1.trial, c1.b
+                FROM cand1 c1
+                LEFT JOIN (
+                    SELECT c_custkey AS a, s_suppkey AS b
+                    FROM customer JOIN supplier
+                      ON c_nationkey = s_nationkey
+                ) p ON p.a = c1.a AND p.b = c1.b
+                WHERE p.a IS NULL
+            )
+            SELECT a AS c_custkey, trial, b AS s_suppkey,
+                   CAST(rn AS BIGINT) AS rn
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY a ORDER BY trial, b
+                ) AS rn FROM neg
+            )
+            WHERE rn <= 3
+            ORDER BY c_custkey, trial
         """,
         "winsorize": """
             WITH q AS (

@@ -471,3 +471,89 @@ def winsorize(
         )
 
     return lo6, hi6, q6.map_batches(_clip, batch_format="pyarrow")
+
+
+def negative_pairs(
+    left: ray.data.Dataset,
+    right_keys: np.ndarray,
+    positives: ray.data.Dataset,
+    left_col: str,
+    right_col: str,
+    n_neg: int = 3,
+    n_trials: int | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic hash-based NEGATIVE sampling for match-model
+    training: for every left key, up to ``n_neg`` right keys that are NOT
+    among its true matches, chosen by a replayable integer hash (the
+    stratified_sample Knuth-mix device) — no RNG state, so the sample is
+    identical across runs, resumes, and the SQL oracle.
+
+    Semantics (all integer, replayed bit-exactly by the ``negative_pairs``
+    gate): trial ``t ∈ [0, n_trials)`` proposes
+    ``idx = ((a·2654435761 + t·2246822519) mod 2³²) mod |R|``, i.e. right
+    key ``sorted(right_keys)[idx]``; duplicate ``(a, b)`` proposals keep
+    the MIN trial; true positives are removed by a distributed anti-join;
+    the first ``n_neg`` survivors per ``a`` (by trial order) win. A left
+    key whose trials collide more than ``n_trials − n_neg`` times yields
+    fewer than ``n_neg`` rows — deterministic on both sides. ``left``
+    must be key-distinct (duplicate left rows would double-count trials).
+
+    Scale contract: ``right_keys`` is the BROADCAST small side (the
+    right-key directory rides ``ray.put`` once, read per task — ~8 MB per
+    million keys); positives and candidates flow through one anti-join
+    exchange plus one per-``a`` ranking exchange. Keys must fit int64
+    below 2³¹ so the uint64 hash cannot overflow (checked loudly).
+    Returns ``(left_col, trial, right_col, rn)`` rows.
+    """
+    from raylink.ops.relational import anti_join
+    from raylink.ops.window import windowed_rank
+
+    R = np.sort(np.unique(np.asarray(right_keys, dtype=np.int64)))
+    if len(R) == 0:
+        raise ValueError("negative_pairs: empty right-key universe")
+    m = n_trials if n_trials is not None else n_neg + 4
+    nR = np.uint64(len(R))
+    R_ref = ray.put(R)
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        Rk = _ray.get(R_ref)
+        a = batch.column(left_col).to_numpy(zero_copy_only=False)
+        if len(a) and (a.min() < 0 or a.max() >= 1 << 31):
+            raise ValueError("negative_pairs: left keys must be in [0, 2^31)")
+        aa = np.repeat(a.astype(np.uint64), m)
+        tt = np.tile(np.arange(m, dtype=np.uint64), len(a))
+        hv = (aa * np.uint64(2654435761) + tt * np.uint64(2246822519)) % np.uint64(
+            1 << 32
+        )
+        b = Rk[(hv % nR).astype(np.int64)]
+        df = pd.DataFrame(
+            {left_col: aa.astype(np.int64), "trial": tt.astype(np.int64),
+             right_col: b}
+        )
+        # same-(a,b) proposals keep the min trial — all of a's trials are
+        # generated here, so this dedup is complete locally
+        df = df.groupby([left_col, right_col], as_index=False)["trial"].min()
+        return pa.Table.from_pandas(
+            df[[left_col, "trial", right_col]], preserve_index=False
+        )
+
+    cands = left.select_columns([left_col]).map_batches(
+        _cand, batch_format="pyarrow"
+    )
+    survivors = anti_join(
+        cands,
+        positives,
+        [left_col, right_col],
+        num_partitions=num_partitions,
+    )
+    ranked = windowed_rank(
+        survivors, left_col, ["trial", right_col], out_col="rn",
+        num_partitions=num_partitions,
+    )
+    return ranked.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("rn"), pa.scalar(n_neg))),
+        batch_format="pyarrow",
+    )

@@ -1629,3 +1629,44 @@ def test_block_profile_matches_pandas():
     )
     pd.testing.assert_frame_equal(hist, eh)
     assert top.loc[0, "k"] == 0 and top.loc[0, "n_rows"] == 500
+
+
+def test_negative_pairs_deterministic_and_disjoint():
+    """Negative sampling: bit-identical across runs, never emits a true
+    positive, caps at n_neg per key, and keys short of trials yield
+    fewer negatives deterministically."""
+    from raylink.ops.sample import negative_pairs
+
+    left = pd.DataFrame({"a": np.arange(50, dtype=np.int64)})
+    right = np.arange(100, 108, dtype=np.int64)  # small universe: collisions
+    # positives: every even left key matches right keys 100..103
+    pos = pd.DataFrame(
+        {
+            "a": np.repeat(np.arange(0, 50, 2, dtype=np.int64), 4),
+            "b": np.tile(np.arange(100, 104, dtype=np.int64), 25),
+        }
+    )
+    runs = []
+    for _ in range(2):
+        out = (
+            negative_pairs(
+                rd.from_pandas(left).repartition(3), right,
+                rd.from_pandas(pos).repartition(2), "a", "b",
+                n_neg=3, n_trials=6,
+            )
+            .to_pandas()
+            .sort_values(["a", "trial"])
+            .reset_index(drop=True)
+        )
+        runs.append(out)
+    pd.testing.assert_frame_equal(runs[0], runs[1])
+    out = runs[0]
+    merged = out.merge(pos, on=["a", "b"], how="inner")
+    assert len(merged) == 0  # no positive leaks
+    assert (out.groupby("a").size() <= 3).all()
+    # hash replay: recompute proposals for one key and check subset
+    a = 7
+    hv = (np.uint64(a) * np.uint64(2654435761)
+          + np.arange(6, dtype=np.uint64) * np.uint64(2246822519)) % np.uint64(1 << 32)
+    props = set(np.sort(right)[(hv % np.uint64(len(right))).astype(int)])
+    assert set(out.loc[out["a"] == a, "b"]) <= props
