@@ -1694,6 +1694,45 @@ def _q_pagerank(sf_dir: str):
     return pr.to_pandas().sort_values("node").reset_index(drop=True)
 
 
+def _sets_en_long(sf_dir: str):
+    import pyarrow.compute as _pc
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    en = docs.map_batches(
+        lambda t: t.filter(_pc.equal(t.column("lang"), pa.scalar("en"))).select(
+            ["doc_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    lng = docs.map_batches(
+        lambda t: t.filter(
+            _pc.greater_equal(t.column("n_chars"), pa.scalar(200))
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    return en, lng
+
+
+def _q_intersect_keys(sf_dir: str):
+    # SQL INTERSECT in one exchange (ops/relational.set_op_distinct):
+    # presence bits unioned + one groupby-max, no join — English docs
+    # that are also long.
+    from raylink.ops.relational import set_op_distinct
+
+    en, lng = _sets_en_long(sf_dir)
+    out = set_op_distinct(en, lng, ["doc_id"], "intersect").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_except_keys(sf_dir: str):
+    # SQL EXCEPT, same single-exchange shape: short English docs.
+    from raylink.ops.relational import set_op_distinct
+
+    en, lng = _sets_en_long(sf_dir)
+    out = set_op_distinct(en, lng, ["doc_id"], "except").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_negative_pairs(sf_dir: str):
     # Deterministic negative sampling (raylink/ops/sample.py
     # negative_pairs): per customer, 3 suppliers OUTSIDE its nation
@@ -2455,6 +2494,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_topk": _q_block_topk,
         "block_hist": _q_block_hist,
         "negative_pairs": _q_negative_pairs,
+        "intersect_keys": _q_intersect_keys,
+        "except_keys": _q_except_keys,
         # rows-only (sketch-based / iterative / binary)
         "minhash_dedup": _q_minhash_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -3722,6 +3763,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_blocks,
                    SUM(n)::BIGINT AS n_rows
             FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "intersect_keys": """
+            SELECT doc_id FROM documents WHERE lang = 'en'
+            INTERSECT
+            SELECT doc_id FROM documents WHERE n_chars >= 200
+            ORDER BY doc_id
+        """,
+        "except_keys": """
+            SELECT doc_id FROM documents WHERE lang = 'en'
+            EXCEPT
+            SELECT doc_id FROM documents WHERE n_chars >= 200
+            ORDER BY doc_id
         """,
         # the Knuth-mix trial hash replayed in HUGEINT; dedup keeps the
         # min trial, positives (same-nation pairs) anti-joined, first 3

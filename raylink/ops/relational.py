@@ -754,3 +754,52 @@ def grouped_moments(
         Sum("sum_e6", alias_name="sum_e6"),
         Sum("sumsq_e12", alias_name="sumsq_e12"),
     )
+
+
+def set_op_distinct(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    cols: list[str],
+    op: str,
+) -> ray.data.Dataset:
+    """SQL ``INTERSECT`` / ``EXCEPT`` (distinct set semantics) over
+    arbitrary key-column tuples, in ONE exchange: both sides are tagged
+    with a presence bit, unioned, and a single
+    ``groupby(cols).max(side bits)`` decides membership — no join, no
+    second shuffle, no driver collection. ``op``: ``"intersect"`` keeps
+    tuples present in BOTH inputs, ``"except"`` keeps distinct tuples of
+    ``ds1`` absent from ``ds2``."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"set_op_distinct: unknown op {op!r}")
+    from ray.data.aggregate import Max
+
+    def _tag(side: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            out = {c: batch.column(c) for c in cols}
+            n = batch.num_rows
+            out["_s1"] = pa.array(
+                np.full(n, 1 if side == 1 else 0, dtype=np.int64)
+            )
+            out["_s2"] = pa.array(
+                np.full(n, 1 if side == 2 else 0, dtype=np.int64)
+            )
+            return pa.table(out)
+
+        return _t
+
+    both = ds1.select_columns(cols).map_batches(
+        _tag(1), batch_format="pyarrow"
+    ).union(
+        ds2.select_columns(cols).map_batches(_tag(2), batch_format="pyarrow")
+    )
+    agg = both.groupby(cols).aggregate(
+        Max("_s1", alias_name="_s1"), Max("_s2", alias_name="_s2")
+    )
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        s1 = batch.column("_s1").to_numpy(zero_copy_only=False)
+        s2 = batch.column("_s2").to_numpy(zero_copy_only=False)
+        mask = (s1 == 1) & ((s2 == 1) if op == "intersect" else (s2 == 0))
+        return batch.filter(pa.array(mask)).select(cols)
+
+    return agg.map_batches(_keep, batch_format="pyarrow")

@@ -1670,3 +1670,37 @@ def test_negative_pairs_deterministic_and_disjoint():
           + np.arange(6, dtype=np.uint64) * np.uint64(2246822519)) % np.uint64(1 << 32)
     props = set(np.sort(right)[(hv % np.uint64(len(right))).astype(int)])
     assert set(out.loc[out["a"] == a, "b"]) <= props
+
+
+def test_set_op_distinct_matches_duckdb_multicol():
+    """INTERSECT / EXCEPT over two-column tuples vs DuckDB, including
+    duplicate input rows (set semantics) and tuples unique to each side."""
+    import duckdb
+
+    from raylink.ops.relational import set_op_distinct
+
+    rng = np.random.default_rng(41)
+    A = pd.DataFrame(
+        {"x": rng.integers(0, 15, 400), "y": rng.integers(0, 6, 400)}
+    ).astype(np.int64)
+    B = pd.DataFrame(
+        {"x": rng.integers(5, 20, 300), "y": rng.integers(0, 6, 300)}
+    ).astype(np.int64)
+    for op, sql in (("intersect", "INTERSECT"), ("except", "EXCEPT")):
+        got = (
+            set_op_distinct(
+                rd.from_pandas(A).repartition(3),
+                rd.from_pandas(B).repartition(2),
+                ["x", "y"],
+                op,
+            )
+            .to_pandas()
+            .sort_values(["x", "y"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            duckdb.sql(f"SELECT x, y FROM A {sql} SELECT x, y FROM B ORDER BY x, y")
+            .df()
+            .astype(np.int64)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
