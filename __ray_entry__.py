@@ -345,6 +345,47 @@ def _q_jaccard_kernel(sf_dir: str):
     return out.to_pandas().sort_values(["c_custkey", "s_suppkey"]).reset_index(drop=True)
 
 
+def _q_mutual_best(sf_dir: str):
+    """Reciprocal best match (ops/relational.mutual_best) over the
+    jw_kernel cross scores: the symmetric-argmax 1:1 decision rule, two
+    rank exchanges + a stateless filter."""
+    import ray
+
+    from raylink.ops.relational import mutual_best
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    ref = ray.put(
+        (supp["s_suppkey"].to_numpy(), [s.lower() for s in supp["s_name"]])
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def _cross(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        from raylink.features import jw_cross
+
+        s_ids, s_low = _ray.get(ref)
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        c_low = [c.lower() for c in batch.column("c_name").to_pylist()]
+        nc, ns = len(c_low), len(s_low)
+        ai = np.repeat(np.arange(nc), ns)
+        bi = np.tile(np.arange(ns), nc)
+        jw = jw_cross(c_low, s_low, ai, bi, boost_threshold=0.7)
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck[ai], type=pa.int64()),
+                "s_suppkey": pa.array(s_ids[bi], type=pa.int64()),
+                "jw_e6": pa.array(
+                    np.round(jw * 1_000_000).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    pairs = cust.map_batches(_cross, batch_format="pyarrow")
+    out = mutual_best(pairs, "c_custkey", "s_suppkey", "jw_e6").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def _q_ann_topk(sf_dir: str):
     from raylink.ops.ann import knn_brute_force
 
@@ -2441,6 +2482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jw_kernel": _q_jw,
         "lev_kernel": _q_lev,
         "jaccard_kernel": _q_jaccard_kernel,
+        "mutual_best": _q_mutual_best,
         "ann_topk": _q_ann_topk,
         "knn_ivf": _q_knn_ivf,
         "quantile_filter": _q_quantile_filter,
@@ -2830,6 +2872,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(jaccard(lower(c_name), lower(s_name)) * 1000000) AS BIGINT) AS jac_e6
             FROM customer CROSS JOIN supplier
             ORDER BY c_custkey, s_suppkey
+        """,
+        "mutual_best": """
+            WITH p AS (
+                SELECT c_custkey, s_suppkey,
+                       CAST(ROUND(jaro_winkler_similarity(lower(c_name), lower(s_name)) * 1000000) AS BIGINT) AS jw_e6
+                FROM customer CROSS JOIN supplier
+            ),
+            ra AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY c_custkey ORDER BY jw_e6 DESC, s_suppkey
+                ) AS rn_a FROM p
+            ),
+            rb AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY s_suppkey ORDER BY jw_e6 DESC, c_custkey
+                ) AS rn_b FROM ra
+            )
+            SELECT c_custkey, s_suppkey, jw_e6
+            FROM rb WHERE rn_a = 1 AND rn_b = 1
+            ORDER BY c_custkey
         """,
         "ann_topk": """
             SELECT CAST(RANK() OVER (ORDER BY list_cosine_similarity(e2.embedding, e1.embedding) DESC, e2.vec_id) AS BIGINT) AS rank,

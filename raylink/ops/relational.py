@@ -803,3 +803,58 @@ def set_op_distinct(
         return batch.filter(pa.array(mask)).select(cols)
 
     return agg.map_batches(_keep, batch_format="pyarrow")
+
+
+def mutual_best(
+    pairs: ray.data.Dataset,
+    a_col: str,
+    b_col: str,
+    score_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """RECIPROCAL best match over a scored pair table: keep ``(a, b)``
+    iff ``b`` is ``a``'s single best partner AND ``a`` is ``b``'s — the
+    standard high-precision decision rule for 1:1 entity resolution
+    (symmetric argmax), fully deterministic via the total tie order
+    ``(score DESC, partner ASC)``.
+
+    Shape: two :func:`raylink.ops.window.windowed_rank` exchanges over
+    the pair table (rank within ``a``, then rank within ``b`` with the
+    first rank riding along as a carried column) and a stateless filter —
+    no joins, no driver collection; the skew bound is the hottest key's
+    pair list, same as the rank operator's.
+    """
+    from raylink.ops.window import windowed_rank
+
+    def _neg(batch: pa.Table) -> pa.Table:
+        s = batch.column(score_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                a_col: batch.column(a_col),
+                b_col: batch.column(b_col),
+                score_col: batch.column(score_col),
+                "_ns": pa.array(-s.astype(np.int64)),
+            }
+        )
+
+    t = pairs.map_batches(_neg, batch_format="pyarrow")
+    # rank of each pair within its a (1 = best); b rides in the order
+    # tuple as the deterministic tie-break
+    t = windowed_rank(
+        t, a_col, ["_ns", b_col, score_col], out_col="rn_a",
+        num_partitions=num_partitions,
+    )
+    # second exchange: rank within b; rn_a is carried as a trailing order
+    # column (inert — the prefix (_ns, a) is already a total order)
+    t = windowed_rank(
+        t, b_col, ["_ns", a_col, score_col, "rn_a"], out_col="rn_b",
+        num_partitions=num_partitions,
+    )
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        ra = batch.column("rn_a").to_numpy(zero_copy_only=False)
+        rb = batch.column("rn_b").to_numpy(zero_copy_only=False)
+        keep = (ra == 1) & (rb == 1)
+        return batch.filter(pa.array(keep)).select([a_col, b_col, score_col])
+
+    return t.map_batches(_keep, batch_format="pyarrow")

@@ -1704,3 +1704,43 @@ def test_set_op_distinct_matches_duckdb_multicol():
             .astype(np.int64)
         )
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_mutual_best_matches_duckdb():
+    """Symmetric argmax vs DuckDB double-QUALIFY, with score ties broken
+    by partner id and keys that are nobody's reciprocal best."""
+    import duckdb
+
+    from raylink.ops.relational import mutual_best
+
+    rng = np.random.default_rng(47)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 40, n).astype(np.int64),
+            "b": rng.integers(100, 160, n).astype(np.int64),
+            "s": rng.integers(0, 50, n).astype(np.int64),  # narrow → ties
+        }
+    ).drop_duplicates(["a", "b"])
+    got = (
+        mutual_best(rd.from_pandas(df).repartition(4), "a", "b", "s")
+        .to_pandas()
+        .sort_values("a")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        """
+        WITH ra AS (
+            SELECT *, row_number() OVER (PARTITION BY a ORDER BY s DESC, b) rn_a
+            FROM df
+        ),
+        rb AS (
+            SELECT *, row_number() OVER (PARTITION BY b ORDER BY s DESC, a) rn_b
+            FROM ra
+        )
+        SELECT a, b, s FROM rb WHERE rn_a = 1 AND rn_b = 1 ORDER BY a
+        """
+    ).df().astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
+    # reciprocity: each a and each b appears at most once
+    assert got["a"].is_unique and got["b"].is_unique
