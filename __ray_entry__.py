@@ -1865,6 +1865,18 @@ def _q_winsorize(sf_dir: str):
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_mad_outliers(sf_dir: str):
+    # Robust median/MAD outlier flags (raylink/ops/sample.py
+    # mad_outliers): two select_kth histogram-bisection searches + one
+    # stateless flag map, all-integer comparisons.
+    from raylink.ops.sample import mad_outliers
+
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+    med6, mad6, out = mad_outliers(ev, "value", "event_id", c=3)
+    df = out.to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_vector_mean(sf_dir: str):
     # Per-label embedding centroid evidence (raylink/ops/kmeans.py
     # grouped_vector_mean): e6-quantized per component, per-batch
@@ -2536,6 +2548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_topk": _q_block_topk,
         "block_hist": _q_block_hist,
         "negative_pairs": _q_negative_pairs,
+        "mad_outliers": _q_mad_outliers,
         "intersect_keys": _q_intersect_keys,
         "except_keys": _q_except_keys,
         # rows-only (sketch-based / iterative / binary)
@@ -3897,6 +3910,38 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT v6 FROM r WHERE rn = CAST(ceil(0.95 * n - 1e-9) AS BIGINT) LIMIT 1)
                    ) AS v6_w
             FROM q ORDER BY event_id
+        """,
+        # lower-median (= the (n+1)//2-th smallest VALUE, select_kth's
+        # contract) for both the center and the MAD; all-integer flags
+        "mad_outliers": """
+            WITH q AS (
+                SELECT event_id,
+                       CAST(ROUND(value * 1000000) AS BIGINT) AS v6
+                FROM events
+            ),
+            med AS (
+                SELECT v6 AS m FROM (
+                    SELECT v6, row_number() OVER (ORDER BY v6) AS rn,
+                           count(*) OVER () AS n
+                    FROM q
+                ) WHERE rn = (n + 1) // 2
+            ),
+            dev AS (
+                SELECT event_id, v6,
+                       abs(v6 - (SELECT m FROM med)) AS dev6
+                FROM q
+            ),
+            mad AS (
+                SELECT dev6 AS m FROM (
+                    SELECT dev6, row_number() OVER (ORDER BY dev6) AS rn,
+                           count(*) OVER () AS n
+                    FROM dev
+                ) WHERE rn = (n + 1) // 2
+            )
+            SELECT event_id, v6, dev6,
+                   CAST(CASE WHEN dev6 > 3 * (SELECT m FROM mad)
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+            FROM dev ORDER BY event_id
         """,
         "vector_mean": """
             WITH e AS (

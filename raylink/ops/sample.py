@@ -557,3 +557,73 @@ def negative_pairs(
         lambda t: t.filter(pc.less_equal(t.column("rn"), pa.scalar(n_neg))),
         batch_format="pyarrow",
     )
+
+
+def mad_outliers(
+    ds: ray.data.Dataset,
+    value_col: str,
+    id_col: str,
+    c: int = 3,
+    num_buckets: int = 1 << 16,
+) -> tuple[int, int, ray.data.Dataset]:
+    """Robust (median/MAD) outlier flags, integer-exact: median = the
+    ``(n+1)//2``-th smallest e6-quantized value (lower median — an
+    element, never an interpolation), MAD = the same order statistic of
+    ``|v6 − median|``, and a row is an outlier iff
+    ``|v6 − median| > c · MAD``. Every comparison is int64, so the flags
+    replay bit-exactly in SQL (the ``mad_outliers`` gate).
+
+    Scale shape: exactly like :func:`winsorize` — two
+    :func:`select_kth` histogram-bisection searches (map-only passes,
+    512 KiB driver footprint) plus one stateless flag map; no sort, no
+    shuffle. The robust alternative to mean/std filters: a contaminated
+    tail moves the MAD by at most one order statistic, where a variance
+    filter chases its own outliers.
+
+    Returns ``(med6, mad6, dataset)`` with rows
+    ``(id_col, v6, dev6, is_outlier)``.
+    """
+
+    def _q6(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "v6": pa.array(np.round(v * 1e6).astype(np.int64)),
+            }
+        )
+
+    q6 = ds.select_columns([id_col, value_col]).map_batches(
+        _q6, batch_format="pyarrow"
+    )
+    n = q6.count()
+    if n == 0:
+        raise ValueError("mad_outliers: empty input")
+    k = (n + 1) // 2
+    med6 = select_kth(q6, "v6", k, num_buckets=num_buckets)
+
+    def _dev(batch: pa.Table) -> pa.Table:
+        v = batch.column("v6").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "v6": batch.column("v6"),
+                "dev6": pa.array(np.abs(v - med6)),
+            }
+        )
+
+    dev = q6.map_batches(_dev, batch_format="pyarrow")
+    mad6 = select_kth(dev, "dev6", k, num_buckets=num_buckets)
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        d = batch.column("dev6").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "v6": batch.column("v6"),
+                "dev6": batch.column("dev6"),
+                "is_outlier": pa.array((d > c * mad6).astype(np.int64)),
+            }
+        )
+
+    return med6, mad6, dev.map_batches(_flag, batch_format="pyarrow")

@@ -1744,3 +1744,32 @@ def test_mutual_best_matches_duckdb():
     pd.testing.assert_frame_equal(got, exp)
     # reciprocity: each a and each b appears at most once
     assert got["a"].is_unique and got["b"].is_unique
+
+
+def test_mad_outliers_matches_numpy_reference():
+    """Median/MAD flags vs a numpy sort-based reference: lower-median
+    contract, planted outliers flagged, inliers clean, all-integer."""
+    from raylink.ops.sample import mad_outliers
+
+    rng = np.random.default_rng(53)
+    vals = np.concatenate(
+        [rng.normal(50, 2, 900), np.array([500.0, -400.0, 510.0])]
+    )
+    df = pd.DataFrame(
+        {"id": np.arange(len(vals), dtype=np.int64), "v": vals}
+    )
+    med6, mad6, out = mad_outliers(
+        rd.from_pandas(df).repartition(4), "v", "id", c=3
+    )
+    got = out.to_pandas().sort_values("id").reset_index(drop=True)
+    v6 = np.round(vals * 1e6).astype(np.int64)
+    k = (len(v6) + 1) // 2
+    exp_med = np.sort(v6)[k - 1]
+    dev = np.abs(v6 - exp_med)
+    exp_mad = np.sort(dev)[k - 1]
+    assert (med6, mad6) == (exp_med, exp_mad)
+    exp_flag = (dev > 3 * exp_mad).astype(np.int64)
+    assert (got["is_outlier"].to_numpy() == exp_flag).all()
+    # the planted gross outliers are all flagged (3*MAD ~ 2 sigma here, so
+    # some genuine tail rows are flagged too — as the reference agrees)
+    assert got.loc[got["id"] >= 900, "is_outlier"].tolist() == [1, 1, 1]
