@@ -307,6 +307,43 @@ def _q_lev(sf_dir: str):
     return out.to_pandas().sort_values(["c_custkey", "s_suppkey"]).reset_index(drop=True)
 
 
+def _q_damerau(sf_dir: str):
+    """Unrestricted Damerau-Levenshtein kernel (features.damerau_cross,
+    Lowrance-Wagner vectorized over the pair axis in memory-bounded
+    slabs) over the same cross product, gated vs DuckDB's
+    damerau_levenshtein()."""
+    import ray
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    ref = ray.put(
+        (supp["s_suppkey"].to_numpy(), [s.lower() for s in supp["s_name"]])
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def _cross(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        from raylink.features import damerau_cross
+
+        s_ids, s_low = _ray.get(ref)
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        c_low = [c.lower() for c in batch.column("c_name").to_pylist()]
+        nc, ns = len(c_low), len(s_low)
+        ai = np.repeat(np.arange(nc), ns)
+        bi = np.tile(np.arange(ns), nc)
+        dl = damerau_cross(c_low, s_low, ai, bi)
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck[ai], type=pa.int64()),
+                "s_suppkey": pa.array(s_ids[bi], type=pa.int64()),
+                "dl": pa.array(dl, type=pa.int64()),
+            }
+        )
+
+    out = cust.map_batches(_cross, batch_format="pyarrow")
+    return out.to_pandas().sort_values(["c_custkey", "s_suppkey"]).reset_index(drop=True)
+
+
 def _q_jaccard_kernel(sf_dir: str):
     """Character-set Jaccard (DuckDB jaccard() semantics) over the same
     cross product, via one membership-matrix build per side and boolean
@@ -2493,6 +2530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "jw_kernel": _q_jw,
         "lev_kernel": _q_lev,
+        "damerau_kernel": _q_damerau,
         "jaccard_kernel": _q_jaccard_kernel,
         "mutual_best": _q_mutual_best,
         "ann_topk": _q_ann_topk,
@@ -2877,6 +2915,12 @@ def oracle_sql() -> dict[str, str]:
         "lev_kernel": """
             SELECT c_custkey, s_suppkey,
                    CAST(levenshtein(lower(c_name), lower(s_name)) AS BIGINT) AS lev
+            FROM customer CROSS JOIN supplier
+            ORDER BY c_custkey, s_suppkey
+        """,
+        "damerau_kernel": """
+            SELECT c_custkey, s_suppkey,
+                   CAST(damerau_levenshtein(lower(c_name), lower(s_name)) AS BIGINT) AS dl
             FROM customer CROSS JOIN supplier
             ORDER BY c_custkey, s_suppkey
         """,

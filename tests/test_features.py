@@ -175,3 +175,36 @@ def test_charset_jaccard_cross_matches_duckdb():
     # empty-vs-empty is 1.0, empty-vs-nonempty 0.0 (DuckDB raises on these)
     assert charset_jaccard_cross([""], [""], np.array([0]), np.array([0]))[0] == 1.0
     assert charset_jaccard_cross([""], ["a"], np.array([0]), np.array([0]))[0] == 0.0
+
+
+def test_damerau_cross_matches_scalar_and_duckdb():
+    """Unrestricted Damerau-Levenshtein (Lowrance-Wagner): vectorized ==
+    scalar == DuckDB, incl. the ca->abc=2 drifting-transposition case
+    where OSA says 3, empty strings, and the scalar-fallback row."""
+    import random
+
+    from raylink.features import damerau_cross, damerau_distance
+
+    rng = random.Random(29)
+    alpha = "abcd #"
+    A = ["", "ca", "ab", "x" * 80] + [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        for _ in range(35)
+    ]
+    B = ["", "abc", "ba"] + [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        for _ in range(30)
+    ]
+    na, nb = len(A), len(B)
+    ai = np.repeat(np.arange(na), nb)
+    bi = np.tile(np.arange(nb), na)
+    got = damerau_cross(A, B, ai, bi, chunk=300)
+    con = duckdb.connect()
+    for k in range(len(ai)):
+        a, b = A[ai[k]], B[bi[k]]
+        exp = con.sql(
+            "select damerau_levenshtein(?, ?)", params=[a, b]
+        ).fetchone()[0]
+        assert got[k] == exp == damerau_distance(a, b), (a, b)
+    assert damerau_distance("ca", "abc") == 2
+    assert osa_distance("ca", "abc") == 3
