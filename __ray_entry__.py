@@ -1902,6 +1902,43 @@ def _q_winsorize(sf_dir: str):
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_grouped_argmax(sf_dir: str):
+    # Per-group argmax as ONE bit-packed Max aggregate (ops/relational
+    # grouped_argmax): richest customer per nation, tie -> larger key.
+    from raylink.ops.relational import grouped_argmax
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def _q2(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_nationkey": batch.column("c_nationkey"),
+                "bal_e2": pa.array(np.round(bal * 100).astype(np.int64)),
+                "c_custkey": batch.column("c_custkey"),
+            }
+        )
+
+    out = grouped_argmax(
+        cust.map_batches(_q2, batch_format="pyarrow"),
+        "c_nationkey", "bal_e2", "c_custkey",
+    ).to_pandas()
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def _q_vocab_by_lang(sf_dir: str):
+    # Stratified vocabulary (ops/text.grouped_vocab_topk): per-language
+    # top-5 tokens — Counter partials, one (lang, token) groupby sum,
+    # one per-group rank exchange over the summed table.
+    from raylink.ops.text import grouped_vocab_topk
+
+    docs = _read(sf_dir, "documents", columns=["lang", "text"])
+    out = grouped_vocab_topk(docs, "lang", k=5).to_pandas()
+    return out.sort_values(["lang", "rn"]).reset_index(drop=True)
+
+
 def _q_mad_outliers(sf_dir: str):
     # Robust median/MAD outlier flags (raylink/ops/sample.py
     # mad_outliers): two select_kth histogram-bisection searches + one
@@ -2587,6 +2624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_hist": _q_block_hist,
         "negative_pairs": _q_negative_pairs,
         "mad_outliers": _q_mad_outliers,
+        "grouped_argmax": _q_grouped_argmax,
+        "vocab_by_lang": _q_vocab_by_lang,
         "intersect_keys": _q_intersect_keys,
         "except_keys": _q_except_keys,
         # rows-only (sketch-based / iterative / binary)
@@ -3954,6 +3993,42 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT v6 FROM r WHERE rn = CAST(ceil(0.95 * n - 1e-9) AS BIGINT) LIMIT 1)
                    ) AS v6_w
             FROM q ORDER BY event_id
+        """,
+        # the bit-packed argmax replayed in BIGINT: integer order of the
+        # packed value == lexicographic (value, arg) order
+        "grouped_argmax": """
+            WITH q AS (
+                SELECT c_nationkey,
+                       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_e2,
+                       c_custkey
+                FROM customer
+            ),
+            p AS (
+                SELECT c_nationkey,
+                       MAX((bal_e2 + 2147483648) * 2147483648 + c_custkey) AS pk
+                FROM q GROUP BY c_nationkey
+            )
+            SELECT c_nationkey,
+                   CAST(pk // 2147483648 - 2147483648 AS BIGINT) AS bal_e2,
+                   CAST(pk % 2147483648 AS BIGINT) AS c_custkey
+            FROM p ORDER BY c_nationkey
+        """,
+        "vocab_by_lang": """
+            WITH tok AS (
+                SELECT lang,
+                       lower(unnest(regexp_extract_all(text, '[0-9A-Za-z_]+'))) AS token
+                FROM documents
+            ),
+            c AS (
+                SELECT lang, token, COUNT(*)::BIGINT AS cnt
+                FROM tok GROUP BY lang, token
+            )
+            SELECT lang, token, cnt,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY cnt DESC, token
+                   ) AS BIGINT) AS rn
+            FROM c QUALIFY rn <= 5
+            ORDER BY lang, rn
         """,
         # lower-median (= the (n+1)//2-th smallest VALUE, select_kth's
         # contract) for both the center and the MAD; all-integer flags

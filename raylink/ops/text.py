@@ -514,3 +514,77 @@ def bpe_pair_counts(
         .limit(k)
         .map_batches(_split, batch_format="pyarrow")
     )
+
+
+def grouped_vocab_topk(
+    ds: ray.data.Dataset,
+    group_col: str,
+    k: int = 10,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-GROUP top-k token vocabulary (e.g. per language, per source
+    shard) — the stratified counterpart of :func:`vocab_topk`, same
+    tokenizer contract (ASCII ``\\w+`` runs, lowered; replayable by
+    DuckDB's ``regexp_extract_all`` + ``lower``).
+
+    Shape: per-batch ``(group, token, cnt)`` Counter partials (the
+    combiner — the exchange moves distinct-per-batch rows, not the
+    occurrence stream), one groupby sum, then a per-group rank in one
+    :func:`raylink.ops.window.windowed_rank` exchange on the SMALL summed
+    table under the total tie order (cnt DESC, token ASC). Returns
+    ``(group_col, token, cnt, rn)`` rows with ``rn ≤ k``.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from raylink.ops.window import windowed_rank
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        groups = batch.column(group_col).to_pylist()
+        for g, t in zip(groups, batch.column(text_col).to_pylist()):
+            for tok in _WORD_RE.findall(t):
+                c[(g, tok.lower())] += 1
+        gs = [g for g, _ in c.keys()]
+        toks = [t for _, t in c.keys()]
+        return pa.table(
+            {
+                group_col: pa.array(gs),
+                "token": pa.array(toks, type=pa.string()),
+                "cnt": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    summed = (
+        ds.select_columns([group_col, text_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby([group_col, "token"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def _neg(batch: pa.Table) -> pa.Table:
+        c = batch.column("cnt").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "token": batch.column("token"),
+                "cnt": batch.column("cnt"),
+                "_nc": pa.array(-c.astype(np.int64)),
+            }
+        )
+
+    ranked = windowed_rank(
+        summed.map_batches(_neg, batch_format="pyarrow"),
+        group_col,
+        ["_nc", "token", "cnt"],
+        out_col="rn",
+    )
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        rn = batch.column("rn").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(rn <= k)).select(
+            [group_col, "token", "cnt", "rn"]
+        )
+
+    return ranked.map_batches(_keep, batch_format="pyarrow")

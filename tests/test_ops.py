@@ -1773,3 +1773,73 @@ def test_mad_outliers_matches_numpy_reference():
     # the planted gross outliers are all flagged (3*MAD ~ 2 sigma here, so
     # some genuine tail rows are flagged too — as the reference agrees)
     assert got.loc[got["id"] >= 900, "is_outlier"].tolist() == [1, 1, 1]
+
+
+def test_grouped_argmax_packing_and_ties():
+    """Bit-packed Max argmax vs pandas idxmax with the (value, arg)
+    lexicographic tie rule; negative values; contract violations raise."""
+    from raylink.ops.relational import grouped_argmax
+
+    rng = np.random.default_rng(59)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 12, 600).astype(np.int64),
+            "v": rng.integers(-500, 500, 600).astype(np.int64),
+            "a": rng.integers(0, 10**6, 600).astype(np.int64),
+        }
+    )
+    got = (
+        grouped_argmax(rd.from_pandas(df).repartition(5), "g", "v", "a")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["g", "v", "a"])
+        .groupby("g", as_index=False)
+        .tail(1)
+        .sort_values("g")
+        .reset_index(drop=True)[["g", "v", "a"]]
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    with pytest.raises(Exception):
+        bad = pd.DataFrame({"g": [0], "v": [1 << 31], "a": [0]})
+        grouped_argmax(rd.from_pandas(bad), "g", "v", "a").to_pandas()
+
+
+def test_grouped_vocab_topk_matches_duckdb():
+    import duckdb
+
+    from raylink.ops.text import grouped_vocab_topk
+
+    docs = pd.DataFrame(
+        {
+            "grp": ["a", "a", "b", "b", "b"],
+            "text": [
+                "the cat sat on the mat",
+                "the dog ate the cat food",
+                "alpha beta beta gamma",
+                "beta gamma gamma delta",
+                "Gamma GAMMA tie tie tie",
+            ],
+        }
+    )
+    got = (
+        grouped_vocab_topk(rd.from_pandas(docs), "grp", k=2)
+        .to_pandas()
+        .sort_values(["grp", "rn"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        """
+        WITH tok AS (
+            SELECT grp, lower(unnest(regexp_extract_all(text, '[0-9A-Za-z_]+'))) AS token
+            FROM docs
+        ),
+        c AS (SELECT grp, token, COUNT(*)::BIGINT cnt FROM tok GROUP BY grp, token)
+        SELECT grp, token, cnt,
+               CAST(row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, token) AS BIGINT) rn
+        FROM c QUALIFY rn <= 2 ORDER BY grp, rn
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, exp)
