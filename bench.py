@@ -412,6 +412,98 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t = time.perf_counter()
         bpe_pair_counts(docs, k=50).count()
         q["bpe_pairs"] = round(time.perf_counter() - t, 3)
+
+        # string-kernel throughput: plain-Levenshtein + unrestricted DL
+        # over a 300x300 name cross per batch (pair-axis vectorized DPs)
+        from raylink.features import damerau_cross, lev_cross
+
+        cst = read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        )
+
+        def _kernels(batch):
+            names = [s.lower() for s in batch.column("c_name").to_pylist()]
+            nn = min(len(names), 300)
+            ai = np.repeat(np.arange(nn), nn)
+            bi = np.tile(np.arange(nn), nn)
+            lv = lev_cross(names[:nn], names[:nn], ai, bi)
+            dl = damerau_cross(names[:nn], names[:nn], ai, bi)
+            import pyarrow as _pa
+
+            return _pa.table({"s": _pa.array([int(lv.sum() + dl.sum())])})
+
+        t = time.perf_counter()
+        cst.map_batches(
+            _kernels, batch_format="pyarrow", batch_size=300
+        ).count()
+        q["string_kernels"] = round(time.perf_counter() - t, 3)
+
+        # integer fixed-point PageRank, 4 iterations over the symmetrized
+        # same-source band graph (two exchanges per iteration)
+        from raylink.ops.graph import k_core, pagerank
+
+        dsrc = read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+
+        def _band_edges_tbl(batch):
+            import pyarrow as _pa
+
+            df = batch.to_pandas().sort_values(["source", "doc_id"])
+            ids = df["doc_id"].to_numpy()
+            src = df["source"].to_numpy()
+            outs_a, outs_b = [], []
+            k = 1
+            while k < len(ids):
+                m = (src[k:] == src[:-k]) & (ids[k:] - ids[:-k] <= 60)
+                if not m.any():
+                    break
+                outs_a.append(ids[:-k][m])
+                outs_b.append(ids[k:][m])
+                k += 1
+            a = np.concatenate(outs_a) if outs_a else np.array([], dtype=np.int64)
+            b = np.concatenate(outs_b) if outs_b else np.array([], dtype=np.int64)
+            return _pa.table(
+                {
+                    "src": _pa.array(np.concatenate([a, b]).astype(np.int64)),
+                    "dst": _pa.array(np.concatenate([b, a]).astype(np.int64)),
+                }
+            )
+
+        edges = dsrc.repartition(16).map_batches(
+            _band_edges_tbl, batch_format="pyarrow"
+        ).materialize()
+        t = time.perf_counter()
+        pagerank(edges, iters=4).count()
+        q["pagerank"] = round(time.perf_counter() - t, 3)
+
+        def _und(tb):
+            import pyarrow.compute as _pc
+
+            return tb.filter(
+                _pc.less(tb.column("src"), tb.column("dst"))
+            ).rename_columns(["a", "b"])
+
+        t = time.perf_counter()
+        k_core(
+            edges.map_batches(_und, batch_format="pyarrow"),
+            4,
+            max_rounds=4,
+        ).count()
+        q["kcore"] = round(time.perf_counter() - t, 3)
+
+        # LAG/LEAD/NTILE + reciprocal best match: rank-exchange shapes
+        from raylink.ops.window import lead_lag
+
+        ev5 = read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts"],
+        )
+        t = time.perf_counter()
+        lead_lag(
+            ev5, "user_id", ["ts", "event_id"], "event_id", ntile_n=4
+        ).count()
+        q["lead_lag"] = round(time.perf_counter() - t, 3)
         return q
 
     # ---- repetitions: median-of-N (host noise robust) --------------------
