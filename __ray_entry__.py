@@ -439,6 +439,94 @@ def _q_ann_topk(sf_dir: str):
     )
 
 
+def _q_ann_recall(sf_dir: str):
+    # The APPROXIMATE operating point itself inside the SQL gate: IVF
+    # partial probe (nprobe=2 of 8) using the SQL-pinned full-data
+    # k-means centroids (the kmeans_assign frozen-state device), top-10
+    # among the probed buckets, each hit flagged whether it is in the
+    # exact top-10 — so recall@10 of the sketch is oracle-checked, not
+    # just pytest-estimated.
+    from raylink.ops.ann import build_ivf_index, knn_brute_force, knn_ivf
+
+    embs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrow = embs.filter(expr="vec_id == 0").take(1)[0]
+    q = np.asarray(qrow["embedding"], dtype=np.float64)
+    cent, bucketed = build_ivf_index(embs, centroids=_kmeans_centroids(sf_dir))
+    res = knn_ivf(bucketed, cent, q, k=11, nprobe=2)
+    apx = [i for _, i in res[0] if i != 0][:10]
+    exact = {i for _, i in knn_brute_force(embs, q, k=10, exclude_ids={0})[0]}
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(apx) + 1, dtype=np.int64),
+            "vec_id": np.asarray(apx, dtype=np.int64),
+            "in_exact": np.asarray(
+                [1 if i in exact else 0 for i in apx], dtype=np.int64
+            ),
+        }
+    )
+
+
+def _ann_recall_sql(sf_dir: str) -> str:
+    cent = _kmeans_centroids(sf_dir)
+    rows = ",".join(
+        "(%d,[%s]::DOUBLE[])" % (i, ",".join(repr(float(x)) for x in v))
+        for i, v in enumerate(cent)
+    )
+    return f"""
+        WITH cent(cid, v) AS (VALUES {rows}),
+        e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+            FROM embeddings
+        ),
+        qv AS (SELECT ev FROM e WHERE vec_id = 0),
+        assign AS (
+            SELECT vec_id, cid AS bucket FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.ev, c.v) DESC, c.cid
+                       ) AS rn
+                FROM e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT cid FROM (
+                SELECT c.cid,
+                       ROW_NUMBER() OVER (
+                           ORDER BY list_cosine_similarity((SELECT ev FROM qv), c.v) DESC, c.cid
+                       ) AS rn
+                FROM cent c
+            ) WHERE rn <= 2
+        ),
+        apx AS (
+            SELECT vec_id, rnk FROM (
+                SELECT e2.vec_id,
+                       RANK() OVER (
+                           ORDER BY list_cosine_similarity((SELECT ev FROM qv), e2.ev) DESC, e2.vec_id
+                       ) AS rnk
+                FROM e e2
+                JOIN assign a ON a.vec_id = e2.vec_id
+                WHERE a.bucket IN (SELECT cid FROM probe) AND e2.vec_id <> 0
+            ) WHERE rnk <= 10
+        ),
+        exact AS (
+            SELECT vec_id FROM (
+                SELECT e2.vec_id,
+                       RANK() OVER (
+                           ORDER BY list_cosine_similarity((SELECT ev FROM qv), e2.ev) DESC, e2.vec_id
+                       ) AS rnk
+                FROM e e2 WHERE e2.vec_id <> 0
+            ) WHERE rnk <= 10
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnk) AS BIGINT) AS rank,
+               apx.vec_id,
+               CAST(CASE WHEN apx.vec_id IN (SELECT vec_id FROM exact)
+                    THEN 1 ELSE 0 END AS BIGINT) AS in_exact
+        FROM apx ORDER BY rank
+    """
+
+
 # ---- flagship gate queries (SQL-oracled via frozen-state replay) ---------
 #
 # The flagship is iterative (active learning drives which pairs get oracle
@@ -2572,6 +2660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_best": _q_mutual_best,
         "ann_topk": _q_ann_topk,
         "knn_ivf": _q_knn_ivf,
+        "ann_recall": _q_ann_recall,
         "quantile_filter": _q_quantile_filter,
         "stratified_sample": _q_stratified_sample,
         "connected_components": _q_connected_components,
@@ -3643,6 +3732,7 @@ def oracle_sql() -> dict[str, str]:
         # k-means: iterative fit frozen as centroid literals, assignment
         # replayed (argmax cosine == argmax raw dot; ties -> smaller cid)
         "kmeans_assign": _kmeans_assign_sql(_GATE_SF),
+        "ann_recall": _ann_recall_sql(_GATE_SF),
         # SemDeDup: the kmeans_assign replay + a NOT-EXISTS survivor rule
         "semantic_dedup": _semantic_dedup_sql(_GATE_SF),
         # Fellegi–Sunter: EM fit frozen as a 16-row pattern LUT, pattern
