@@ -1990,6 +1990,15 @@ def _q_winsorize(sf_dir: str):
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_percentiles(sf_dir: str):
+    # Exact percentile summary (ops/sample.exact_percentiles): one
+    # select_kth histogram-bisection search per percentile, no sort.
+    from raylink.ops.sample import exact_percentiles
+
+    ev = _read(sf_dir, "events", columns=["value"])
+    return exact_percentiles(ev, "value")
+
+
 def _q_grouped_argmax(sf_dir: str):
     # Per-group argmax as ONE bit-packed Max aggregate (ops/relational
     # grouped_argmax): richest customer per nation, tie -> larger key.
@@ -2715,6 +2724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": _q_mad_outliers,
         "grouped_argmax": _q_grouped_argmax,
         "vocab_by_lang": _q_vocab_by_lang,
+        "percentiles": _q_percentiles,
         "intersect_keys": _q_intersect_keys,
         "except_keys": _q_except_keys,
         # rows-only (sketch-based / iterative / binary)
@@ -4083,6 +4093,27 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT v6 FROM r WHERE rn = CAST(ceil(0.95 * n - 1e-9) AS BIGINT) LIMIT 1)
                    ) AS v6_w
             FROM q ORDER BY event_id
+        """,
+        # each percentile = ceil(p*n)-th smallest VALUE (select_kth's
+        # element contract); the DECIMAL p*n vs float epsilon device is
+        # quantile_filter's
+        "percentiles": """
+            WITH q AS (
+                SELECT CAST(ROUND(value * 1000000) AS BIGINT) AS v6
+                FROM events
+            ),
+            r AS (
+                SELECT v6, row_number() OVER (ORDER BY v6) AS rn,
+                       count(*) OVER () AS n
+                FROM q
+            )
+            SELECT p_e6, CAST(CEIL(p_e6 * n / 1000000.0 - 1e-9) AS BIGINT) AS k,
+                   (SELECT v6 FROM r
+                    WHERE rn = CAST(CEIL(p_e6 * n / 1000000.0 - 1e-9) AS BIGINT)
+                    LIMIT 1) AS v6
+            FROM (SELECT unnest([250000, 500000, 750000, 900000, 990000]) AS p_e6),
+                 (SELECT count(*) AS n FROM q)
+            ORDER BY p_e6
         """,
         # the bit-packed argmax replayed in BIGINT: integer order of the
         # packed value == lexicographic (value, arg) order

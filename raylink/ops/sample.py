@@ -627,3 +627,39 @@ def mad_outliers(
         )
 
     return med6, mad6, dev.map_batches(_flag, batch_format="pyarrow")
+
+
+def exact_percentiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    num_buckets: int = 1 << 16,
+) -> pd.DataFrame:
+    """Exact percentile summary of an e6-quantized column — the
+    ``describe()`` a curation run prints before picking thresholds. Each
+    percentile is the ``ceil(p·n)``-th smallest VALUE (an element of the
+    data, :func:`select_kth`'s contract — no interpolation, so the result
+    is an exact integer and SQL-replayable). One count pass + one
+    histogram-bisection search per percentile, all map-only; no sort.
+    Returns a small DataFrame ``(p_e6, k, v6)``.
+    """
+
+    def _q6(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        return pa.table({"v6": pa.array(np.round(v * 1e6).astype(np.int64))})
+
+    q6 = ds.select_columns([value_col]).map_batches(_q6, batch_format="pyarrow")
+    n = q6.count()
+    if n == 0:
+        raise ValueError("exact_percentiles: empty input")
+    rows = []
+    for p in ps:
+        k = max(1, int(math.ceil(p * n - 1e-9)))
+        rows.append(
+            {
+                "p_e6": int(round(p * 1e6)),
+                "k": k,
+                "v6": select_kth(q6, "v6", k, num_buckets=num_buckets),
+            }
+        )
+    return pd.DataFrame(rows).astype(np.int64)

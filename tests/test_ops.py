@@ -1843,3 +1843,20 @@ def test_grouped_vocab_topk_matches_duckdb():
         """
     ).df()
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_exact_percentiles_matches_numpy():
+    from raylink.ops.sample import exact_percentiles
+
+    rng = np.random.default_rng(61)
+    vals = rng.normal(0, 100, 4321)
+    df = pd.DataFrame({"v": vals})
+    got = exact_percentiles(rd.from_pandas(df).repartition(4), "v")
+    v6 = np.sort(np.round(vals * 1e6).astype(np.int64))
+    import math as _math
+
+    for _, row in got.iterrows():
+        p = row["p_e6"] / 1e6
+        k = max(1, int(_math.ceil(p * len(v6) - 1e-9)))
+        assert row["k"] == k
+        assert row["v6"] == v6[k - 1]
