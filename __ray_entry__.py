@@ -1990,6 +1990,35 @@ def _q_winsorize(sf_dir: str):
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_cohort_counts(sf_dir: str):
+    # Cohort retention (ops/window.cohort_counts): first-activity-week
+    # cohorts x active weeks, one hash-of-user exchange with pre-counted
+    # partials into a small groupby sum.
+    from raylink.ops.window import cohort_counts
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = cohort_counts(ev).to_pandas()
+    return out.sort_values(["cohort_week", "event_week"]).reset_index(drop=True)
+
+
+def _q_corr_parts(sf_dir: str):
+    # Exact per-part correlation sufficient statistics between quantity
+    # and price (ops/relational.grouped_corr_parts): integer-quantized
+    # per row, partial (n, sx, sy, sxx, syy, sxy) rows move through the
+    # exchange — Pearson r / OLS slope are consumer arithmetic.
+    from raylink.ops.relational import grouped_corr_parts
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    out = grouped_corr_parts(
+        li, "l_partkey", "l_quantity", "l_extendedprice",
+        x_scale=1, y_scale=100,
+    ).to_pandas()
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
 def _q_percentiles(sf_dir: str):
     # Exact percentile summary (ops/sample.exact_percentiles): one
     # select_kth histogram-bisection search per percentile, no sort.
@@ -2725,6 +2754,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_argmax": _q_grouped_argmax,
         "vocab_by_lang": _q_vocab_by_lang,
         "percentiles": _q_percentiles,
+        "corr_parts": _q_corr_parts,
+        "cohort_counts": _q_cohort_counts,
         "intersect_keys": _q_intersect_keys,
         "except_keys": _q_except_keys,
         # rows-only (sketch-based / iterative / binary)
@@ -4093,6 +4124,34 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT v6 FROM r WHERE rn = CAST(ceil(0.95 * n - 1e-9) AS BIGINT) LIMIT 1)
                    ) AS v6_w
             FROM q ORDER BY event_id
+        """,
+        "cohort_counts": """
+            WITH w AS (
+                SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+                FROM events
+            ),
+            c AS (SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, wk FROM w)
+            SELECT c.cohort AS cohort_week, a.wk AS event_week,
+                   COUNT(*)::BIGINT AS n_users
+            FROM a JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "corr_parts": """
+            WITH q AS (
+                SELECT l_partkey,
+                       CAST(ROUND(l_quantity) AS BIGINT) AS xq,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yq
+                FROM lineitem
+            )
+            SELECT l_partkey,
+                   COUNT(*)::BIGINT AS n,
+                   SUM(xq)::BIGINT AS sx,
+                   SUM(yq)::BIGINT AS sy,
+                   SUM(xq * xq)::BIGINT AS sxx,
+                   SUM(yq * yq)::BIGINT AS syy,
+                   SUM(xq * yq)::BIGINT AS sxy
+            FROM q GROUP BY l_partkey ORDER BY l_partkey
         """,
         # each percentile = ceil(p*n)-th smallest VALUE (select_kth's
         # element contract); the DECIMAL p*n vs float epsilon device is

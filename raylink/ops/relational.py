@@ -916,3 +916,61 @@ def grouped_argmax(
         )
 
     return packed.map_batches(_unpack, batch_format="pyarrow")
+
+
+def grouped_corr_parts(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1_000_000,
+    y_scale: int = 1_000_000,
+    final_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact per-group CORRELATION sufficient statistics:
+    ``(group_col, n, sx, sy, sxx, syy, sxy)`` with both columns quantized
+    to integer units per row first (``round(x · x_scale)``), so every sum
+    is exact int64 and order-free — Pearson r, covariance, and the
+    OLS slope/intercept are then pure consumer arithmetic with no float
+    seam, and the SQL replay (``SUM(xq)``, ``SUM(xq*yq)``, …) is
+    bit-exact. The :func:`grouped_moments` shape extended with the cross
+    term: per-batch partial rows move through the exchange, never the
+    value rows.
+
+    Overflow contract (stated, not silently truncated): per group,
+    ``Σ xq²``, ``Σ yq²`` and ``Σ|xq·yq|`` must stay under 2⁶³ — pick
+    scales so ``max|x|·x_scale`` and ``max|y|·y_scale`` squared times the
+    hottest group's row count fit (e.g. values ±3000 at e6 with ≤10⁶
+    rows per group, or price-cents ≤10⁸ with ≤900 rows per group)."""
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        xq = np.round(batch[x_col].to_numpy() * x_scale).astype(np.int64)
+        yq = np.round(batch[y_col].to_numpy() * y_scale).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                group_col: batch[group_col],
+                "_x": xq,
+                "_y": yq,
+                "_xx": xq * xq,
+                "_yy": yq * yq,
+                "_xy": xq * yq,
+            }
+        )
+        return g.groupby(group_col, as_index=False, sort=False).agg(
+            sx=("_x", "sum"), sy=("_y", "sum"), sxx=("_xx", "sum"),
+            syy=("_yy", "sum"), sxy=("_xy", "sum"), _n=("_x", "size"),
+        )
+
+    partials = ds.select_columns([group_col, x_col, y_col]).map_batches(
+        _partial, batch_format="pandas"
+    )
+    if final_partitions is not None:
+        partials = partials.repartition(final_partitions)
+    return partials.groupby(group_col).aggregate(
+        Sum("_n", alias_name="n"),
+        Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"),
+        Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"),
+        Sum("sxy", alias_name="sxy"),
+    )

@@ -968,3 +968,69 @@ def basket_pairs(
         partials.groupby(["item_a", "item_b"])
         .aggregate(Sum("n", alias_name="n_sessions"))
     )
+
+
+def cohort_counts(
+    events: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_us: int = 604_800_000_000,  # one week
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Cohort retention table: users bucketed by their FIRST-activity
+    period (cohort), counted in every period they were active —
+    ``(cohort_week, event_week, n_users)``. Buckets are integer floors of
+    epoch microseconds (``epoch_us // bucket_us``), so the table is
+    integer-exact and SQL-replayable.
+
+    Shape: ONE hash-of-user exchange; each partition holds all of a
+    user's events, so per-user min-bucket (the cohort) AND the distinct
+    activity buckets are both local, and only pre-counted
+    ``(cohort, bucket, n)`` partials enter the final small groupby sum.
+    The skew bound is the hottest user's event list.
+    """
+    from ray.data.aggregate import Sum
+
+    from raylink.util import sorted_partition_apply
+
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        pid = (_mix64(keys.astype(np.uint64)) % P).astype(np.int64)
+        return pa.table(
+            {
+                "_pid": pa.array(pid),
+                key_col: batch.column(key_col),
+                "_wk": pa.array(_epoch_us(batch.column(ts_col)) // bucket_us),
+            }
+        )
+
+    part_schema = pa.schema(
+        [("cohort_week", pa.int64()), ("event_week", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def _cohort(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        coh = df.groupby(key_col)["_wk"].transform("min")
+        act = (
+            pd.DataFrame(
+                {"cohort_week": coh, "event_week": df["_wk"], "u": df[key_col]}
+            )
+            .drop_duplicates(["u", "event_week"])
+            .groupby(["cohort_week", "event_week"], as_index=False)
+            .agg(n=("u", "size"))
+        )
+        return pa.Table.from_pandas(
+            act.astype(np.int64), preserve_index=False
+        ).cast(part_schema)
+
+    tagged = events.map_batches(_tag, batch_format="pyarrow")
+    partials = sorted_partition_apply(
+        tagged.repartition(nparts), "_pid", _cohort, part_schema
+    )
+    return partials.groupby(["cohort_week", "event_week"]).aggregate(
+        Sum("n", alias_name="n_users")
+    )
