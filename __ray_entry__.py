@@ -2001,6 +2001,51 @@ def _q_cohort_counts(sf_dir: str):
     return out.sort_values(["cohort_week", "event_week"]).reset_index(drop=True)
 
 
+def _q_line_dedup(sf_dir: str):
+    # CCNet-style boilerplate removal (ops/lines.strip_boilerplate): one
+    # (line, n)-partial all-to-all for exact distinct-doc line counts, the
+    # Zipf-small frequent set broadcast once, then a shuffle-free cleanup
+    # map. The synthetic docs are single-line, so the gate runs the
+    # delimiter=' ' configuration (frequent-SEGMENT removal over space-
+    # separated segments) — same code path, SQL-replayable split.
+    from raylink.ops.lines import strip_boilerplate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = strip_boilerplate(
+        docs, delimiter=" ", doc_frac=(78, 100),
+        freq_partitions=2,  # synthetic corpus: ~31 distinct segments
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_funnel(sf_dir: str):
+    # Ordered funnel (ops/window.funnel_counts): one hash-of-user
+    # exchange, per-partition vectorized step chain, steps-count partials
+    # into a tiny final sum. Strict-> conversion on the integer µs grid.
+    from raylink.ops.window import funnel_counts
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    out = funnel_counts(ev, ["view", "click", "purchase"]).to_pandas()
+    return out.sort_values("step_idx").reset_index(drop=True)
+
+
+def _q_column_profile(sf_dir: str):
+    # Ingest audit (ops/profile.column_profile): per-batch distinct
+    # partials + count partials in ONE map pass; exact per-column
+    # distinct cardinality via a (col, value) groupby; only batch×col
+    # combiner rows reach the final aggregate.
+    from raylink.ops.profile import column_profile
+
+    cust = _read(
+        sf_dir, "customer",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    out = column_profile(
+        cust, ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    ).to_pandas()
+    return out.sort_values("col_name").reset_index(drop=True)
+
+
 def _q_corr_parts(sf_dir: str):
     # Exact per-part correlation sufficient statistics between quantity
     # and price (ops/relational.grouped_corr_parts): integer-quantized
@@ -2616,6 +2661,14 @@ def _q_curation(sf_dir: str):
     # -> near-dup survivors -> deterministic split, composed from the
     # individually gated operators (raylink/ops/curate.py) and replayed by
     # ONE DuckDB oracle so the composition itself is bit-exact-checked.
+    # RECALL PIN (ADVICE r3): the oracle's near-dup edge set is ALL true
+    # Jaccard>=0.5 pairs while the Ray side only sees LSH band-colliding
+    # pairs, so this gate is corpus-pinned on full LSH recall — exact here
+    # because every qualifying pair in the synthetic corpus has J >= 0.9
+    # (band-miss prob (1-s^4)^8 < 1e-6; same argument as minhash_dedup).
+    # A regenerated corpus with borderline-J pairs CAN fail this gate with
+    # no code change — that failure is real sketch recall loss, which is
+    # exactly what gating against ground truth is for.
     from raylink.ops.curate import curate_documents
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2756,6 +2809,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles": _q_percentiles,
         "corr_parts": _q_corr_parts,
         "cohort_counts": _q_cohort_counts,
+        "line_dedup": _q_line_dedup,
+        "funnel": _q_funnel,
+        "column_profile": _q_column_profile,
         "intersect_keys": _q_intersect_keys,
         "except_keys": _q_except_keys,
         # rows-only (sketch-based / iterative / binary)
@@ -4124,6 +4180,73 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT v6 FROM r WHERE rn = CAST(ceil(0.95 * n - 1e-9) AS BIGINT) LIMIT 1)
                    ) AS v6_w
             FROM q ORDER BY event_id
+        """,
+        "line_dedup": """
+            WITH l AS (
+                SELECT doc_id, generate_subscripts(ls, 1) AS ord,
+                       unnest(ls) AS line
+                FROM (SELECT doc_id, string_split(text, ' ') AS ls
+                      FROM documents)
+            ),
+            freq AS (
+                SELECT line FROM (
+                    SELECT line, COUNT(DISTINCT doc_id) AS nd
+                    FROM l WHERE line <> '' GROUP BY line
+                ) WHERE nd * 100 >= 78 * (SELECT COUNT(*) FROM documents)
+            ),
+            kept AS (
+                SELECT doc_id, ord, line FROM l
+                WHERE line = '' OR line NOT IN (SELECT line FROM freq)
+            ),
+            tot AS (SELECT doc_id, COUNT(*) AS n_total FROM l GROUP BY doc_id)
+            SELECT t.doc_id,
+                   COALESCE(string_agg(k.line, ' ' ORDER BY k.ord), '')
+                       AS text_clean,
+                   COUNT(k.line)::BIGINT AS n_kept,
+                   (ANY_VALUE(t.n_total) - COUNT(k.line))::BIGINT AS n_dropped
+            FROM tot t LEFT JOIN kept k USING (doc_id)
+            GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "funnel": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+            ),
+            s0 AS (SELECT user_id, MIN(t) AS t0 FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s1 AS (SELECT e.user_id, MIN(e.t) AS t1 FROM e JOIN s0 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.t > s0.t0
+                   GROUP BY e.user_id),
+            s2 AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.t > s1.t1
+                   GROUP BY e.user_id)
+            SELECT * FROM (
+                SELECT 0::BIGINT AS step_idx, 'view' AS step,
+                       COUNT(*)::BIGINT AS n_users FROM s0
+                UNION ALL
+                SELECT 1::BIGINT, 'click', COUNT(*)::BIGINT FROM s1
+                UNION ALL
+                SELECT 2::BIGINT, 'purchase', COUNT(*)::BIGINT FROM s2
+            ) ORDER BY step_idx
+        """,
+        "column_profile": """
+            SELECT * FROM (
+                SELECT 'c_custkey' AS col_name, COUNT(*)::BIGINT AS n_rows,
+                       (COUNT(*) - COUNT(c_custkey))::BIGINT AS n_null,
+                       COUNT(DISTINCT c_custkey)::BIGINT AS n_distinct
+                FROM customer
+                UNION ALL
+                SELECT 'c_name', COUNT(*)::BIGINT,
+                       (COUNT(*) - COUNT(c_name))::BIGINT,
+                       COUNT(DISTINCT c_name)::BIGINT FROM customer
+                UNION ALL
+                SELECT 'c_acctbal', COUNT(*)::BIGINT,
+                       (COUNT(*) - COUNT(c_acctbal))::BIGINT,
+                       COUNT(DISTINCT c_acctbal)::BIGINT FROM customer
+                UNION ALL
+                SELECT 'c_nationkey', COUNT(*)::BIGINT,
+                       (COUNT(*) - COUNT(c_nationkey))::BIGINT,
+                       COUNT(DISTINCT c_nationkey)::BIGINT FROM customer
+            ) ORDER BY col_name
         """,
         "cohort_counts": """
             WITH w AS (

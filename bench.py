@@ -504,6 +504,36 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ev5, "user_id", ["ts", "event_id"], "event_id", ntile_n=4
         ).count()
         q["lead_lag"] = round(time.perf_counter() - t, 3)
+
+        # r4-close operators: boilerplate strip (count+broadcast+map),
+        # ordered funnel (one exchange), per-column ingest profile
+        from raylink.ops.lines import strip_boilerplate
+        from raylink.ops.profile import column_profile
+        from raylink.ops.window import funnel_counts
+
+        t = time.perf_counter()
+        strip_boilerplate(
+            docs, delimiter=" ", doc_frac=(78, 100), freq_partitions=2
+        ).count()
+        q["line_dedup"] = round(time.perf_counter() - t, 3)
+
+        t = time.perf_counter()
+        ev6 = read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+        )
+        funnel_counts(ev6, ["view", "click", "purchase"]).count()
+        q["funnel"] = round(time.perf_counter() - t, 3)
+
+        t = time.perf_counter()
+        li2 = read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        )
+        column_profile(
+            li2, ["l_partkey", "l_quantity", "l_extendedprice"]
+        ).count()
+        q["column_profile"] = round(time.perf_counter() - t, 3)
         return q
 
     # ---- repetitions: median-of-N (host noise robust) --------------------

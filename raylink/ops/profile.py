@@ -105,3 +105,122 @@ def block_profile(
         .reset_index(drop=True)
     )
     return top, hist
+
+
+def column_profile(
+    ds: ray.data.Dataset,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Per-column data-quality profile in long form:
+    ``(col_name, n_rows, n_null, n_distinct)`` — the standard ingest
+    audit (row counts, null counts, EXACT distinct cardinality), one row
+    per profiled column, SQL-replayable as a UNION ALL of per-column
+    ``COUNT``/``COUNT(DISTINCT)`` selects.
+
+    Scale shape: one stateless map pass emits, per batch and column, a
+    3-field count partial PLUS that batch's distinct values (already
+    deduplicated batch-side, canonicalized to strings with an injective
+    cast — Arrow's float→string shortest-round-trip repr — so
+    distinctness is preserved without shipping native types through the
+    exchange). Distinct counting is then groupby-distinct over
+    ``(col, value)`` followed by a per-column sum: the all-to-all moves
+    per-batch DISTINCT values only. For columns whose cardinality
+    approaches the row count this is the honest exact cost (the same
+    one SQL pays); the documented approximate fallback at corpus scale
+    is :func:`raylink.ops.sketch.hll_registers` per column.
+
+    Caveat (stated): the string canonicalization maps ``-0.0`` and
+    ``0.0`` to distinct strings while SQL's DISTINCT merges them —
+    negative zero is normalized away before casting for exactly that
+    reason; NaN counts as one distinct value on both sides.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    cols = columns or [n for n in ds.schema().names]
+    ds = ds.select_columns(cols)
+
+    def _partial(batch: pa.Table):
+        names, vals = [], []
+        nrows = batch.num_rows
+        crows, cnull = [], []
+        for c in cols:
+            col = batch.column(c)
+            cnull.append(col.null_count)
+            crows.append(nrows)
+            v = col.drop_null()
+            if pa.types.is_floating(v.type):
+                # -0.0 -> 0.0 so string distinctness == SQL distinctness
+                v = pc.add(v, 0.0)
+            u = pc.unique(v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
+            s = pc.cast(u, pa.string())
+            names.extend([c] * len(s))
+            vals.append(s)
+        counts = pa.table(
+            {
+                "col_name": pa.array(cols, type=pa.string()),
+                "n": pa.array(np.asarray(crows, dtype=np.int64)),
+                "n_null": pa.array(np.asarray(cnull, dtype=np.int64)),
+                "kind": pa.array(np.zeros(len(cols), dtype=np.int64)),
+                "v": pa.array([""] * len(cols), type=pa.string()),
+            }
+        )
+        distinct = pa.table(
+            {
+                "col_name": pa.array(names, type=pa.string()),
+                "n": pa.array(np.zeros(len(names), dtype=np.int64)),
+                "n_null": pa.array(np.zeros(len(names), dtype=np.int64)),
+                "kind": pa.array(np.ones(len(names), dtype=np.int64)),
+                "v": pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in vals]) if names else pa.array([], type=pa.string()),
+            }
+        )
+        yield counts
+        if distinct.num_rows:
+            yield distinct
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _batch_card(t: pa.Table) -> pa.Table:
+        # per-batch combiner over the (already grouped-distinct) pairs:
+        # one (col, count) row per column per batch, so the FINAL
+        # aggregate sums a batches×cols-row table, never the pair stream
+        df = pd.DataFrame({"col_name": t.column("col_name").to_pandas()})
+        g = df.groupby("col_name", as_index=False, sort=False).agg(
+            d=("col_name", "size")
+        )
+        return pa.table(
+            {
+                "col_name": pa.array(g["col_name"], type=pa.string()),
+                "d": pa.array(g["d"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    # distinct (col, v) pairs -> one count row per column
+    dcount = (
+        parts.filter(expr="kind == 1")
+        .groupby(["col_name", "v"])
+        .aggregate(Count())
+        .map_batches(_batch_card, batch_format="pyarrow")
+        .repartition(1)  # ≤ batches×cols partial rows by here
+        .groupby("col_name")
+        .aggregate(Sum("d", alias_name="n_distinct"))
+    )
+    ccount = (
+        parts.filter(expr="kind == 0")
+        .repartition(1)
+        .groupby("col_name")
+        .aggregate(Sum("n", alias_name="n_rows"), Sum("n_null", alias_name="n_null"))
+    )
+    # both sides are exactly len(cols) rows: a broadcast merge in one
+    # driver-side pandas join would also be fine, but keeping it as a
+    # dataset keeps the operator composable
+    cdf = ccount.to_pandas().merge(dcount.to_pandas(), on="col_name", how="left")
+    cdf["n_distinct"] = cdf["n_distinct"].fillna(0).astype(np.int64)
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.Table.from_pandas(
+            cdf.sort_values("col_name").reset_index(drop=True),
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+    )

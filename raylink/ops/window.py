@@ -976,6 +976,7 @@ def cohort_counts(
     ts_col: str = "ts",
     bucket_us: int = 604_800_000_000,  # one week
     num_partitions: int | None = None,
+    final_partitions: int | None = 2,
 ) -> ray.data.Dataset:
     """Cohort retention table: users bucketed by their FIRST-activity
     period (cohort), counted in every period they were active —
@@ -988,6 +989,13 @@ def cohort_counts(
     activity buckets are both local, and only pre-counted
     ``(cohort, bucket, n)`` partials enter the final small groupby sum.
     The skew bound is the hottest user's event list.
+
+    ``final_partitions``: the output cardinality is at most
+    (#buckets in range)² — weeks over a decade is ~270k rows — so the
+    partials are repartitioned down before the final Aggregate; without
+    this, group cardinality below Ray's sort-partition count yields
+    schema-less empty output partitions and executor schema warnings
+    (same device as :func:`relational.preagg_sum_count`).
     """
     from ray.data.aggregate import Sum
 
@@ -1031,6 +1039,106 @@ def cohort_counts(
     partials = sorted_partition_apply(
         tagged.repartition(nparts), "_pid", _cohort, part_schema
     )
+    if final_partitions is not None:
+        partials = partials.repartition(final_partitions)
     return partials.groupby(["cohort_week", "event_week"]).aggregate(
         Sum("n", alias_name="n_users")
     )
+
+
+def funnel_counts(
+    events: ray.data.Dataset,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int | None = None,
+    final_partitions: int | None = 1,
+) -> ray.data.Dataset:
+    """Ordered funnel analysis: for each prefix of ``steps``, how many
+    entities performed those event types IN ORDER — step *i* counts an
+    entity iff it has a ``steps[i]`` event STRICTLY after the earliest
+    time it completed steps ``0..i-1`` (the entity's conversion time for
+    step *i* is the MIN such timestamp, making the whole table a pure
+    function of the input). Emits ``(step_idx, step, n_users)``.
+
+    Shape: ONE hash-of-entity exchange (every entity's events co-located,
+    ``sessionize``'s ``_pid`` device), then per-partition the funnel is
+    len(steps) vectorized filter→join→groupby-min passes over all
+    entities at once — no per-entity loop, no per-step shuffle. Only
+    ``len(steps)`` count rows leave each partition, and the final
+    aggregate sums a ``partitions × steps``-row table (repartitioned to
+    ``final_partitions`` so no schema-less empty Aggregate partitions).
+    Timestamps compare on the integer µs grid (``_epoch_us``) so the
+    DuckDB replay shares the exact tie semantics.
+    """
+    from ray.data.aggregate import Sum
+
+    from raylink.util import sorted_partition_apply
+
+    steps = list(steps)
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        pid = (_mix64(keys.astype(np.uint64)) % P).astype(np.int64)
+        return pa.table(
+            {
+                "_pid": pa.array(pid),
+                key_col: batch.column(key_col),
+                "_t": pa.array(_epoch_us(batch.column(ts_col))),
+                type_col: batch.column(type_col),
+            }
+        )
+
+    part_schema = pa.schema([("step_idx", pa.int64()), ("n", pa.int64())])
+
+    def _funnel(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        counts: list[int] = []
+        prev: pd.DataFrame | None = None  # (entity, _prev conversion time)
+        for i, s in enumerate(steps):
+            sub = df[df[type_col] == s]
+            if i > 0:
+                # merge, not join: an empty join names the result index
+                # after the right side's index and the next groupby sees
+                # key_col as both index level and column (pandas raises)
+                sub = sub.merge(prev, on=key_col, how="inner")
+                sub = sub[sub["_t"] > sub["_prev"]]
+            prev = (
+                sub.groupby(key_col, as_index=False)["_t"]
+                .min()
+                .rename(columns={"_t": "_prev"})
+            )
+            counts.append(len(prev))
+        return pa.table(
+            {
+                "step_idx": pa.array(np.arange(len(steps), dtype=np.int64)),
+                "n": pa.array(np.asarray(counts, dtype=np.int64)),
+            }
+        )
+
+    tagged = events.select_columns(
+        [key_col, ts_col, type_col]
+    ).map_batches(_tag, batch_format="pyarrow")
+    partials = sorted_partition_apply(
+        tagged.repartition(nparts), "_pid", _funnel, part_schema
+    )
+    if final_partitions is not None:
+        partials = partials.repartition(final_partitions)
+    summed = partials.groupby("step_idx").aggregate(Sum("n", alias_name="n_users"))
+
+    name_lut = np.asarray(steps, dtype=object)
+
+    def _label(batch: pa.Table) -> pa.Table:
+        idx = batch.column("step_idx").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "step_idx": batch.column("step_idx"),
+                "step": pa.array(name_lut[idx].astype("U"), type=pa.string()),
+                "n_users": batch.column("n_users"),
+            }
+        )
+
+    return summed.map_batches(_label, batch_format="pyarrow")

@@ -1,0 +1,228 @@
+"""Round-4 continuation operators: line-level boilerplate removal
+(ops/lines), ordered funnel counts (ops/window.funnel_counts), and the
+per-column ingest profile (ops/profile.column_profile).
+
+The SQL gate exercises the space-delimiter configuration of
+strip_boilerplate (the synthetic docs are single-line); these tests cover
+the REAL newline path plus the hand-checkable edge semantics the gate
+can't reach (blank-line preservation, all-lines-dropped docs, out-of-order
+funnel events, nulls / duplicate values in the profile).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def _docs(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(len(rows), dtype=np.int64)
+                ),
+                "text": pa.array(rows, type=pa.string()),
+            }
+        )
+    )
+
+
+class TestStripBoilerplate:
+    def test_newline_boilerplate_removed_in_order(self):
+        from raylink.ops.lines import strip_boilerplate
+
+        docs = _docs(
+            [
+                "COOKIE BANNER\nreal content one\nFOOTER",
+                "COOKIE BANNER\nreal content two\n\nFOOTER",
+                "COOKIE BANNER\nunique middle\nFOOTER",
+                "only original text here",
+            ]
+        )
+        out = (
+            strip_boilerplate(docs, min_docs=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["text_clean"].tolist() == [
+            "real content one",
+            "real content two\n",  # blank line survives
+            "unique middle",
+            "only original text here",
+        ]
+        assert out["n_dropped"].tolist() == [2, 2, 2, 0]
+        assert out["n_kept"].tolist() == [1, 2, 1, 1]
+
+    def test_all_lines_dropped_yields_empty_doc(self):
+        from raylink.ops.lines import strip_boilerplate
+
+        docs = _docs(["dup", "dup", "dup\nkeep me"])
+        out = (
+            strip_boilerplate(docs, min_docs=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["text_clean"].tolist() == ["", "", "keep me"]
+        assert out["n_kept"].tolist() == [0, 0, 1]
+
+    def test_within_doc_repeats_count_once(self):
+        from raylink.ops.lines import line_frequencies
+
+        docs = _docs(["x\nx\nx", "x\ny"])
+        freq = line_frequencies(docs).to_pandas().set_index("line")["n_docs"]
+        assert freq["x"] == 2  # not 4: distinct-doc frequency
+        assert freq["y"] == 1
+
+    def test_doc_frac_threshold_matches_integer_ceil(self):
+        from raylink.ops.lines import strip_boilerplate
+
+        # 5 docs, frac 1/2 -> threshold ceil(5/2)=3: a line in exactly 3
+        # docs IS dropped, in 2 is kept
+        rows = ["a\nb"] * 2 + ["a\nc"] + ["d"] * 2
+        out = (
+            strip_boilerplate(_docs(rows), doc_frac=(1, 2))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # 'a' in 3 docs (dropped); 'b' in 2 (kept); 'd' in 2 (kept)
+        assert out["text_clean"].tolist() == ["b", "b", "c", "d", "d"]
+
+    def test_threshold_arg_validation(self):
+        from raylink.ops.lines import strip_boilerplate
+
+        with pytest.raises(ValueError):
+            strip_boilerplate(_docs(["x"]))
+        with pytest.raises(ValueError):
+            strip_boilerplate(_docs(["x"]), min_docs=2, doc_frac=(1, 2))
+
+
+class TestFunnelCounts:
+    def _events(self, rows):
+        # rows: (user, second, type)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array(
+                        np.asarray([r[0] for r in rows], dtype=np.int64)
+                    ),
+                    "ts": pa.array(
+                        [
+                            pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=r[1])
+                            for r in rows
+                        ],
+                        type=pa.timestamp("us"),
+                    ),
+                    "event_type": pa.array(
+                        [r[2] for r in rows], type=pa.string()
+                    ),
+                }
+            )
+        )
+
+    def test_order_matters(self):
+        from raylink.ops.window import funnel_counts
+
+        ev = self._events(
+            [
+                (1, 0, "view"), (1, 10, "click"), (1, 20, "buy"),   # full
+                (2, 0, "click"), (2, 10, "view"),                   # click BEFORE view
+                (3, 0, "view"),                                     # view only
+                (4, 5, "view"), (4, 5, "click"),                    # tie: strict > fails
+            ]
+        )
+        out = (
+            funnel_counts(ev, ["view", "click", "buy"])
+            .to_pandas()
+            .sort_values("step_idx")
+            .reset_index(drop=True)
+        )
+        assert out["step"].tolist() == ["view", "click", "buy"]
+        # user2's click precedes their view; user4's click ties (strict >)
+        assert out["n_users"].tolist() == [4, 1, 1]
+
+    def test_conversion_uses_earliest_qualifying_time(self):
+        from raylink.ops.window import funnel_counts
+
+        # user1 clicks at t=5 (before view) and t=15 (after): qualifies
+        # via the later click; then buys at t=10 -> before conversion
+        # time 15, so step3 does NOT count them
+        ev = self._events(
+            [
+                (1, 8, "view"), (1, 5, "click"), (1, 15, "click"),
+                (1, 10, "buy"),
+            ]
+        )
+        out = (
+            funnel_counts(ev, ["view", "click", "buy"])
+            .to_pandas()
+            .sort_values("step_idx")["n_users"]
+            .tolist()
+        )
+        assert out == [1, 1, 0]
+
+    def test_ns_timestamps_accepted(self):
+        from raylink.ops.window import funnel_counts
+
+        tbl = pa.table(
+            {
+                "user_id": pa.array([1, 1], type=pa.int64()),
+                "ts": pa.array([1_000_000_001, 2_000_000_002]).cast(
+                    pa.timestamp("ns")
+                ),
+                "event_type": pa.array(["a", "b"], type=pa.string()),
+            }
+        )
+        out = (
+            funnel_counts(rd.from_arrow(tbl), ["a", "b"])
+            .to_pandas()
+            .sort_values("step_idx")["n_users"]
+            .tolist()
+        )
+        assert out == [1, 1]
+
+
+class TestColumnProfile:
+    def test_counts_nulls_distinct(self):
+        from raylink.ops.profile import column_profile
+
+        tbl = pa.table(
+            {
+                "a": pa.array([1, 1, 2, None, 3], type=pa.int64()),
+                "b": pa.array(["x", "x", "x", "x", None], type=pa.string()),
+                "c": pa.array([0.5, -0.0, 0.0, None, float("nan")]),
+            }
+        )
+        out = (
+            column_profile(rd.from_arrow(tbl))
+            .to_pandas()
+            .set_index("col_name")
+        )
+        assert out.loc["a", "n_rows"] == 5
+        assert out.loc["a", "n_null"] == 1
+        assert out.loc["a", "n_distinct"] == 3
+        assert out.loc["b", "n_distinct"] == 1
+        assert out.loc["b", "n_null"] == 1
+        # -0.0 merges with 0.0 (SQL DISTINCT semantics); NaN counts once
+        assert out.loc["c", "n_distinct"] == 3
+        assert out.loc["c", "n_null"] == 1
+
+    def test_distinct_across_batches_not_double_counted(self):
+        from raylink.ops.profile import column_profile
+
+        # 4 blocks each containing the same 3 values: distinct must be 3
+        parts = [
+            pa.table({"v": pa.array([1, 2, 3], type=pa.int64())})
+            for _ in range(4)
+        ]
+        ds = rd.from_arrow(parts[0])
+        for p in parts[1:]:
+            ds = ds.union(rd.from_arrow(p))
+        out = column_profile(ds, ["v"]).to_pandas()
+        assert out.loc[0, "n_distinct"] == 3
+        assert out.loc[0, "n_rows"] == 12
