@@ -2046,6 +2046,41 @@ def _q_column_profile(sf_dir: str):
     return out.sort_values("col_name").reset_index(drop=True)
 
 
+def _q_line_dedup_global(sf_dir: str):
+    # First-writer-wins line dedup (ops/lines.dedup_lines_global): the
+    # CCNet dedup pass — ownership resolved locally per hash(line) range
+    # partition (min packed doc·2^21+ord, no join), reassembly one
+    # hash(doc) shuffle_merge. Space delimiter on this single-line corpus
+    # (same rationale as line_dedup).
+    from raylink.ops.lines import dedup_lines_global
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_lines_global(
+        docs, delimiter=" ", num_partitions=8
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_golden_records(sf_dir: str):
+    # Survivorship (cluster.golden_records): near-dup components from the
+    # gated minhash->exact-verify edge set collapse to one canonical row
+    # each — entity_id = min member id, fields = modal value under the
+    # grouped_mode tie rule, singletons included. Distributed end to end:
+    # label propagation, one shuffle_merge label attach, one
+    # hash-of-entity exchange for the vectorized per-partition modes.
+    from raylink.cluster import golden_records
+    from raylink.ops.dedup import minhash_lsh_candidates, verify_jaccard
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = minhash_lsh_candidates(docs, num_perm=32, bands=8)
+    pairs = verify_jaccard(cands, docs, threshold=0.5)
+    recs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    out = golden_records(
+        recs, pairs, "doc_id", ["lang", "source"], num_partitions=8
+    ).to_pandas()
+    return out.sort_values("entity_id").reset_index(drop=True)
+
+
 def _q_corr_parts(sf_dir: str):
     # Exact per-part correlation sufficient statistics between quantity
     # and price (ops/relational.grouped_corr_parts): integer-quantized
@@ -2810,6 +2845,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_parts": _q_corr_parts,
         "cohort_counts": _q_cohort_counts,
         "line_dedup": _q_line_dedup,
+        "line_dedup_global": _q_line_dedup_global,
+        "golden_records": _q_golden_records,
         "funnel": _q_funnel,
         "column_profile": _q_column_profile,
         "intersect_keys": _q_intersect_keys,
@@ -4206,6 +4243,103 @@ def oracle_sql() -> dict[str, str]:
                    (ANY_VALUE(t.n_total) - COUNT(k.line))::BIGINT AS n_dropped
             FROM tot t LEFT JOIN kept k USING (doc_id)
             GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "line_dedup_global": """
+            WITH l AS (
+                SELECT doc_id, generate_subscripts(ls, 1) AS ord,
+                       unnest(ls) AS line
+                FROM (SELECT doc_id, string_split(text, ' ') AS ls
+                      FROM documents)
+            ),
+            own AS (
+                SELECT line, MIN(doc_id * 2097152 + ord) AS owner
+                FROM l WHERE line <> '' GROUP BY line
+            ),
+            kept AS (
+                SELECT l.doc_id, l.ord, l.line
+                FROM l LEFT JOIN own USING (line)
+                WHERE l.line = '' OR l.doc_id * 2097152 + l.ord = own.owner
+            ),
+            tot AS (SELECT doc_id, COUNT(*) AS n_total FROM l GROUP BY doc_id)
+            SELECT t.doc_id,
+                   COALESCE(string_agg(k.line, ' ' ORDER BY k.ord), '')
+                       AS text_clean,
+                   COUNT(k.line)::BIGINT AS n_kept,
+                   (ANY_VALUE(t.n_total) - COUNT(k.line))::BIGINT AS n_dropped
+            FROM tot t LEFT JOIN kept k USING (doc_id)
+            GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        # Survivorship over the SQL-reproducible duplicate graph: the
+        # dedup_survivors edge set + closure, then per-component modal
+        # field values under the deterministic (count DESC, value ASC)
+        # tie rule — ROW_NUMBER replays grouped_mode exactly.
+        "golden_records": r"""
+            WITH RECURSIVE norm AS (
+                SELECT doc_id,
+                       array_to_string(regexp_extract_all(lower(text), '\S+'), ' ') AS t
+                FROM documents
+            ),
+            shing AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, GREATEST(length(t) - 3, 2)),
+                           i -> substr(t, i, 5))) AS s
+                FROM norm
+            ),
+            edges AS (
+                SELECT id_a, id_b
+                FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+                           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union
+                    FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+                )
+                WHERE 2 * n_common >= n_union
+            ),
+            bi AS (
+                SELECT id_a AS src, id_b AS dst FROM edges
+                UNION ALL
+                SELECT id_b, id_a FROM edges
+            ),
+            reach AS (
+                SELECT DISTINCT src AS node, src AS r FROM bi
+                UNION
+                SELECT reach.node, bi.dst
+                FROM reach JOIN bi ON bi.src = reach.r
+            ),
+            root AS (SELECT node, MIN(r) AS root FROM reach GROUP BY node),
+            ent AS (
+                SELECT d.doc_id, COALESCE(root.root, d.doc_id) AS entity_id,
+                       d.lang, d.source
+                FROM documents d LEFT JOIN root ON root.node = d.doc_id
+            ),
+            base AS (
+                SELECT entity_id, COUNT(*)::BIGINT AS n_members
+                FROM ent GROUP BY entity_id
+            ),
+            ml AS (
+                SELECT entity_id, lang FROM (
+                    SELECT entity_id, lang,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY entity_id
+                               ORDER BY COUNT(*) DESC, lang ASC
+                           ) AS rn
+                    FROM ent GROUP BY entity_id, lang
+                ) WHERE rn = 1
+            ),
+            ms AS (
+                SELECT entity_id, source FROM (
+                    SELECT entity_id, source,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY entity_id
+                               ORDER BY COUNT(*) DESC, source ASC
+                           ) AS rn
+                    FROM ent GROUP BY entity_id, source
+                ) WHERE rn = 1
+            )
+            SELECT b.entity_id, b.n_members, ml.lang, ms.source
+            FROM base b JOIN ml USING (entity_id) JOIN ms USING (entity_id)
+            ORDER BY b.entity_id
         """,
         "funnel": """
             WITH e AS (

@@ -518,6 +518,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         q["line_dedup"] = round(time.perf_counter() - t, 3)
 
         t = time.perf_counter()
+        from raylink.ops.lines import dedup_lines_global
+
+        dedup_lines_global(docs, delimiter=" ").count()
+        q["line_dedup_global"] = round(time.perf_counter() - t, 3)
+
+        t = time.perf_counter()
         ev6 = read_table(
             f"{sf_dir}/events.parquet",
             columns=["user_id", "ts", "event_type"],

@@ -238,3 +238,158 @@ def cluster_label_propagation(
         )
 
     return labels.map_batches(_entity, batch_format="pyarrow")
+
+
+def golden_records(
+    records: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    id_col: str = "doc_id",
+    fields: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Survivorship: collapse each connected component of ``edges`` into
+    ONE canonical ("golden") record — the master-data-management step that
+    follows matching in every real ER deployment (reference scope ends at
+    pairs + clusters; this consumes them). Emits one row per entity:
+    ``(entity_id, n_members, *fields)`` where
+
+    * ``entity_id`` = the smallest member id (int64) — deterministic and
+      stable under re-runs; singletons (records in no edge) are their own
+      entity, so the output covers every input record;
+    * each field's golden value is the component's MODAL value under the
+      ``grouped_mode`` tie rule (highest count, then smallest value) — a
+      total order, so the table is a pure function of (records, edges).
+
+    Shape: the component labels come from the distributed
+    :func:`cluster_label_propagation` (edge-scale shuffle joins, O(log
+    diameter) rounds); labels attach to records via ONE
+    ``util.shuffle_merge`` hash exchange on the id; then ONE
+    hash-of-entity exchange co-locates each component's members so
+    n_members and every field's mode are computed vectorized per
+    partition (all entities of the partition at once, per-field
+    sort + group-first — no per-entity loop). Skew bound: the largest
+    component must fit a partition — the same assumption the clustering
+    itself states.
+
+    Ids must be non-negative int64 (zero-padded label keys — the curate
+    edge-key contract; explicit raise).
+    """
+    from raylink.ops.dedup import _default_partitions, _mix64
+    from raylink.util import pa_type, shuffle_merge, sorted_partition_apply
+
+    fields = list(fields or [])
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
+    schema = records.schema()
+    ftypes = dict(zip(schema.names, (pa_type(t) for t in schema.types)))
+
+    def _pad(arr: np.ndarray) -> np.ndarray:
+        if len(arr) and arr.min() < 0:
+            raise ValueError(
+                "golden_records requires non-negative ids (zero-padded "
+                "label keys do not order correctly for negatives)"
+            )
+        return np.char.zfill(arr.astype("U20"), 20)
+
+    def _to_edges(batch: pa.Table) -> pa.Table:
+        ida = batch.column("id_a").to_numpy(zero_copy_only=False)
+        idb = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "block": pa.array(np.full(len(ida), "g"), type=pa.string()),
+                "key_a": pa.array(_pad(ida)),
+                "key_b": pa.array(_pad(idb)),
+            }
+        )
+
+    def _unpack_label(batch: pa.Table) -> pa.Table:
+        # entity_id is "g|<padded-min-key>": strip the block prefix back
+        # to the padded key (block is the constant 'g' namespace here)
+        ent = batch.column("entity_id").to_pandas().str.slice(2)
+        return pa.table(
+            {
+                "key": batch.column("key"),
+                "label": pa.array(ent.to_numpy(), type=pa.string()),
+            }
+        )
+
+    labels = cluster_label_propagation(
+        edges.map_batches(_to_edges, batch_format="pyarrow"),
+        num_partitions=nparts,
+    ).map_batches(_unpack_label, batch_format="pyarrow")
+
+    def _tag_rec(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        cols = {"_k": pa.array(_pad(ids)), id_col: batch.column(id_col)}
+        for f in fields:
+            cols[f] = batch.column(f)
+        return pa.table(cols)
+
+    att_schema = pa.schema(
+        [(id_col, pa.int64()), ("entity_id", pa.int64())]
+        + [(f, ftypes[f]) for f in fields]
+    )
+
+    def _attach(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        lab = right.drop_duplicates("key").set_index("key")["label"]
+        ent = left["_k"].map(lab)
+        ent = ent.where(ent.notna(), left["_k"])  # singleton: own key
+        out = pd.DataFrame(
+            {
+                id_col: left[id_col].to_numpy(),
+                "entity_id": ent.astype(np.int64).to_numpy(),
+            }
+        )
+        for f in fields:
+            out[f] = left[f].to_numpy()
+        return out
+
+    attached = shuffle_merge(
+        records.map_batches(_tag_rec, batch_format="pyarrow"),
+        labels,
+        ["_k"],
+        ["key"],
+        _attach,
+        att_schema,
+        num_partitions=nparts,
+    )
+
+    out_schema = pa.schema(
+        [("entity_id", pa.int64()), ("n_members", pa.int64())]
+        + [(f, ftypes[f]) for f in fields]
+    )
+
+    def _tag_ent(batch: pa.Table) -> pa.Table:
+        ent = batch.column("entity_id").to_numpy(zero_copy_only=False)
+        pid = (_mix64(ent.astype(np.uint64)) % P).astype(np.int64)
+        return batch.append_column("_pid", pa.array(pid)).replace_schema_metadata(None)
+
+    def _golden(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        base = df.groupby("entity_id", as_index=False).agg(
+            n_members=(id_col, "size")
+        )
+        for f in fields:
+            cnt = df.groupby(["entity_id", f], as_index=False).agg(
+                _c=(id_col, "size")
+            )
+            cnt = cnt.sort_values(
+                ["entity_id", "_c", f], ascending=[True, False, True],
+                kind="stable",
+            )
+            mode = cnt.groupby("entity_id", as_index=False, sort=False).first()
+            base = base.merge(mode[["entity_id", f]], on="entity_id")
+        cols = {
+            "entity_id": pa.array(base["entity_id"].to_numpy(), type=pa.int64()),
+            "n_members": pa.array(base["n_members"].to_numpy().astype(np.int64)),
+        }
+        for f in fields:
+            cols[f] = pa.array(base[f].to_numpy(), type=ftypes[f])
+        return pa.table(cols)
+
+    return sorted_partition_apply(
+        attached.map_batches(_tag_ent, batch_format="pyarrow").repartition(nparts),
+        "_pid",
+        _golden,
+        out_schema,
+    )

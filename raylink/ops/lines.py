@@ -145,3 +145,145 @@ def strip_boilerplate(
     return ds.select_columns([id_col, text_col]).map_batches(
         _strip, batch_format="pyarrow"
     )
+
+
+def dedup_lines_global(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Global first-writer-wins line deduplication (the CCNet *dedup*
+    pass, complementing :func:`strip_boilerplate`'s frequency pass):
+    every occurrence of a non-empty line is removed EXCEPT the earliest —
+    the one at the smallest ``(doc_id, position)`` corpus-wide. Empty
+    lines always survive (document structure). Emits
+    ``(id_col, text_clean, n_kept, n_dropped)``.
+
+    Shape — two all-to-alls, both inherent to the semantics:
+
+    1. **Ownership, no join.** Occurrences explode to
+       ``(doc, ord, line)`` rows routed by ``hash(line)``; each range
+       partition holds ALL occurrences of its lines, so the owner
+       (min packed ``doc·2²¹ + ord``) and the keep-filter are computed
+       locally in one vectorized transform — ownership never becomes a
+       join or a driver structure.
+    2. **Reassembly.** Surviving occurrences are joined back onto the
+       document table by ``hash(doc)`` (``util.shuffle_merge``), and each
+       partition rebuilds its documents' text by position — documents
+       with every line removed still emit a row (left side is the doc
+       table).
+
+    Packing contract (explicit raise, not an assert): positions must fit
+    21 bits (≤ 2,097,151 lines per document) and ids 42 bits — the packed
+    key is what lets both the Ray kernel and the DuckDB replay take ONE
+    ``MIN`` instead of a two-level argmin.
+    """
+    import pandas as pd
+
+    from raylink.ops.dedup import _default_partitions
+    from raylink.util import pa_type, shuffle_merge, sorted_partition_apply
+
+    ORD_BITS = 21
+    L = np.int64(1 << ORD_BITS)
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
+    schema = ds.schema()
+    id_type = pa_type(dict(zip(schema.names, schema.types))[id_col])
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) and ids.min() < 0 or len(ids) and ids.max() >= (1 << 42):
+            raise ValueError(
+                "dedup_lines_global requires 0 <= doc ids < 2^42 "
+                "(packed-ownership contract)"
+            )
+        out_id, out_ord, out_line = [], [], []
+        for i, t in zip(ids, batch.column(text_col).to_pylist()):
+            parts = t.split(delimiter)
+            if len(parts) >= (1 << ORD_BITS):
+                raise ValueError(
+                    f"document {i} has {len(parts)} lines; the packed-"
+                    f"ownership contract caps at {(1 << ORD_BITS) - 1}"
+                )
+            out_id.extend([i] * len(parts))
+            out_ord.extend(range(len(parts)))
+            out_line.extend(parts)
+        lines = np.asarray(out_line, dtype=object)
+        # deterministic cross-process line hash (pandas siphash with a
+        # pinned key — NEVER builtins hash(), which is PYTHONHASHSEED-
+        # randomized per worker and would shear ownership partitions)
+        h = pd.util.hash_array(lines, hash_key="raylink_linedup!")  # 16B key
+        pid = (h % P).astype(np.int64)
+        return pa.table(
+            {
+                "_pid": pa.array(pid),
+                id_col: pa.array(np.asarray(out_id, dtype=np.int64), type=pa.int64()),
+                "ord": pa.array(np.asarray(out_ord, dtype=np.int64)),
+                "line": pa.array(lines, type=pa.string()),
+            }
+        )
+
+    occ_schema = pa.schema(
+        [(id_col, pa.int64()), ("ord", pa.int64()), ("line", pa.string())]
+    )
+
+    def _keep(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        packed = df[id_col].to_numpy() * L + df["ord"].to_numpy()
+        df = df.assign(_packed=packed)
+        owner = df.groupby("line", sort=False)["_packed"].transform("min")
+        keep = (df["line"] == "") | (df["_packed"] == owner)
+        out = df[keep]
+        return pa.table(
+            {
+                id_col: pa.array(out[id_col].to_numpy(), type=pa.int64()),
+                "ord": pa.array(out["ord"].to_numpy()),
+                "line": pa.array(out["line"].to_numpy(), type=pa.string()),
+            }
+        )
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        _explode, batch_format="pyarrow"
+    )
+    survivors = sorted_partition_apply(
+        exploded.repartition(nparts), "_pid", _keep, occ_schema
+    )
+
+    out_schema = pa.schema(
+        [
+            (id_col, id_type),
+            ("text_clean", pa.string()),
+            ("n_kept", pa.int64()),
+            ("n_dropped", pa.int64()),
+        ]
+    )
+
+    def _reassemble(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        # left: documents of this partition; right: their surviving lines
+        right = right.sort_values([id_col, "ord"], kind="stable")
+        joined = right.groupby(id_col, sort=False)["line"].agg(
+            lambda s: delimiter.join(s)
+        )
+        kept_n = right.groupby(id_col, sort=False)["line"].size()
+        n_total = left[text_col].str.split(delimiter, regex=False).str.len()
+        out = pd.DataFrame(
+            {
+                id_col: left[id_col].to_numpy(),
+                "text_clean": left[id_col].map(joined).fillna("").to_numpy(),
+                "n_kept": left[id_col].map(kept_n).fillna(0).to_numpy(np.int64),
+            }
+        )
+        out["n_dropped"] = n_total.to_numpy(np.int64) - out["n_kept"]
+        return out
+
+    return shuffle_merge(
+        ds.select_columns([id_col, text_col]),
+        survivors,
+        [id_col],
+        [id_col],
+        _reassemble,
+        out_schema,
+        num_partitions=nparts,
+    )

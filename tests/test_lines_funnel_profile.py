@@ -226,3 +226,120 @@ class TestColumnProfile:
         out = column_profile(ds, ["v"]).to_pandas()
         assert out.loc[0, "n_distinct"] == 3
         assert out.loc[0, "n_rows"] == 12
+
+
+class TestDedupLinesGlobal:
+    def test_first_writer_wins_across_docs(self):
+        from raylink.ops.lines import dedup_lines_global
+
+        docs = _docs(["a\nb\nc", "b\nx\n\nc", "a\ny"])
+        out = (
+            dedup_lines_global(docs)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["text_clean"].tolist() == ["a\nb\nc", "x\n", "y"]
+        assert out["n_kept"].tolist() == [3, 2, 1]
+        assert out["n_dropped"].tolist() == [0, 2, 1]
+
+    def test_within_doc_repeat_keeps_first_position(self):
+        from raylink.ops.lines import dedup_lines_global
+
+        docs = _docs(["x\nx\nx"])
+        out = dedup_lines_global(docs).to_pandas()
+        assert out.loc[0, "text_clean"] == "x"
+        assert out.loc[0, "n_dropped"] == 2
+
+    def test_doc_with_all_lines_owned_elsewhere_survives_empty(self):
+        from raylink.ops.lines import dedup_lines_global
+
+        docs = _docs(["k", "k"])
+        out = (
+            dedup_lines_global(docs)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 2
+        assert out["text_clean"].tolist() == ["k", ""]
+
+    def test_id_contract_raises(self):
+        from raylink.ops.lines import dedup_lines_global
+
+        import ray.data as rd
+
+        bad = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([-1], type=pa.int64()),
+                    "text": pa.array(["x"], type=pa.string()),
+                }
+            )
+        )
+        with pytest.raises(Exception, match="non-negative|2\\^42"):
+            dedup_lines_global(bad).to_pandas()
+
+
+class TestGoldenRecords:
+    def _fixture(self):
+        recs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+                    "lang": pa.array(
+                        ["en", "en", "de", "en", "fr", "fr"], type=pa.string()
+                    ),
+                    "source": pa.array(
+                        ["w", "c", "c", "c", "w", "w"], type=pa.string()
+                    ),
+                }
+            )
+        )
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([1, 2, 5], type=pa.int64()),
+                    "id_b": pa.array([2, 3, 6], type=pa.int64()),
+                }
+            )
+        )
+        return recs, edges
+
+    def test_modes_singletons_and_sizes(self):
+        from raylink.cluster import golden_records
+
+        recs, edges = self._fixture()
+        out = (
+            golden_records(recs, edges, "doc_id", ["lang", "source"])
+            .to_pandas()
+            .sort_values("entity_id")
+            .reset_index(drop=True)
+        )
+        assert out["entity_id"].tolist() == [1, 4, 5]
+        assert out["n_members"].tolist() == [3, 1, 2]
+        assert out["lang"].tolist() == ["en", "en", "fr"]
+        # cluster {1,2,3}: sources w,c,c -> mode c
+        assert out["source"].tolist() == ["c", "c", "w"]
+
+    def test_tie_breaks_to_smaller_value(self):
+        from raylink.cluster import golden_records
+
+        recs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], type=pa.int64()),
+                    "lang": pa.array(["zz", "aa"], type=pa.string()),
+                }
+            )
+        )
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([1], type=pa.int64()),
+                    "id_b": pa.array([2], type=pa.int64()),
+                }
+            )
+        )
+        out = golden_records(recs, edges, "doc_id", ["lang"]).to_pandas()
+        assert out.loc[0, "lang"] == "aa"  # count tie 1:1 -> min value
