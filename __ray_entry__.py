@@ -2056,7 +2056,7 @@ def _q_line_dedup_global(sf_dir: str):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = dedup_lines_global(
-        docs, delimiter=" ", num_partitions=8
+        docs, delimiter=" ", num_partitions=4  # 31-distinct-segment corpus
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 

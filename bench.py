@@ -520,7 +520,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t = time.perf_counter()
         from raylink.ops.lines import dedup_lines_global
 
-        dedup_lines_global(docs, delimiter=" ").count()
+        # 31-distinct-segment toy corpus: 4 ownership ranges so none is
+        # empty (empty range partitions = schema-less bundles = executor
+        # warnings; impossible at real line cardinality)
+        dedup_lines_global(docs, delimiter=" ", num_partitions=4).count()
         q["line_dedup_global"] = round(time.perf_counter() - t, 3)
 
         t = time.perf_counter()

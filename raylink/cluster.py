@@ -275,7 +275,12 @@ def golden_records(
     edge-key contract; explicit raise).
     """
     from raylink.ops.dedup import _default_partitions, _mix64
-    from raylink.util import pa_type, shuffle_merge, sorted_partition_apply
+    from raylink.util import (
+        pa_type,
+        shuffle_merge,
+        skip_empty,
+        sorted_partition_apply,
+    )
 
     fields = list(fields or [])
     P = np.uint64(1 << 31)
@@ -314,9 +319,9 @@ def golden_records(
         )
 
     labels = cluster_label_propagation(
-        edges.map_batches(_to_edges, batch_format="pyarrow"),
+        edges.map_batches(skip_empty(_to_edges), batch_format="pyarrow"),
         num_partitions=nparts,
-    ).map_batches(_unpack_label, batch_format="pyarrow")
+    ).map_batches(skip_empty(_unpack_label), batch_format="pyarrow")
 
     def _tag_rec(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -388,7 +393,7 @@ def golden_records(
         return pa.table(cols)
 
     return sorted_partition_apply(
-        attached.map_batches(_tag_ent, batch_format="pyarrow").repartition(nparts),
+        attached.map_batches(skip_empty(_tag_ent), batch_format="pyarrow").repartition(nparts),
         "_pid",
         _golden,
         out_schema,

@@ -179,12 +179,16 @@ def pagerank(
 
     base = (scale * (100 - damping_pct)) // 100
 
+    from raylink.util import skip_empty
+
     epair = edges.map_batches(
-        lambda t: pa.table(
-            {
-                "src": t.column(src_col).cast(pa.int64()),
-                "dst": t.column(dst_col).cast(pa.int64()),
-            }
+        skip_empty(
+            lambda t: pa.table(
+                {
+                    "src": t.column(src_col).cast(pa.int64()),
+                    "dst": t.column(dst_col).cast(pa.int64()),
+                }
+            )
         ),
         batch_format="pyarrow",
     ).materialize()
@@ -225,29 +229,29 @@ def pagerank(
         return pa.table({"node": pa.array(np.unique(both))})
 
     nodes = (
-        epair.map_batches(_endpoints, batch_format="pyarrow")
+        epair.map_batches(skip_empty(_endpoints), batch_format="pyarrow")
         .groupby("node")
         .aggregate(Count(alias_name="_c"))
         .select_columns(["node"])
         .materialize()
     )
     zeros = nodes.map_batches(
-        lambda t: pa.table(
+        skip_empty(lambda t: pa.table(
             {
                 "node": t.column("node"),
                 "s": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
             }
-        ),
+        )),
         batch_format="pyarrow",
     ).materialize()
 
     pr = nodes.map_batches(
-        lambda t: pa.table(
+        skip_empty(lambda t: pa.table(
             {
                 "node": t.column("node"),
                 "pr": pa.array(np.full(t.num_rows, scale, dtype=np.int64)),
             }
-        ),
+        )),
         batch_format="pyarrow",
     ).materialize()
 
@@ -288,7 +292,7 @@ def pagerank(
             .aggregate(Sum("s", alias_name="s"))
         )
         pr = summed.map_batches(
-            lambda t: pa.table(
+            skip_empty(lambda t: pa.table(
                 {
                     "node": t.column("node"),
                     "pr": pa.array(
@@ -300,7 +304,7 @@ def pagerank(
                         // 100
                     ),
                 }
-            ),
+            )),
             batch_format="pyarrow",
         ).materialize()
     return pr
@@ -329,12 +333,16 @@ def k_core(
 
     from raylink.ops.relational import anti_join
 
+    from raylink.util import skip_empty
+
     E = edges.map_batches(
-        lambda t: pa.table(
-            {
-                "a": t.column(a_col).cast(pa.int64()),
-                "b": t.column(b_col).cast(pa.int64()),
-            }
+        skip_empty(
+            lambda t: pa.table(
+                {
+                    "a": t.column(a_col).cast(pa.int64()),
+                    "b": t.column(b_col).cast(pa.int64()),
+                }
+            )
         ),
         batch_format="pyarrow",
     ).materialize()
@@ -355,14 +363,16 @@ def k_core(
 
     for _ in range(max_rounds):
         deg = (
-            E.map_batches(_endpoints, batch_format="pyarrow")
+            E.map_batches(skip_empty(_endpoints), batch_format="pyarrow")
             .groupby("node")
             .aggregate(Count(alias_name="deg"))
         )
         bad = deg.map_batches(
-            lambda t: t.filter(
-                pa.compute.less(t.column("deg"), pa.scalar(k))
-            ).select(["node"]),
+            skip_empty(
+                lambda t: t.filter(
+                    pa.compute.less(t.column("deg"), pa.scalar(k))
+                ).select(["node"])
+            ),
             batch_format="pyarrow",
         ).materialize()
         if bad.count() == 0:
@@ -383,7 +393,7 @@ def k_core(
             pa.schema([("node", pa.int64())]).empty_table()
         )
     return (
-        E.map_batches(_endpoints, batch_format="pyarrow")
+        E.map_batches(skip_empty(_endpoints), batch_format="pyarrow")
         .groupby("node")
         .aggregate(Count(alias_name="_c"))
         .select_columns(["node"])

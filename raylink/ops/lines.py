@@ -115,12 +115,26 @@ def strip_boilerplate(
         # n_docs·den ≥ num·N  ⟺  n_docs ≥ ceil(num·N / den): exact integer
         # ceil, so the Ray predicate and the SQL replay agree bit-for-bit
         thr = -(-num * n_corpus // den)
-    frequent = freq.filter(expr=f"n_docs >= {thr}")
-    # Driver-small by the boilerplate contract (see module docstring);
-    # collected once, shipped once.
-    drop = frozenset(
-        frequent.select_columns(["line"]).to_pandas()["line"].tolist()
+    import pyarrow.compute as pc
+
+    from raylink.util import skip_empty
+
+    # skip_empty map instead of .filter(expr=...): the Aggregate's empty
+    # range partitions cross a Filter operator as schema-less bundles
+    frequent = freq.map_batches(
+        skip_empty(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("n_docs"), pa.scalar(thr))
+            ).select(["line"])
+        ),
+        batch_format="pyarrow",
     )
+    # Driver-small by the boilerplate contract (see module docstring);
+    # collected once, shipped once. When NO line is frequent the skip_empty
+    # map leaves zero typed blocks and to_pandas has no columns — that is
+    # the empty set, not an error (hypothesis-caught edge).
+    fdf = frequent.to_pandas()
+    drop = frozenset(fdf["line"].tolist()) if "line" in fdf.columns else frozenset()
     drop_ref = ray.put(drop)
 
     def _strip(batch: pa.Table) -> pa.Table:
@@ -244,11 +258,17 @@ def dedup_lines_global(
             }
         )
 
+    from raylink.util import skip_empty
+
     exploded = ds.select_columns([id_col, text_col]).map_batches(
-        _explode, batch_format="pyarrow"
+        skip_empty(_explode), batch_format="pyarrow"
     )
+    # uniform explicit cuts over the 2^31 pid space (same rationale as
+    # util.shuffle_merge): no sampling pass, no empty sort partitions
+    step = (1 << 31) // nparts
     survivors = sorted_partition_apply(
-        exploded.repartition(nparts), "_pid", _keep, occ_schema
+        exploded, "_pid", _keep, occ_schema,
+        boundaries=list(range(step, 1 << 31, step))[: nparts - 1],
     )
 
     out_schema = pa.schema(
@@ -286,4 +306,9 @@ def dedup_lines_global(
         _reassemble,
         out_schema,
         num_partitions=nparts,
+        # explicit schemas: shuffle_merge would otherwise call
+        # Dataset.schema() on the lazy survivors lineage, re-executing
+        # the whole ownership exchange just to learn dtypes
+        left_schema=pa.schema([(id_col, id_type), (text_col, pa.string())]),
+        right_schema=occ_schema,
     )

@@ -159,6 +159,30 @@ def pa_type(t) -> "pa.DataType":
         return pa.string()
 
 
+def skip_empty(fn):
+    """Wrap a pyarrow ``map_batches`` UDF so 0-row input blocks yield
+    NOTHING (no output bundle) and 0-row results are swallowed.
+
+    Why: Ray 2.49 drops the schema when it wraps a 0-row map output into
+    a RefBundle, so any empty block crossing a non-fused operator
+    boundary fires ``RefBundle with a different schema`` executor
+    warnings — and empty blocks are routine here (schema anchors from
+    :func:`sorted_partition_apply`, Ray's own empty sort/aggregate range
+    partitions). Apply to any library map that consumes the output of an
+    exchange stage. Safe because every such consumer chain re-establishes
+    its output schema via its own anchor or a downstream all-to-all.
+    """
+
+    def _wrapped(batch):
+        if batch.num_rows == 0:
+            return
+        out = fn(batch)
+        if out is not None and out.num_rows > 0:
+            yield out
+
+    return _wrapped
+
+
 def sorted_partition_apply(
     ds: ray.data.Dataset,
     sort_key: str,
@@ -193,9 +217,16 @@ def sorted_partition_apply(
 
     def _apply(block: pa.Table):
         if block.num_rows == 0:
-            yield out_schema.empty_table()
+            # yield NOTHING: the leading schema anchor (below) already
+            # guarantees one typed block for the stage, and an empty
+            # table emitted here crosses the next operator boundary as a
+            # schema-LESS bundle (measured: Ray 2.49 drops the schema of
+            # any 0-row map output), firing nonempty→empty RefBundle
+            # warnings in every downstream queue
             return
         out = fn(block)
+        if out.num_rows == 0:
+            return
         if out.schema != out_schema:
             out = pa.Table.from_arrays(
                 [out.column(f.name).cast(f.type) for f in out_schema],
@@ -279,7 +310,12 @@ def shuffle_merge(
     _PID_SPACE = 1 << 31
 
     def _tag(side: int, keys: list[str]):
-        def _t(batch: pa.Table) -> pa.Table:
+        def _t(batch: pa.Table):
+            if batch.num_rows == 0:
+                # skip: upstream stages' schema anchors (and Ray's own
+                # empty sort partitions) arrive here as 0-row blocks;
+                # mapping them re-emits schema-less bundles mid-queue
+                return
             pid = hash_partition_ids(batch, keys, _PID_SPACE)
             cols: dict[str, pa.Array] = {}
             for name, typ in union_fields:
@@ -293,7 +329,7 @@ def shuffle_merge(
             cols["_side"] = pa.array(
                 [side] * len(batch), type=pa.int8()
             )
-            return pa.table(cols)
+            yield pa.table(cols)
 
         return _t
 
@@ -320,8 +356,18 @@ def shuffle_merge(
         ]
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
+    # explicit UNIFORM boundaries over the full pid space: _pid is
+    # siphash-uniform by construction, so equal cuts are balanced, the
+    # sort skips its boundary-sampling pass, and sampled-boundary
+    # collisions — the one remaining source of empty (schema-less,
+    # warning-firing) sort partitions at realistic row counts — cannot
+    # occur (a 1/P uniform slice of n hashed keys is empty with
+    # probability e^-(n/P), i.e. never past toy sizes)
+    step = _PID_SPACE // num_partitions
+    bounds = list(range(step, _PID_SPACE, step))[: num_partitions - 1]
     return sorted_partition_apply(
-        tagged.repartition(num_partitions), "_pid", _merge, out_schema
+        tagged.repartition(num_partitions), "_pid", _merge, out_schema,
+        boundaries=bounds,
     )
 
 
