@@ -2081,6 +2081,56 @@ def _q_golden_records(sf_dir: str):
     return out.sort_values("entity_id").reset_index(drop=True)
 
 
+def _q_json_extract(sf_dir: str):
+    # Semi-structured parse (ops/semistructured.json_extract): typed
+    # top-level fields out of the events.props JSON bag, one stateless
+    # map pass, DuckDB ->> null semantics.
+    from raylink.ops.semistructured import json_extract
+
+    ev = _read(sf_dir, "events", columns=["event_id", "props"])
+    out = json_extract(
+        ev, "props", {"k": ("k", "int64")}, keep_cols=["event_id"]
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_snapshot_diff(sf_dir: str):
+    # Incremental-snapshot delta (ops/semistructured.snapshot_diff): the
+    # "new" snapshot is derived deterministically from documents
+    # (doc_id%7 removed, %5 text-modified, %11 re-added under +1e7 ids)
+    # so the SQL replay builds the identical pair of snapshots; one hash
+    # exchange, equal rows dropped in the merge kernel.
+    from raylink.ops.semistructured import snapshot_diff
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _new(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = np.asarray(batch.column("text").to_pylist(), dtype=object)
+        keep = ids % 7 != 0
+        kept_ids = ids[keep]
+        kept_tx = texts[keep].copy()
+        mod = kept_ids % 5 == 0
+        kept_tx[mod] = np.array([t + " v2" for t in kept_tx[mod]], dtype=object)
+        add = ids % 11 == 0
+        add_ids = ids[add] + 10_000_000
+        add_tx = np.array([f"new doc {i}" for i in ids[add]], dtype=object)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([kept_ids, add_ids]), type=pa.int64()
+                ),
+                "text": pa.array(
+                    np.concatenate([kept_tx, add_tx]), type=pa.string()
+                ),
+            }
+        )
+
+    new = docs.map_batches(_new, batch_format="pyarrow")
+    out = snapshot_diff(docs, new, "doc_id", ["text"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_corr_parts(sf_dir: str):
     # Exact per-part correlation sufficient statistics between quantity
     # and price (ops/relational.grouped_corr_parts): integer-quantized
@@ -2845,6 +2895,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_parts": _q_corr_parts,
         "cohort_counts": _q_cohort_counts,
         "line_dedup": _q_line_dedup,
+        "json_extract": _q_json_extract,
+        "snapshot_diff": _q_snapshot_diff,
         "line_dedup_global": _q_line_dedup_global,
         "golden_records": _q_golden_records,
         "funnel": _q_funnel,
@@ -4243,6 +4295,34 @@ def oracle_sql() -> dict[str, str]:
                    (ANY_VALUE(t.n_total) - COUNT(k.line))::BIGINT AS n_dropped
             FROM tot t LEFT JOIN kept k USING (doc_id)
             GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "json_extract": """
+            SELECT event_id, CAST(props ->> 'k' AS BIGINT) AS k
+            FROM events ORDER BY event_id
+        """,
+        "snapshot_diff": """
+            WITH newsnap AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 10000000,
+                       'new doc ' || CAST(doc_id AS VARCHAR)
+                FROM documents WHERE doc_id % 11 = 0
+            ),
+            m AS (
+                SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN o.text IS DISTINCT FROM n.text
+                                 THEN 'changed'
+                            ELSE NULL END AS change
+                FROM documents o FULL OUTER JOIN newsnap n
+                     ON o.doc_id = n.doc_id
+            )
+            SELECT doc_id, change FROM m
+            WHERE change IS NOT NULL ORDER BY doc_id
         """,
         "line_dedup_global": """
             WITH l AS (

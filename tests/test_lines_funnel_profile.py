@@ -343,3 +343,99 @@ class TestGoldenRecords:
         )
         out = golden_records(recs, edges, "doc_id", ["lang"]).to_pandas()
         assert out.loc[0, "lang"] == "aa"  # count tie 1:1 -> min value
+
+
+class TestSemistructured:
+    def test_json_extract_types_and_nulls(self):
+        from raylink.ops.semistructured import json_extract
+
+        tbl = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "js": pa.array(
+                    [
+                        '{"a": 7, "b": "x", "c": 1.5, "d": true}',
+                        '{"a": null}',
+                        "not json",
+                        None,
+                        "{}",
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        )
+        out = json_extract(
+            rd.from_arrow(tbl),
+            "js",
+            {
+                "a": ("a", "int64"),
+                "b": ("b", "string"),
+                "c": ("c", "float64"),
+                "d": ("d", "bool"),
+            },
+            keep_cols=["id"],
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        assert out.loc[0, "a"] == 7
+        assert out.loc[0, "b"] == "x"
+        assert out.loc[0, "c"] == 1.5
+        assert bool(out.loc[0, "d"]) is True
+        # null key / malformed / null row / absent key -> typed nulls
+        assert out["a"].isna().tolist() == [False, True, True, True, True]
+
+    def test_json_extract_rejects_unknown_type(self):
+        from raylink.ops.semistructured import json_extract
+
+        with pytest.raises(ValueError, match="unsupported type"):
+            json_extract(None, "js", {"a": ("a", "decimal")})
+
+    def test_snapshot_diff_classifies(self):
+        from raylink.ops.semistructured import snapshot_diff
+
+        old = rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                    "v": pa.array(["a", "b", "c", None], type=pa.string()),
+                }
+            )
+        )
+        new = rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([2, 3, 4, 5], type=pa.int64()),
+                    "v": pa.array(["b", "C", None, "e"], type=pa.string()),
+                }
+            )
+        )
+        out = (
+            snapshot_diff(old, new, "id", ["v"])
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        # 1 removed; 2 equal (absent); 3 changed; 4 null==null (absent);
+        # 5 added
+        assert out["id"].tolist() == [1, 3, 5]
+        assert out["change"].tolist() == ["removed", "changed", "added"]
+
+    def test_snapshot_diff_duplicate_keys_raise(self):
+        from raylink.ops.semistructured import snapshot_diff
+
+        dup = rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([1, 1], type=pa.int64()),
+                    "v": pa.array(["a", "b"], type=pa.string()),
+                }
+            )
+        )
+        ok = rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([1], type=pa.int64()),
+                    "v": pa.array(["a"], type=pa.string()),
+                }
+            )
+        )
+        with pytest.raises(Exception, match="duplicate"):
+            snapshot_diff(dup, ok, "id", ["v"]).to_pandas()
