@@ -317,17 +317,21 @@ def k_core(
     b_col: str = "b",
     max_rounds: int = 100,
     num_partitions: int | None = None,
+    broadcast_cap: int = 1_000_000,
 ) -> ray.data.Dataset:
     """Nodes of the k-CORE: the maximal subgraph where every node keeps
     degree ≥ k, by distributed iterative peeling. Input: distinct
     undirected edges (``a_col`` < ``b_col``). Per round: one
-    edge-scale groupby counts degrees, nodes under ``k`` form the peel
-    set, and TWO distributed anti-joins (one per endpoint — the peel set
-    is never collected or broadcast, so round 1 of a large ``k`` can drop
-    half the graph without touching the driver) remove their edges.
-    Monotone, so it terminates; rounds are bounded by the peel depth
-    (the driver sees one scalar count per round — the fixpoint test).
-    Returns ``(node,)`` rows of the surviving core.
+    edge-scale groupby counts degrees and nodes under ``k`` form the
+    peel set; edges touching it are removed by the classic size pick —
+    peel sets ≤ ``broadcast_cap`` (the usual case after round 1: peel
+    sets shrink fast) are ``ray.put`` once and dropped in a stateless
+    vectorized ``np.isin`` map with ZERO exchanges, while larger ones go
+    through TWO distributed anti-joins (one per endpoint) so round 1 of
+    a large ``k`` can still drop half the graph without touching the
+    driver. Monotone, so it terminates; rounds are bounded by the peel
+    depth (the driver sees one scalar count per round — the fixpoint
+    test). Returns ``(node,)`` rows of the surviving core.
     """
     from ray.data.aggregate import Count
 
@@ -375,15 +379,40 @@ def k_core(
             ),
             batch_format="pyarrow",
         ).materialize()
-        if bad.count() == 0:
+        n_bad = bad.count()
+        if n_bad == 0:
             break
-        E = anti_join(
-            anti_join(E, bad, ["a"], ["node"], num_partitions=num_partitions),
-            bad,
-            ["b"],
-            ["node"],
-            num_partitions=num_partitions,
-        ).materialize()
+        if n_bad <= broadcast_cap:
+            # the usual case after round 1: the peel set shrinks fast, so
+            # ship it ONCE via ray.put and drop edges in a stateless
+            # vectorized map — ZERO exchanges this round (vs two
+            # anti-join all-to-alls of the whole edge set). np.isin is a
+            # sort-based membership test, exact.
+            bad_ids = np.sort(
+                bad.to_pandas()["node"].to_numpy(dtype=np.int64)
+            )
+            bad_ref = ray.put(bad_ids)
+
+            def _drop(t: pa.Table) -> pa.Table:
+                ids = ray.get(bad_ref)
+                a = t.column("a").to_numpy(zero_copy_only=False)
+                b = t.column("b").to_numpy(zero_copy_only=False)
+                keep = ~(np.isin(a, ids) | np.isin(b, ids))
+                return t.filter(pa.array(keep))
+
+            E = E.map_batches(
+                skip_empty(_drop), batch_format="pyarrow"
+            ).materialize()
+        else:
+            E = anti_join(
+                anti_join(
+                    E, bad, ["a"], ["node"], num_partitions=num_partitions
+                ),
+                bad,
+                ["b"],
+                ["node"],
+                num_partitions=num_partitions,
+            ).materialize()
         if E.count() == 0:
             break
     if E.count() == 0:
