@@ -2081,6 +2081,72 @@ def _q_golden_records(sf_dir: str):
     return out.sort_values("entity_id").reset_index(drop=True)
 
 
+def _q_incremental_agg(sf_dir: str):
+    # Incremental materialized-view maintenance
+    # (ops/relational.merge_sum_aggregates): the view is the q1-style
+    # aggregate; "yesterday" = even orderkeys, "today's increment" = odd
+    # orderkeys, each pre-aggregated, then folded with union + one
+    # group-cardinality-sized groupby. The oracle is the FULL aggregate —
+    # passing proves increment + fold == rescan, bit-for-bit (integer
+    # micro-units make SUM associativity exact).
+    from raylink.ops.relational import merge_sum_aggregates, preagg_sum_count
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_linestatus",
+                 "l_quantity", "l_extendedprice"],
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t.column("l_quantity"), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "parity": pc.cast(
+                    pc.bit_wise_and(t.column("l_orderkey"), 1), pa.int64()
+                ),
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": qty,
+                "price_cents": cents,
+            }
+        )
+
+    pre = li.map_batches(_cents, batch_format="pyarrow")
+    sums = {"qty": "sum_qty", "price_cents": "sum_price_cents"}
+    prev = preagg_sum_count(
+        pre.filter(expr="parity == 0"),
+        ["l_returnflag", "l_linestatus"], sums, final_partitions=2,
+    )
+    delta = preagg_sum_count(
+        pre.filter(expr="parity == 1"),
+        ["l_returnflag", "l_linestatus"], sums, final_partitions=2,
+    )
+    out = merge_sum_aggregates(
+        prev, delta, ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_price_cents", "n"], final_partitions=2,
+    )
+    df = out.to_pandas().sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+    for c in ("sum_qty", "sum_price_cents", "n"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def _q_normalize_text(sf_dir: str):
+    # Vectorized canonicalization (ops/text.normalize_text): Arrow
+    # utf8_lower + RE2 whitespace collapse + trim, no Python loop.
+    from raylink.ops.text import normalize_text
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = normalize_text(docs).select_columns(["doc_id", "text_norm"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_json_extract(sf_dir: str):
     # Semi-structured parse (ops/semistructured.json_extract): typed
     # top-level fields out of the events.props JSON bag, one stateless
@@ -2896,6 +2962,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_counts": _q_cohort_counts,
         "line_dedup": _q_line_dedup,
         "json_extract": _q_json_extract,
+        "incremental_agg": _q_incremental_agg,
+        "normalize_text": _q_normalize_text,
         "snapshot_diff": _q_snapshot_diff,
         "line_dedup_global": _q_line_dedup_global,
         "golden_records": _q_golden_records,
@@ -4295,6 +4363,22 @@ def oracle_sql() -> dict[str, str]:
                    (ANY_VALUE(t.n_total) - COUNT(k.line))::BIGINT AS n_dropped
             FROM tot t LEFT JOIN kept k USING (doc_id)
             GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "incremental_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT
+                       AS sum_price_cents,
+                   COUNT(*)::BIGINT AS n
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                       AS text_norm
+            FROM documents ORDER BY doc_id
         """,
         "json_extract": """
             SELECT event_id, CAST(props ->> 'k' AS BIGINT) AS k

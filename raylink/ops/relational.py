@@ -974,3 +974,31 @@ def grouped_corr_parts(
         Sum("syy", alias_name="syy"),
         Sum("sxy", alias_name="sxy"),
     )
+
+
+def merge_sum_aggregates(
+    prev: ray.data.Dataset,
+    delta: ray.data.Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    final_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Incremental materialized-view maintenance for SUM/COUNT
+    aggregates: fold a new increment's PRE-AGGREGATED ``(keys, sums)``
+    table into yesterday's aggregate — union + one groupby over two
+    group-cardinality-sized tables, so refreshing a daily view costs
+    aggregate-scale work, never a rescan of the accumulated corpus.
+    Associativity of SUM is the whole trick (the same property
+    map-side combiners rely on); AVG-style views store (sum, count)
+    pairs and divide at read time.
+    """
+    from ray.data.aggregate import Sum
+
+    merged = prev.select_columns(keys + sum_cols).union(
+        delta.select_columns(keys + sum_cols)
+    )
+    if final_partitions is not None:
+        merged = merged.repartition(final_partitions)
+    return merged.groupby(keys).aggregate(
+        *[Sum(c, alias_name=c) for c in sum_cols]
+    )

@@ -588,3 +588,26 @@ def grouped_vocab_topk(
         )
 
     return ranked.map_batches(_keep, batch_format="pyarrow")
+
+
+def normalize_text(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    out_col: str = "text_norm",
+) -> "ray.data.Dataset":
+    """Canonical text normalization: ASCII-lowercase, collapse every
+    whitespace run to one space, strip leading/trailing whitespace —
+    the standard pre-tokenization pass. Fully VECTORIZED Arrow kernels
+    (``utf8_lower`` + RE2 ``replace_substring_regex`` + ``utf8_trim``),
+    no Python loop; semantics shared with the DuckDB replay
+    (``lower`` + ``regexp_replace(..., '\\s+', ' ', 'g')`` + ``trim``).
+    """
+    import pyarrow.compute as pc
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(batch.column(text_col))
+        s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return set_column(batch, out_col, s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s)
+
+    return ds.map_batches(_norm, batch_format="pyarrow")

@@ -439,3 +439,49 @@ class TestSemistructured:
         )
         with pytest.raises(Exception, match="duplicate"):
             snapshot_diff(dup, ok, "id", ["v"]).to_pandas()
+
+
+class TestIncrementalAggAndNormalize:
+    def test_merge_sum_aggregates_equals_full(self):
+        from raylink.ops.relational import merge_sum_aggregates
+
+        prev = rd.from_arrow(
+            pa.table(
+                {
+                    "g": pa.array(["a", "b"], type=pa.string()),
+                    "s": pa.array([10, 20], type=pa.int64()),
+                    "n": pa.array([2, 3], type=pa.int64()),
+                }
+            )
+        )
+        delta = rd.from_arrow(
+            pa.table(
+                {
+                    "g": pa.array(["b", "c"], type=pa.string()),
+                    "s": pa.array([5, 7], type=pa.int64()),
+                    "n": pa.array([1, 1], type=pa.int64()),
+                }
+            )
+        )
+        out = (
+            merge_sum_aggregates(prev, delta, ["g"], ["s", "n"],
+                                 final_partitions=1)
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        assert out["g"].tolist() == ["a", "b", "c"]
+        assert out["s"].tolist() == [10, 25, 7]
+        assert out["n"].tolist() == [2, 4, 1]
+
+    def test_normalize_text_whitespace_and_case(self):
+        from raylink.ops.text import normalize_text
+
+        docs = _docs(["  Hello\t\tWORLD \n x ", "a  b", ""])
+        out = (
+            normalize_text(docs)
+            .to_pandas()
+            .sort_values("doc_id")["text_norm"]
+            .tolist()
+        )
+        assert out == ["hello world x", "a b", ""]
