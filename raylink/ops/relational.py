@@ -450,7 +450,7 @@ def grouped_mode(
     and a vectorized all-groups argmax per partition (sort by
     (group, -count, value), take group firsts)."""
     from raylink.ops.dedup import _default_partitions, _mix64
-    from raylink.util import pa_type, sorted_partition_apply
+    from raylink.util import pa_type, sorted_partition_apply, uniform_pid_bounds
 
     P = np.uint64(1 << 31)
     nparts = num_partitions or _default_partitions()
@@ -504,7 +504,8 @@ def grouped_mode(
     )
     tagged = partials.map_batches(_tag, batch_format="pyarrow")
     return sorted_partition_apply(
-        tagged.repartition(nparts), "_pid", _argmax, out_schema
+        tagged.repartition(nparts), "_pid", _argmax, out_schema,
+        boundaries=uniform_pid_bounds(nparts),
     )
 
 
@@ -521,7 +522,7 @@ def grouped_nunique(
     (The mergeable-sketch alternative at corpus scale is
     ``ops/sketch.hll_registers`` — this is the exact path.)"""
     from raylink.ops.dedup import _default_partitions, _mix64
-    from raylink.util import pa_type, sorted_partition_apply
+    from raylink.util import pa_type, sorted_partition_apply, uniform_pid_bounds
 
     P = np.uint64(1 << 31)
     nparts = num_partitions or _default_partitions()
@@ -561,6 +562,7 @@ def grouped_nunique(
         "_pid",
         _count,
         out_schema,
+        boundaries=uniform_pid_bounds(nparts),
     )
 
 
@@ -580,7 +582,7 @@ def pivot_counts(
     groups' wide rows vectorized.
     """
     from raylink.ops.dedup import _default_partitions, _mix64
-    from raylink.util import pa_type, sorted_partition_apply
+    from raylink.util import pa_type, sorted_partition_apply, uniform_pid_bounds
 
     P = np.uint64(1 << 31)
     nparts = num_partitions or _default_partitions()
@@ -633,6 +635,7 @@ def pivot_counts(
         "_pid",
         _widen,
         out_schema,
+        boundaries=uniform_pid_bounds(nparts),
     )
 
 

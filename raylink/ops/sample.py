@@ -275,7 +275,7 @@ def group_quantiles(
     the input, so the gate hashes them safely.
     """
     from raylink.ops.dedup import _default_partitions, _mix64
-    from raylink.util import pa_type, sorted_partition_apply
+    from raylink.util import pa_type, sorted_partition_apply, uniform_pid_bounds
 
     P = np.uint64(1 << 31)
     nparts = num_partitions or _default_partitions()
@@ -317,7 +317,8 @@ def group_quantiles(
     )
     tagged = ds.map_batches(_tag, batch_format="pyarrow")
     return sorted_partition_apply(
-        tagged.repartition(nparts), "_pid", _quant, out_schema
+        tagged.repartition(nparts), "_pid", _quant, out_schema,
+        boundaries=uniform_pid_bounds(nparts),
     )
 
 
@@ -354,7 +355,7 @@ def top_p_select(
     if p_num < 1 or p_den < 1 or p_num > p_den:
         raise ValueError(f"need 0 < p_num/p_den <= 1, got {p_num}/{p_den}")
     from raylink.ops.dedup import _default_partitions, _mix64
-    from raylink.util import pa_type, sorted_partition_apply
+    from raylink.util import pa_type, sorted_partition_apply, uniform_pid_bounds
 
     P = np.uint64(1 << 31)
     nparts = num_partitions or _default_partitions()
@@ -415,7 +416,8 @@ def top_p_select(
         _tag, batch_format="pyarrow"
     )
     return sorted_partition_apply(
-        tagged.repartition(nparts), "_pid", _select, out_schema
+        tagged.repartition(nparts), "_pid", _select, out_schema,
+        boundaries=uniform_pid_bounds(nparts),
     )
 
 

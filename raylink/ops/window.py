@@ -67,7 +67,7 @@ def sessionize(
     within the session — deterministic and SQL-replayable with window
     functions. Returns ``(id_col, key_col, session_id)`` rows.
     """
-    from raylink.util import sorted_partition_apply
+    from raylink.util import sorted_partition_apply, uniform_pid_bounds
 
     # 2^31 pid values, not num_partitions: high cardinality keeps the range
     # exchange's sampled boundaries collision-free so no empty (schema-less)
@@ -115,7 +115,8 @@ def sessionize(
     )
     tagged = events.map_batches(_tag, batch_format="pyarrow")
     return sorted_partition_apply(
-        tagged.repartition(nparts), "_pid", _sess, out_schema
+        tagged.repartition(nparts), "_pid", _sess, out_schema,
+        boundaries=uniform_pid_bounds(nparts),
     )
 
 
@@ -140,7 +141,7 @@ def session_stats(
     — all aggregates int64 (durations in integer µs), SQL-replayable with
     window functions.
     """
-    from raylink.util import pa_type, sorted_partition_apply
+    from raylink.util import pa_type, sorted_partition_apply, uniform_pid_bounds
 
     P = np.uint64(1 << 31)
     nparts = num_partitions or _default_partitions()
@@ -212,7 +213,8 @@ def session_stats(
     )
     tagged = events.map_batches(_tag, batch_format="pyarrow")
     return sorted_partition_apply(
-        tagged.repartition(nparts), "_pid", _stats, out_schema
+        tagged.repartition(nparts), "_pid", _stats, out_schema,
+        boundaries=uniform_pid_bounds(nparts),
     )
 
 
@@ -234,7 +236,7 @@ def windowed_rank(
     Partitioning assumption: the hottest key's rows fit one partition
     (same skew bound as :func:`sessionize`).
     """
-    from raylink.util import sorted_partition_apply
+    from raylink.util import sorted_partition_apply, uniform_pid_bounds
 
     P = np.uint64(1 << 31)
     nparts = num_partitions or _default_partitions()
@@ -271,7 +273,8 @@ def windowed_rank(
     )
     tagged = events.map_batches(_tag, batch_format="pyarrow")
     return sorted_partition_apply(
-        tagged.repartition(nparts), "_pid", _rank, out_schema
+        tagged.repartition(nparts), "_pid", _rank, out_schema,
+        boundaries=uniform_pid_bounds(nparts),
     )
 
 
@@ -298,7 +301,7 @@ def lead_lag(
     lead_<k>..., [ntile])``. Partitioning assumption: the hottest key's
     rows fit one partition (same skew bound as :func:`sessionize`).
     """
-    from raylink.util import pa_type, sorted_partition_apply
+    from raylink.util import pa_type, sorted_partition_apply, uniform_pid_bounds
 
     P = np.uint64(1 << 31)
     nparts = num_partitions or _default_partitions()
@@ -350,7 +353,8 @@ def lead_lag(
     out_schema = pa.schema(fields)
     tagged = events.map_batches(_tag, batch_format="pyarrow")
     return sorted_partition_apply(
-        tagged.repartition(nparts), "_pid", _shift, out_schema
+        tagged.repartition(nparts), "_pid", _shift, out_schema,
+        boundaries=uniform_pid_bounds(nparts),
     )
 
 
@@ -746,7 +750,7 @@ def sequence_agg(
     partition (same stated contract as sessionize; pre-chunk ultra-hot
     keys upstream if an entity's history outgrows a worker)."""
     from raylink.ops.dedup import _default_partitions, _mix64
-    from raylink.util import pa_type, sorted_partition_apply
+    from raylink.util import pa_type, sorted_partition_apply, uniform_pid_bounds
 
     P = np.uint64(1 << 31)
     nparts = num_partitions or _default_partitions()
@@ -785,7 +789,8 @@ def sequence_agg(
     )
     tagged = events.map_batches(_tag, batch_format="pyarrow")
     return sorted_partition_apply(
-        tagged.repartition(nparts), "_pid", _assemble, out_schema
+        tagged.repartition(nparts), "_pid", _assemble, out_schema,
+        boundaries=uniform_pid_bounds(nparts),
     )
 
 
@@ -812,7 +817,7 @@ def rolling_sum(
     if k < 1:
         raise ValueError("k must be >= 1")
     from raylink.ops.dedup import _default_partitions, _mix64
-    from raylink.util import pa_type, sorted_partition_apply
+    from raylink.util import pa_type, sorted_partition_apply, uniform_pid_bounds
 
     P = np.uint64(1 << 31)
     nparts = num_partitions or _default_partitions()
@@ -871,7 +876,8 @@ def rolling_sum(
     )
     tagged = events.map_batches(_tag, batch_format="pyarrow")
     return sorted_partition_apply(
-        tagged.repartition(nparts), "_pid", _roll, out_schema
+        tagged.repartition(nparts), "_pid", _roll, out_schema,
+        boundaries=uniform_pid_bounds(nparts),
     )
 
 
@@ -903,7 +909,7 @@ def basket_pairs(
     """
     from ray.data.aggregate import Sum
 
-    from raylink.util import sorted_partition_apply
+    from raylink.util import sorted_partition_apply, uniform_pid_bounds
 
     P = np.uint64(1 << 31)
     nparts = num_partitions or _default_partitions()
@@ -962,7 +968,8 @@ def basket_pairs(
         [id_col, key_col, ts_col, item_col]
     ).map_batches(_tag, batch_format="pyarrow")
     partials = sorted_partition_apply(
-        tagged.repartition(nparts), "_pid", _pairs, pair_schema
+        tagged.repartition(nparts), "_pid", _pairs, pair_schema,
+        boundaries=uniform_pid_bounds(nparts),
     )
     return (
         partials.groupby(["item_a", "item_b"])
@@ -999,7 +1006,7 @@ def cohort_counts(
     """
     from ray.data.aggregate import Sum
 
-    from raylink.util import sorted_partition_apply
+    from raylink.util import sorted_partition_apply, uniform_pid_bounds
 
     P = np.uint64(1 << 31)
     nparts = num_partitions or _default_partitions()
@@ -1037,7 +1044,8 @@ def cohort_counts(
 
     tagged = events.map_batches(_tag, batch_format="pyarrow")
     partials = sorted_partition_apply(
-        tagged.repartition(nparts), "_pid", _cohort, part_schema
+        tagged.repartition(nparts), "_pid", _cohort, part_schema,
+        boundaries=uniform_pid_bounds(nparts),
     )
     if final_partitions is not None:
         partials = partials.repartition(final_partitions)
@@ -1074,7 +1082,7 @@ def funnel_counts(
     """
     from ray.data.aggregate import Sum
 
-    from raylink.util import sorted_partition_apply
+    from raylink.util import sorted_partition_apply, uniform_pid_bounds
 
     steps = list(steps)
     P = np.uint64(1 << 31)
@@ -1123,7 +1131,8 @@ def funnel_counts(
         [key_col, ts_col, type_col]
     ).map_batches(_tag, batch_format="pyarrow")
     partials = sorted_partition_apply(
-        tagged.repartition(nparts), "_pid", _funnel, part_schema
+        tagged.repartition(nparts), "_pid", _funnel, part_schema,
+        boundaries=uniform_pid_bounds(nparts),
     )
     if final_partitions is not None:
         partials = partials.repartition(final_partitions)

@@ -159,6 +159,16 @@ def pa_type(t) -> "pa.DataType":
         return pa.string()
 
 
+def uniform_pid_bounds(nparts: int, space: int = 1 << 31) -> list[int]:
+    """Explicit uniform sort boundaries for a column of siphash/mix64
+    pids in ``[0, space)``: equal cuts are balanced because the hash is
+    uniform, the sort skips its boundary-sampling pass, and no range can
+    be empty past toy row counts (p = e^-(n/P)) — the same device
+    ``shuffle_merge`` uses; see the RefBundle-warning notes there."""
+    step = space // nparts
+    return list(range(step, space, step))[: nparts - 1]
+
+
 def skip_empty(fn):
     """Wrap a pyarrow ``map_batches`` UDF so 0-row input blocks yield
     NOTHING (no output bundle) and 0-row results are swallowed.
