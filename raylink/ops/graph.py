@@ -149,6 +149,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     num_partitions: int | None = None,
+    broadcast_cap: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Integer fixed-point PageRank over a DIRECTED edge table — every
     arithmetic step is int64, so the result is bit-reproducible and
@@ -274,18 +275,60 @@ def pagerank(
         )
         return out.astype(np.int64)
 
+    # Size pick for the per-iteration join (same device as k_core's peel
+    # set): pr is NODE-scale, so graphs whose node table fits the object
+    # store broadcast it once per round and the contrib join becomes a
+    # stateless sorted-searchsorted map over the STATIC edge table — zero
+    # join exchanges per iteration (only the partial-sum groupby moves).
+    # Node tables above broadcast_cap keep the fully distributed
+    # shuffle-join path.
+    n_nodes = nodes.count()
+    use_broadcast = n_nodes <= broadcast_cap
+
     for _ in range(iters):
-        partials = shuffle_merge(
-            E,
-            pr,
-            ["src"],
-            ["node"],
-            _contrib,
-            partial_schema,
-            num_partitions=num_partitions,
-            left_schema=edge_schema,
-            right_schema=pa.schema([("node", pa.int64()), ("pr", pa.int64())]),
-        )
+        if use_broadcast:
+            prdf = pr.to_pandas()
+            order = np.argsort(prdf["node"].to_numpy(), kind="stable")
+            node_arr = prdf["node"].to_numpy(dtype=np.int64)[order]
+            pr_arr = prdf["pr"].to_numpy(dtype=np.int64)[order]
+            pr_ref = ray.put((node_arr, pr_arr))
+
+            def _contrib_bcast(t: pa.Table) -> pa.Table:
+                narr, parr = ray.get(pr_ref)
+                src = t.column("src").to_numpy(zero_copy_only=False)
+                dst = t.column("dst").to_numpy(zero_copy_only=False)
+                deg = t.column("deg").to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(narr, src)
+                c = parr[idx] // deg
+                out = (
+                    pd.DataFrame({"node": dst, "s": c})
+                    .groupby("node", sort=False, as_index=False)["s"]
+                    .sum()
+                )
+                return pa.table(
+                    {
+                        "node": pa.array(out["node"].to_numpy(np.int64)),
+                        "s": pa.array(out["s"].to_numpy(np.int64)),
+                    }
+                )
+
+            partials = E.map_batches(
+                skip_empty(_contrib_bcast), batch_format="pyarrow"
+            )
+        else:
+            partials = shuffle_merge(
+                E,
+                pr,
+                ["src"],
+                ["node"],
+                _contrib,
+                partial_schema,
+                num_partitions=num_partitions,
+                left_schema=edge_schema,
+                right_schema=pa.schema(
+                    [("node", pa.int64()), ("pr", pa.int64())]
+                ),
+            )
         summed = (
             partials.union(zeros)
             .groupby("node")
