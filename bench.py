@@ -19,9 +19,12 @@ timed query runs ``GRAFT_BENCH_REPS`` times (default 3) inside one Ray
 session; ``value``/``queries`` report the MEDIAN, with per-query minima in
 ``queries_min`` and the raw draws in ``queries_runs``.
 
-``bench.py --scaling`` runs the same job in two fresh processes at
-num_cpus=8 and 32 and reports both throughputs + scaling efficiency
-(single-rep legs, best-of-2 per level).
+``bench.py --scaling`` runs the same job in fresh processes at two
+parallelism levels (default 4 and 16 — ``GRAFT_SCALING_CPUS`` overrides;
+8->32 measures the hypervisor, not the engine, see BASELINE.md) as
+``GRAFT_SCALING_LEGS`` interleaved ABAB legs per level, and reports both
+throughputs, the best-leg scaling efficiency, and every raw leg + paired
+per-window draw.
 """
 
 from __future__ import annotations

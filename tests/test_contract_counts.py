@@ -45,3 +45,16 @@ def test_rows_only_is_codec_bound_only():
     """Every non-codec query must carry a DuckDB oracle — the r4 contract."""
     rows_only = set(_dict_keys("queries")) - set(_dict_keys("oracle_sql"))
     assert rows_only == {"multimodal_decode", "audio_features", "video_frames"}
+
+
+def test_operator_index_current():
+    """OPERATORS.md is generated from the contract; assert it matches so
+    the index can't rot (same rationale as the README count line)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_operator_index", ROOT / "scripts" / "gen_operator_index.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert (ROOT / "OPERATORS.md").read_text() == mod.generate()
