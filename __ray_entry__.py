@@ -2147,6 +2147,19 @@ def _q_normalize_text(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_grouped_hll(sf_dir: str):
+    # Per-group approximate-distinct sketch
+    # (ops/sketch.grouped_hll_registers): the corpus-scale fallback
+    # grouped_nunique/column_profile document, gated bit-exact on the
+    # REGISTERS via the md5 replay device (same as hll_sketch), grouped
+    # by event_type at p=8.
+    from raylink.ops.sketch import grouped_hll_registers
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = grouped_hll_registers(ev, "event_type", "user_id", p=8).to_pandas()
+    return out.sort_values(["event_type", "reg"]).reset_index(drop=True)
+
+
 def _q_json_extract(sf_dir: str):
     # Semi-structured parse (ops/semistructured.json_extract): typed
     # top-level fields out of the events.props JSON bag, one stateless
@@ -2962,6 +2975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_counts": _q_cohort_counts,
         "line_dedup": _q_line_dedup,
         "json_extract": _q_json_extract,
+        "grouped_hll": _q_grouped_hll,
         "incremental_agg": _q_incremental_agg,
         "normalize_text": _q_normalize_text,
         "snapshot_diff": _q_snapshot_diff,
@@ -4363,6 +4377,25 @@ def oracle_sql() -> dict[str, str]:
                    (ANY_VALUE(t.n_total) - COUNT(k.line))::BIGINT AS n_dropped
             FROM tot t LEFT JOIN kept k USING (doc_id)
             GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "grouped_hll": """
+            WITH h AS (
+                SELECT event_type,
+                       CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+                            & 9223372036854775807 AS BIGINT) AS h
+                FROM events
+            ),
+            x AS (
+                SELECT event_type, h >> 55 AS reg,
+                       h & 36028797018963967 AS rem
+                FROM h
+            )
+            SELECT event_type, CAST(reg AS BIGINT) AS reg,
+                   CAST(MAX(CASE WHEN rem = 0 THEN 56
+                                 ELSE 56 - length(bin(rem)) END) AS BIGINT)
+                       AS max_rank
+            FROM x GROUP BY event_type, reg
+            ORDER BY event_type, reg
         """,
         "incremental_agg": """
             SELECT l_returnflag, l_linestatus,

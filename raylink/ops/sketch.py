@@ -235,3 +235,61 @@ def cms_heavy_hitters(
         ["est_cnt", col], ascending=[False, True], kind="stable"
     ).head(k)
     return out.reset_index(drop=True)
+
+
+def grouped_hll_registers(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    p: int = 12,
+) -> ray.data.Dataset:
+    """Per-GROUP HyperLogLog register table
+    ``(group_col, reg, max_rank)`` — the mergeable approximate-distinct
+    sketch :func:`raylink.ops.relational.grouped_nunique` and
+    ``column_profile`` name as their corpus-scale fallback, made real.
+    Same 63-bit md5 device as :func:`hll_registers` (so the DuckDB
+    replay is bit-exact on the REGISTERS), partial-maxed per batch and
+    merged with one ``groupby(group, reg).max`` — the exchange moves at
+    most ``groups × 2^p`` partial rows per batch, never values.
+    Feed the per-group slices to :func:`hll_estimate` for the counts.
+    """
+    if not (4 <= p <= 18):
+        raise ValueError("p must be in [4, 18]")
+    w = 63 - p
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_col).to_pylist()
+        if not vals:
+            return pa.table(
+                {
+                    group_col: pa.array([], type=batch.column(group_col).type),
+                    "reg": pa.array([], type=pa.int64()),
+                    "max_rank": pa.array([], type=pa.int64()),
+                }
+            )
+        h = _md5_hash63(vals)
+        reg = (h >> np.uint64(w)).astype(np.int64)
+        rem = h & np.uint64((1 << w) - 1)
+        rank = w - _bit_length_u64(rem) + 1
+        df = pd.DataFrame(
+            {
+                group_col: batch.column(group_col).to_pandas(),
+                "reg": reg,
+                "max_rank": rank,
+            }
+        )
+        out = df.groupby([group_col, "reg"], as_index=False, sort=False)[
+            "max_rank"
+        ].max()
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Max
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby([group_col, "reg"])
+        .aggregate(Max("max_rank", alias_name="max_rank"))
+    )

@@ -93,3 +93,51 @@ def test_cms_heavy_hitters_finds_planted(ray_session):
     assert 99 in set(hh2["v"]) and 42 in set(hh2["v"])
     with pytest.raises(ValueError):
         cms_heavy_hitters(_ds_of(vals), "v", candidates="bogus")
+
+
+def test_grouped_hll_matches_per_group_global_sketch():
+    """The grouped sketch must equal running the global sketch on each
+    group's slice (merge = max is batching/partition independent), and
+    its estimates must land within HLL error of the exact counts."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from raylink.ops.sketch import (
+        grouped_hll_registers,
+        hll_estimate,
+        hll_registers,
+    )
+
+    rng = np.random.default_rng(7)
+    groups = np.repeat(["a", "b", "c"], [4000, 1500, 10])
+    vals = np.concatenate(
+        [
+            rng.integers(0, 2500, 4000),      # ~2060 distinct
+            rng.integers(0, 800, 1500),       # ~680 distinct
+            np.arange(10),                    # 10 distinct
+        ]
+    )
+    tbl = pa.table(
+        {
+            "g": pa.array(groups, type=pa.string()),
+            "v": pa.array(vals, type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    got = grouped_hll_registers(ds, "g", "v", p=10).to_pandas()
+    for g in ("a", "b", "c"):
+        sub = got[got["g"] == g][["reg", "max_rank"]].reset_index(drop=True)
+        ref = (
+            hll_registers(
+                ds.filter(expr=f"g == '{g}'"), "v", p=10
+            )
+            .to_pandas()
+            .sort_values("reg")
+            .reset_index(drop=True)
+        )
+        sub = sub.sort_values("reg").reset_index(drop=True)
+        assert sub.equals(ref), f"group {g} registers diverge"
+        exact = len(set(vals[groups == g]))
+        est = hll_estimate(sub, p=10)
+        assert abs(est - exact) / exact < 0.15, (g, est, exact)
