@@ -2646,6 +2646,19 @@ def _q_stratified_sample(sf_dir: str):
     return out[["doc_id", "lang"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_uniform_sample(sf_dir: str):
+    # Global exact-k uniform sample (ops/sample.uniform_sample_k): the
+    # 500 docs with the smallest (knuth-hash(doc_id), doc_id) key,
+    # selected with NO shuffle — select_kth histogram bisection finds the
+    # threshold hash, a stateless filter keeps survivors, and the O(1)
+    # tie stratum is resolved by id on the driver.
+    from raylink.ops.sample import uniform_sample_k
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = uniform_sample_k(docs, "doc_id", 500).to_pandas()
+    return out[["doc_id", "lang"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_vocab_topk(sf_dir: str):
     # Global top-50 tokens by corpus frequency: map-side per-batch Counter
     # partials (one (token, cnt) row per distinct token per batch), a
@@ -2918,6 +2931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": _q_ann_recall,
         "quantile_filter": _q_quantile_filter,
         "stratified_sample": _q_stratified_sample,
+        "uniform_sample": _q_uniform_sample,
         "connected_components": _q_connected_components,
         "vocab_topk": _q_vocab_topk,
         "split_by_hash": _q_split_by_hash,
@@ -3593,6 +3607,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN hv % 100 < 10 THEN 'test' ELSE 'train' END AS split
             FROM h ORDER BY doc_id
+        """,
+        # global exact-k sample replay: the 500 smallest
+        # (fold16(knuth32(doc_id)), doc_id) over the whole table — same
+        # HUGEINT hash arithmetic as stratified_sample, one ORDER BY
+        "uniform_sample": """
+            WITH h AS (
+                SELECT doc_id, lang,
+                       xor((doc_id::HUGEINT * 2654435761) % 4294967296,
+                           ((doc_id::HUGEINT * 2654435761) % 4294967296) >> 16) AS hv
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (ORDER BY hv, doc_id) AS rn
+                FROM h
+            )
+            SELECT doc_id, lang FROM r WHERE rn <= 500 ORDER BY doc_id
         """,
         "stratified_sample": """
             WITH h AS (

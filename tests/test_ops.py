@@ -694,6 +694,30 @@ def test_stratified_sample_is_deterministic_hash_topn():
     assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
 
 
+def test_uniform_sample_k_exact_and_partitioning_independent():
+    from raylink.ops.sample import id_hash, uniform_sample_k
+
+    n = 3000
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n), "g": (np.arange(n) % 5).astype("U2")}
+    )
+    hv = id_hash(df["doc_id"].to_numpy()).astype(np.int64)
+    order = np.lexsort((df["doc_id"].to_numpy(), hv))
+    for k in (1, 250, n):
+        out = uniform_sample_k(rd.from_pandas(df), "doc_id", k).to_pandas()
+        assert sorted(out["doc_id"]) == sorted(order[:k].tolist())
+        assert list(out.columns) == ["doc_id", "g"]
+    # repartitioning must not change the sample (pure function of the data)
+    out13 = uniform_sample_k(
+        rd.from_pandas(df).repartition(13), "doc_id", 250
+    ).to_pandas()
+    assert sorted(out13["doc_id"]) == sorted(order[:250].tolist())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        uniform_sample_k(rd.from_pandas(df), "doc_id", 0)
+
+
 # ---- distributed spherical k-means (raylink/ops/kmeans.py) ----
 
 
