@@ -269,6 +269,10 @@ def dedup_lines_global(
     survivors = sorted_partition_apply(
         exploded, "_pid", _keep, occ_schema,
         boundaries=list(range(step, 1 << 31, step))[: nparts - 1],
+        # no schema anchor: the consumer is shuffle_merge WITH an explicit
+        # right_schema, and the 0-row anchor crossing its tag map is the
+        # bench tail's one residual RefBundle warning
+        anchor=False,
     )
 
     out_schema = pa.schema(

@@ -199,6 +199,7 @@ def sorted_partition_apply(
     fn,
     out_schema,
     boundaries: list | None = None,
+    anchor: bool = True,
 ) -> ray.data.Dataset:
     """ONE range exchange (sort on ``sort_key``) + a whole-partition apply
     with a PINNED output schema — the executor-clean replacement for
@@ -245,14 +246,20 @@ def sorted_partition_apply(
         yield out
 
     srt = ds.sort(sort_key) if boundaries is None else ds.sort(sort_key, boundaries=boundaries)
+    mapped = srt.map_batches(_apply, batch_size=None, batch_format="pyarrow")
+    if not anchor:
+        # anchor-free variant for callers that feed ANOTHER map/exchange
+        # stage and supply schemas explicitly (e.g. dedup_lines_global →
+        # shuffle_merge with right_schema): the 0-row anchor block would
+        # cross the consumer map as a schema-less bundle — the exact
+        # warning the anchor exists to prevent at terminal outputs
+        return mapped
     # schema anchor FIRST: the executor tolerates an empty-schema bundle
     # at the head of an output queue but warns on any nonempty→empty
     # transition — and a downstream map_batches turns a typed empty block
     # into a schema-LESS empty bundle (measured), so a trailing anchor
     # poisons every downstream stage's queue while a leading one is free
-    return ray.data.from_arrow(out_schema.empty_table()).union(
-        srt.map_batches(_apply, batch_size=None, batch_format="pyarrow")
-    )
+    return ray.data.from_arrow(out_schema.empty_table()).union(mapped)
 
 
 def shuffle_merge(
