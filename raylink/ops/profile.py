@@ -110,6 +110,7 @@ def block_profile(
 def column_profile(
     ds: ray.data.Dataset,
     columns: list[str] | None = None,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Per-column data-quality profile in long form:
     ``(col_name, n_rows, n_null, n_distinct)`` — the standard ingest
@@ -117,17 +118,28 @@ def column_profile(
     per profiled column, SQL-replayable as a UNION ALL of per-column
     ``COUNT``/``COUNT(DISTINCT)`` selects.
 
-    Scale shape: one stateless map pass emits, per batch and column, a
-    3-field count partial PLUS that batch's distinct values (already
-    deduplicated batch-side, canonicalized to strings with an injective
-    cast — Arrow's float→string shortest-round-trip repr — so
-    distinctness is preserved without shipping native types through the
-    exchange). Distinct counting is then groupby-distinct over
-    ``(col, value)`` followed by a per-column sum: the all-to-all moves
-    per-batch DISTINCT values only. For columns whose cardinality
-    approaches the row count this is the honest exact cost (the same
-    one SQL pays); the documented approximate fallback at corpus scale
-    is :func:`raylink.ops.sketch.hll_registers` per column.
+    Scale shape — two passes with disjoint costs (they were one fused
+    pass consumed twice, which re-ran the expensive unique+cast lineage
+    for the cheap count branch):
+
+    1. *Counts* (light): a stateless map emits ``len(cols)``
+       (n, n_null) partial rows per batch, summed on the driver —
+       batches×cols rows move, no exchange.
+    2. *Distinct* (heavy): each batch emits its batch-side-deduplicated
+       ``(col, value)`` pairs (canonicalized to strings with an
+       injective cast — Arrow's float→string shortest-round-trip repr —
+       so distinctness is preserved without shipping native types),
+       routed by a pinned siphash of the pair through ONE explicit-
+       boundary range exchange (:func:`raylink.util.uniform_pid_bounds`,
+       the ``dedup_lines_global`` ownership device); every copy of a
+       pair lands in one partition, so the partition kernel
+       drop-duplicates on the TRUE pair (hash collisions only
+       co-locate, never merge) and emits per-column cardinality
+       partials — partitions×cols rows to the driver, never the pair
+       stream.  For columns whose cardinality approaches the row count
+       this is the honest exact cost (the same one SQL pays); the
+       documented approximate fallback at corpus scale is
+       :func:`raylink.ops.sketch.grouped_hll_registers` per column.
 
     Caveat (stated): the string canonicalization maps ``-0.0`` and
     ``0.0`` to distinct strings while SQL's DISTINCT merges them —
@@ -135,56 +147,88 @@ def column_profile(
     reason; NaN counts as one distinct value on both sides.
     """
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
+
+    from raylink.ops.dedup import _default_partitions
+    from raylink.util import (
+        skip_empty,
+        sorted_partition_apply,
+        uniform_pid_bounds,
+    )
 
     cols = columns or [n for n in ds.schema().names]
     ds = ds.select_columns(cols)
+    nparts = num_partitions or _default_partitions()
 
-    def _partial(batch: pa.Table):
+    # pass 1 (light): per-batch count partials -> driver sum
+    def _counts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "col_name": pa.array(cols, type=pa.string()),
+                "n": pa.array(
+                    np.full(len(cols), batch.num_rows, dtype=np.int64)
+                ),
+                "n_null": pa.array(
+                    np.asarray(
+                        [batch.column(c).null_count for c in cols],
+                        dtype=np.int64,
+                    )
+                ),
+            }
+        )
+
+    cdf = (
+        ds.map_batches(_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("col_name", as_index=False)
+        .agg(n_rows=("n", "sum"), n_null=("n_null", "sum"))
+    )
+
+    # pass 2 (heavy): batch-distinct (col, v) pairs -> one hash exchange
+    P = np.int64(1 << 31)
+
+    def _distinct(batch: pa.Table):
         names, vals = [], []
-        nrows = batch.num_rows
-        crows, cnull = [], []
         for c in cols:
-            col = batch.column(c)
-            cnull.append(col.null_count)
-            crows.append(nrows)
-            v = col.drop_null()
+            v = batch.column(c).drop_null()
             if pa.types.is_floating(v.type):
                 # -0.0 -> 0.0 so string distinctness == SQL distinctness
                 v = pc.add(v, 0.0)
-            u = pc.unique(v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
+            u = pc.unique(
+                v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+            )
             s = pc.cast(u, pa.string())
             names.extend([c] * len(s))
             vals.append(s)
-        counts = pa.table(
-            {
-                "col_name": pa.array(cols, type=pa.string()),
-                "n": pa.array(np.asarray(crows, dtype=np.int64)),
-                "n_null": pa.array(np.asarray(cnull, dtype=np.int64)),
-                "kind": pa.array(np.zeros(len(cols), dtype=np.int64)),
-                "v": pa.array([""] * len(cols), type=pa.string()),
-            }
+        if not names:
+            return pa.table(
+                {
+                    "_pid": pa.array([], type=pa.int64()),
+                    "col_name": pa.array([], type=pa.string()),
+                    "v": pa.array([], type=pa.string()),
+                }
+            )
+        v_all = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in vals]
         )
-        distinct = pa.table(
+        # pinned-key siphash of the (col, value) pair: deterministic
+        # cross-process, collisions only co-locate (dedup is on the pair)
+        key = np.asarray(
+            [n + "\x1f" + s for n, s in zip(names, v_all.to_pylist())],
+            dtype=object,
+        )
+        pid = (pd.util.hash_array(key, hash_key="raylink_colprof!") % np.uint64(P)).astype(np.int64)
+        return pa.table(
             {
+                "_pid": pa.array(pid),
                 "col_name": pa.array(names, type=pa.string()),
-                "n": pa.array(np.zeros(len(names), dtype=np.int64)),
-                "n_null": pa.array(np.zeros(len(names), dtype=np.int64)),
-                "kind": pa.array(np.ones(len(names), dtype=np.int64)),
-                "v": pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in vals]) if names else pa.array([], type=pa.string()),
+                "v": v_all,
             }
         )
-        yield counts
-        if distinct.num_rows:
-            yield distinct
 
-    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    card_schema = pa.schema([("col_name", pa.string()), ("d", pa.int64())])
 
-    def _batch_card(t: pa.Table) -> pa.Table:
-        # per-batch combiner over the (already grouped-distinct) pairs:
-        # one (col, count) row per column per batch, so the FINAL
-        # aggregate sums a batches×cols-row table, never the pair stream
-        df = pd.DataFrame({"col_name": t.column("col_name").to_pandas()})
+    def _card(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates(["col_name", "v"])
         g = df.groupby("col_name", as_index=False, sort=False).agg(
             d=("col_name", "size")
         )
@@ -195,27 +239,19 @@ def column_profile(
             }
         )
 
-    # distinct (col, v) pairs -> one count row per column
-    dcount = (
-        parts.filter(expr="kind == 1")
-        .groupby(["col_name", "v"])
-        .aggregate(Count())
-        .map_batches(_batch_card, batch_format="pyarrow")
-        .repartition(1)  # ≤ batches×cols partial rows by here
-        .groupby("col_name")
-        .aggregate(Sum("d", alias_name="n_distinct"))
+    tagged = ds.map_batches(skip_empty(_distinct), batch_format="pyarrow")
+    dcards = sorted_partition_apply(
+        tagged, "_pid", _card, card_schema,
+        boundaries=uniform_pid_bounds(nparts),
+    ).to_pandas()
+    dsum = dcards.groupby("col_name", as_index=False).agg(
+        n_distinct=("d", "sum")
     )
-    ccount = (
-        parts.filter(expr="kind == 0")
-        .repartition(1)
-        .groupby("col_name")
-        .aggregate(Sum("n", alias_name="n_rows"), Sum("n_null", alias_name="n_null"))
-    )
-    # both sides are exactly len(cols) rows: a broadcast merge in one
-    # driver-side pandas join would also be fine, but keeping it as a
-    # dataset keeps the operator composable
-    cdf = ccount.to_pandas().merge(dcount.to_pandas(), on="col_name", how="left")
+
+    cdf = cdf.merge(dsum, on="col_name", how="left")
     cdf["n_distinct"] = cdf["n_distinct"].fillna(0).astype(np.int64)
+    cdf["n_rows"] = cdf["n_rows"].astype(np.int64)
+    cdf["n_null"] = cdf["n_null"].astype(np.int64)
     import ray.data as _rd
 
     return _rd.from_arrow(
