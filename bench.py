@@ -327,6 +327,27 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         cms_heavy_hitters(ev_u, "user_id", k=20)
         q["sketches"] = round(time.perf_counter() - t, 3)
 
+        # per-group HLL registers (grouped approx-distinct, one
+        # groups×2^p exchange) over event types
+        t = time.perf_counter()
+        from raylink.ops.sketch import grouped_hll_registers
+
+        ev_tu = read_table(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        grouped_hll_registers(ev_tu, "event_type", "user_id", p=10).count()
+        q["grouped_hll"] = round(time.perf_counter() - t, 3)
+
+        # global exact-k uniform sample (select_kth threshold, no shuffle)
+        t = time.perf_counter()
+        from raylink.ops.sample import uniform_sample_k
+
+        uniform_sample_k(
+            read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]),
+            "doc_id", 100,  # <= sf0.001's 500 docs; cost is the kth-search passes
+        ).count()
+        q["uniform_sample"] = round(time.perf_counter() - t, 3)
+
         # multimodal: actor-pool image decode (real PNG/BMP/PPM/JPEG
         # codecs) over a cached fat-payload media table — generation is
         # driver-side fixture cost, cached like the corpus
