@@ -2646,6 +2646,29 @@ def _q_stratified_sample(sf_dir: str):
     return out[["doc_id", "lang"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_melt(sf_dir: str):
+    # Wide→long unpivot (ops/relational.melt): one stateless vectorized
+    # map, no exchange; values ride Arrow concat, ids an index take.
+    from raylink.ops.relational import melt
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount",
+        ],
+    )
+    out = melt(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    ).to_pandas()
+    return out.sort_values(
+        ["l_orderkey", "l_linenumber", "variable"]
+    ).reset_index(drop=True)
+
+
 def _q_uniform_sample(sf_dir: str):
     # Global exact-k uniform sample (ops/sample.uniform_sample_k): the
     # 500 docs with the smallest (knuth-hash(doc_id), doc_id) key,
@@ -2932,6 +2955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter": _q_quantile_filter,
         "stratified_sample": _q_stratified_sample,
         "uniform_sample": _q_uniform_sample,
+        "melt": _q_melt,
         "connected_components": _q_connected_components,
         "vocab_topk": _q_vocab_topk,
         "split_by_hash": _q_split_by_hash,
@@ -3607,6 +3631,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN hv % 100 < 10 THEN 'test' ELSE 'train' END AS split
             FROM h ORDER BY doc_id
+        """,
+        # unpivot replay: UNION ALL of per-column selects, values copied
+        # (no arithmetic), literal variable names
+        "melt": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS variable, l_quantity AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_extendedprice', l_extendedprice
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, variable
         """,
         # global exact-k sample replay: the 500 smallest
         # (fold16(knuth32(doc_id)), doc_id) over the whole table — same

@@ -1005,3 +1005,51 @@ def merge_sum_aggregates(
     return merged.groupby(keys).aggregate(
         *[Sum(c, alias_name=c) for c in sum_cols]
     )
+
+
+def melt(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """Wide→long unpivot (the inverse shape of :func:`pivot_counts`): one
+    output row per input row per ``value_cols`` entry, with the source
+    column's name in ``var_name`` and its value in ``value_name`` — the
+    long form feature stores and plotting/aggregation layers consume.
+
+    Pure stateless map, zero-copy on the value side: each batch emits one
+    concatenated table whose value column is the Arrow arrays stacked
+    per source column (no Python per-row work) and whose id columns ride
+    an index take. All ``value_cols`` must share one castable Arrow type
+    (cast to the first column's type; int→float widening is the common
+    case). SQL-replayable as a UNION ALL of per-column selects.
+    """
+    if not value_cols:
+        raise ValueError("melt requires at least one value column")
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        vtype = batch.column(value_cols[0]).type
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), len(value_cols)))
+        cols = {c: batch.column(c).take(idx) for c in id_cols}
+        cols[var_name] = pa.array(
+            np.repeat(np.asarray(value_cols, dtype=object), n),
+            type=pa.string(),
+        )
+        cols[value_name] = pa.concat_arrays(
+            [
+                (
+                    batch.column(c).cast(vtype)
+                    if batch.column(c).type != vtype
+                    else batch.column(c)
+                ).combine_chunks()
+                for c in value_cols
+            ]
+        )
+        return pa.table(cols)
+
+    return ds.select_columns(list(id_cols) + list(value_cols)).map_batches(
+        _melt, batch_format="pyarrow"
+    )

@@ -1219,6 +1219,40 @@ def test_grouped_nunique_matches_count_distinct():
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_melt_matches_pandas_and_widens_types():
+    import pytest as _pytest
+
+    from raylink.ops.relational import melt
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(40),
+            "g": (np.arange(40) % 3).astype("U2"),
+            "x": np.arange(40).astype(np.float64) * 1.5,
+            "y": np.arange(40).astype(np.float64) - 7.0,
+        }
+    )
+    got = (
+        melt(rd.from_pandas(df).repartition(5), ["id", "g"], ["x", "y"])
+        .to_pandas()
+        .sort_values(["id", "variable"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.melt(id_vars=["id", "g"], value_vars=["x", "y"])
+        .sort_values(["id", "variable"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+    # mixed int/float value columns widen to the FIRST column's type
+    df2 = pd.DataFrame({"id": [1, 2], "a": [1.5, 2.5], "b": np.array([3, 4], dtype=np.int64)})
+    got2 = melt(rd.from_pandas(df2), ["id"], ["a", "b"]).to_pandas()
+    assert got2["value"].dtype == np.float64
+    assert sorted(got2["value"]) == [1.5, 2.5, 3.0, 4.0]
+    with _pytest.raises(ValueError):
+        melt(rd.from_pandas(df2), ["id"], [])
+
+
 def test_pivot_counts_matches_case_sums():
     import duckdb
 
