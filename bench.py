@@ -690,7 +690,11 @@ def main():
         )
         return
 
-    print(json.dumps(run_bench(sf_dir, num_cpus)))
+    res = run_bench(sf_dir, num_cpus)
+    print(json.dumps(res))
+    # compact summary (sans per-rep queries_runs) LAST, so a bounded tail
+    # capture of stdout always contains one complete machine-readable line
+    print(json.dumps({k: v for k, v in res.items() if k != "queries_runs"}))
 
 
 if __name__ == "__main__":

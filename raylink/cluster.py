@@ -383,13 +383,19 @@ def golden_records(
                 kind="stable",
             )
             mode = cnt.groupby("entity_id", as_index=False, sort=False).first()
-            base = base.merge(mode[["entity_id", f]], on="entity_id")
+            # LEFT merge: the per-(entity, f) count groupby drops NaN
+            # values, so an entity whose f is all-null has NO mode row —
+            # an inner merge would silently drop the whole entity,
+            # breaking the "covers every input record" contract. The
+            # golden value for such a field is null.
+            base = base.merge(mode[["entity_id", f]], on="entity_id", how="left")
         cols = {
             "entity_id": pa.array(base["entity_id"].to_numpy(), type=pa.int64()),
             "n_members": pa.array(base["n_members"].to_numpy().astype(np.int64)),
         }
         for f in fields:
-            cols[f] = pa.array(base[f].to_numpy(), type=ftypes[f])
+            col = base[f].astype(object).where(base[f].notna(), None)
+            cols[f] = pa.array(col.to_numpy(), type=ftypes[f])
         return pa.table(cols)
 
     return sorted_partition_apply(

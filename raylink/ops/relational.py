@@ -826,17 +826,34 @@ def mutual_best(
     first rank riding along as a carried column) and a stateless filter —
     no joins, no driver collection; the skew bound is the hottest key's
     pair list, same as the rank operator's.
+
+    Score contract: integer scores rank exactly; FLOAT scores are
+    quantized to e6 micro-units for the rank key (the repo-wide
+    similarity convention) — differences below 1e-6 tie and fall to the
+    deterministic partner-id tie-break. A bare int64 cast of a float
+    column would truncate every similarity in (0, 1) to zero and let the
+    id tie-break silently decide "best"; non-numeric scores raise.
     """
     from raylink.ops.window import windowed_rank
 
     def _neg(batch: pa.Table) -> pa.Table:
         s = batch.column(score_col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(s.dtype, np.integer) or s.dtype == np.bool_:
+            ns = -s.astype(np.int64)
+        elif np.issubdtype(s.dtype, np.floating):
+            ns = -np.round(s * 1e6).astype(np.int64)
+        else:
+            raise TypeError(
+                f"mutual_best score column {score_col!r} must be numeric "
+                f"(got {s.dtype}); integer scores rank exactly, floats at "
+                "e6 resolution"
+            )
         return pa.table(
             {
                 a_col: batch.column(a_col),
                 b_col: batch.column(b_col),
                 score_col: batch.column(score_col),
-                "_ns": pa.array(-s.astype(np.int64)),
+                "_ns": pa.array(ns),
             }
         )
 

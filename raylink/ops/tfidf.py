@@ -193,7 +193,10 @@ def tfidf_cosine_evidence(
         for j in np.argsort(idb, kind="stable"):
             bid = idb[j]
             if bid != last_b:
-                vb = _vector(tb[j], vmap)
+                # _attach_b's left join leaves NaN for an id_b absent
+                # from docs — treat it as the empty vector, same as the
+                # a side's `tmap.get(aid) or ""` guard
+                vb = _vector(tb[j] if isinstance(tb[j], str) else "", vmap)
                 last_b = bid
             aid = ida[j]
             va = a_cache.get(aid)

@@ -485,3 +485,41 @@ class TestIncrementalAggAndNormalize:
             .tolist()
         )
         assert out == ["hello world x", "a b", ""]
+
+
+class TestGoldenNullField:
+    def test_all_null_field_keeps_entity_with_null_golden(self):
+        """An entity whose requested field is all-null within its component
+        must still appear, with a null golden value (r4 ADVICE: the mode
+        groupby drops NaN and an inner merge dropped the entity)."""
+        from raylink.cluster import golden_records
+
+        recs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "lang": pa.array([None, None, "fr"], type=pa.string()),
+                    "source": pa.array(["w", "c", None], type=pa.string()),
+                }
+            )
+        )
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([1], type=pa.int64()),
+                    "id_b": pa.array([2], type=pa.int64()),
+                }
+            )
+        )
+        out = (
+            golden_records(recs, edges, "doc_id", ["lang", "source"])
+            .to_pandas()
+            .sort_values("entity_id")
+            .reset_index(drop=True)
+        )
+        # entity {1,2}: lang all-null -> null golden, source mode 'c'
+        # entity {3}: singleton with null source
+        assert out["entity_id"].tolist() == [1, 3]
+        assert out["n_members"].tolist() == [2, 1]
+        assert pd.isna(out.loc[0, "lang"]) and out.loc[0, "source"] == "c"
+        assert out.loc[1, "lang"] == "fr" and pd.isna(out.loc[1, "source"])

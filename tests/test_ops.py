@@ -1918,3 +1918,35 @@ def test_exact_percentiles_matches_numpy():
         k = max(1, int(_math.ceil(p * len(v6) - 1e-9)))
         assert row["k"] == k
         assert row["v6"] == v6[k - 1]
+
+
+def test_mutual_best_float_scores_rank_by_value():
+    """Float similarities in (0,1) must rank by VALUE (e6-quantized), not
+    collapse to zero keys decided by partner id (r4 ADVICE repro)."""
+    from raylink.ops.relational import mutual_best
+
+    df = pd.DataFrame(
+        {
+            "a": np.array([1, 1, 2, 2], dtype=np.int64),
+            "b": np.array([10, 11, 10, 11], dtype=np.int64),
+            # best for a=1 is b=11 (0.9); an int64 cast would truncate all
+            # four to 0 and pick b=10 by the id tie-break
+            "s": np.array([0.2, 0.9, 0.8, 0.3], dtype=np.float64),
+        }
+    )
+    got = (
+        mutual_best(rd.from_pandas(df), "a", "b", "s")
+        .to_pandas()
+        .sort_values("a")
+        .reset_index(drop=True)
+    )
+    assert got["a"].tolist() == [1, 2]
+    assert got["b"].tolist() == [11, 10]
+
+
+def test_mutual_best_rejects_non_numeric_scores():
+    from raylink.ops.relational import mutual_best
+
+    df = pd.DataFrame({"a": [1], "b": [2], "s": ["high"]})
+    with pytest.raises((TypeError, Exception)):
+        mutual_best(rd.from_pandas(df), "a", "b", "s").materialize()

@@ -123,3 +123,29 @@ def test_tfidf_link_clusters_near_duplicates():
     assert len(e) >= 3
     for _, row in e.iterrows():
         assert 25 * int(row["dot"]) ** 2 >= 9 * int(row["na2"]) * int(row["nb2"])
+
+
+def test_tfidf_cosine_evidence_missing_id_b_is_empty_vector():
+    """A candidate pair whose id_b is absent from docs must score as the
+    empty vector (dot=0, nb2=0), mirroring the id_a side's guard — the
+    left join used to leave NaN text and crash in _tokens (r4 ADVICE)."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2], dtype=np.int64),
+            "text": ["alpha beta", "beta gamma"],
+        }
+    )
+    pairs = pd.DataFrame(
+        {
+            "id_a": np.array([1, 1], dtype=np.int64),
+            "id_b": np.array([2, 999], dtype=np.int64),  # 999 not in docs
+        }
+    )
+    got = (
+        tfidf_cosine_evidence(rd.from_pandas(pairs), rd.from_pandas(docs))
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    miss = got[got["id_b"] == 999].iloc[0]
+    assert miss["dot"] == 0 and miss["nb2"] == 0 and miss["na2"] > 0
