@@ -2270,7 +2270,7 @@ def _q_vocab_by_lang(sf_dir: str):
     from raylink.ops.text import grouped_vocab_topk
 
     docs = _read(sf_dir, "documents", columns=["lang", "text"])
-    out = grouped_vocab_topk(docs, "lang", k=5).to_pandas()
+    out = grouped_vocab_topk(docs, "lang", k=5, final_partitions=4).to_pandas()
     return out.sort_values(["lang", "rn"]).reset_index(drop=True)
 
 
@@ -2431,7 +2431,7 @@ def _q_bpe_pairs(sf_dir: str):
     from raylink.ops.text import bpe_pair_counts
 
     docs = _read(sf_dir, "documents", columns=["text"])
-    out = bpe_pair_counts(docs, k=50).to_pandas()
+    out = bpe_pair_counts(docs, k=50, final_partitions=4).to_pandas()
     return out.sort_values(["n", "t1", "t2"], ascending=[False, True, True]).reset_index(
         drop=True
     )
@@ -2690,7 +2690,7 @@ def _q_vocab_topk(sf_dir: str):
     from raylink.ops.text import vocab_topk
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = vocab_topk(docs, k=50).to_pandas()
+    out = vocab_topk(docs, k=50, final_partitions=4).to_pandas()
     return out[["token", "cnt"]].reset_index(drop=True)
 
 

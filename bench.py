@@ -434,7 +434,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         from raylink.ops.text import bpe_pair_counts
 
         t = time.perf_counter()
-        bpe_pair_counts(docs, k=50).count()
+        bpe_pair_counts(docs, k=50, final_partitions=8).count()
         q["bpe_pairs"] = round(time.perf_counter() - t, 3)
 
         # string-kernel throughput: plain-Levenshtein + unrestricted DL

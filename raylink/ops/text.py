@@ -12,8 +12,23 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
+
+def _col(batch: pa.Table, name: str) -> pa.Array:
+    c = batch.column(name)
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def _i64(arr) -> pa.Array:
+    return pc.cast(arr, pa.int64())
+
+
+# split on NON-word runs == findall of \w+ runs (plus empty edge segments,
+# filtered by callers); RE2, the same engine the DuckDB oracles use
+_NONWORD_PAT = r"[^0-9A-Za-z_]+"
+
 
 def set_column(batch: pa.Table, name: str, arr: pa.Array) -> pa.Table:
     """Append-or-replace, so derived stats don't collide with pre-existing
@@ -41,43 +56,38 @@ _STOPWORDS = {
 class TextStats:
     """Append integer surface statistics: n_chars, n_words (\\w+ runs),
     n_digits, n_spaces. Integer outputs so a SQL oracle can reproduce them
-    bit-exactly."""
+    bit-exactly. Pure Arrow RE2 kernels — the SAME regex engine the
+    DuckDB oracle runs, no per-document Python (r4 VERDICT #3)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        n = len(texts)
-        n_chars = np.empty(n, dtype=np.int64)
-        n_words = np.empty(n, dtype=np.int64)
-        n_digits = np.empty(n, dtype=np.int64)
-        n_spaces = np.empty(n, dtype=np.int64)
-        for i, t in enumerate(texts):
-            n_chars[i] = len(t)
-            n_words[i] = len(_WORD_RE.findall(t))
-            n_digits[i] = len(_DIGIT_RE.findall(t))
-            n_spaces[i] = t.count(" ")
+        col = _col(batch, self.text_col)
         for name, arr in (
-            ("n_chars", n_chars),
-            ("n_words", n_words),
-            ("n_digits", n_digits),
-            ("n_spaces", n_spaces),
+            ("n_chars", _i64(pc.utf8_length(col))),
+            ("n_words", _i64(pc.count_substring_regex(col, r"\w+"))),
+            ("n_digits", _i64(pc.count_substring_regex(col, "[0-9]"))),
+            ("n_spaces", _i64(pc.count_substring(col, " "))),
         ):
-            batch = set_column(batch, name, pa.array(arr, type=pa.int64()))
+            batch = set_column(batch, name, arr)
         return batch
 
 
 class TokenCount:
-    """Whitespace token count plus a BPE-ish pretokenizer count."""
+    """Whitespace token count plus a BPE-ish pretokenizer count — two
+    vectorized RE2 ``count_substring_regex`` passes (non-overlapping
+    left-to-right matches, identical to ``findall`` counting)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        ws = pa.array([len(t.split()) for t in texts], type=pa.int64())
-        bpe = pa.array([len(_BPE_RE.findall(t)) for t in texts], type=pa.int64())
+        col = _col(batch, self.text_col)
+        ws = _i64(pc.count_substring_regex(col, r"\S+"))
+        bpe = _i64(
+            pc.count_substring_regex(col, r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+        )
         batch = set_column(batch, "n_ws_tokens", ws)
         return set_column(batch, "n_bpe_tokens", bpe)
 
@@ -88,28 +98,45 @@ class QualityScore:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        # ASCII classes so DuckDB RE2 reproduces the components bit-exactly
-        # (the SQL oracle recomputes the full score)
-        self.punct = re.compile(r"[^\w\s]", re.ASCII)
-        self.nonws = re.compile(r"\S+", re.ASCII)
+        # RE2 classes (Arrow kernels), the same engine the SQL oracle
+        # recomputes the full score with — no per-document Python loop.
+        # The word inventory comes from one split-on-\s+ pass (maximal
+        # non-whitespace runs == \S+ findall) flattened with parent
+        # indices; per-doc sums are numpy bincounts.
+        self.stops = pa.array(sorted(_STOPWORDS["en"]), type=pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        n = len(texts)
-        punct_ratio = np.empty(n)
-        stop_ratio = np.empty(n)
-        mean_word_len = np.empty(n)
-        score = np.empty(n)
-        stops = _STOPWORDS["en"]
-        for i, t in enumerate(texts):
-            words = self.nonws.findall(t)
-            nw = max(1, len(words))
-            punct_ratio[i] = len(self.punct.findall(t)) / max(1, len(t))
-            stop_ratio[i] = sum(w.lower() in stops for w in words) / nw
-            mean_word_len[i] = sum(len(w) for w in words) / nw
-            len_ok = 1.0 if 50 <= len(t) <= 20_000 else 0.3
-            wl_ok = 1.0 if 2.0 <= mean_word_len[i] <= 12.0 else 0.3
-            score[i] = len_ok * wl_ok * (1.0 - min(punct_ratio[i] * 2, 0.8))
+        col = _col(batch, self.text_col)
+        n = len(batch)
+        ln = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        punct = (
+            pc.count_substring_regex(col, r"[^\w\s]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        splits = pc.split_pattern_regex(col, pattern=r"\s+")
+        flat = pc.list_flatten(splits)
+        parent = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = wlen > 0
+        is_stop = (
+            pc.is_in(pc.utf8_lower(flat), value_set=self.stops)
+            .to_numpy(zero_copy_only=False)
+        )
+        nw = np.bincount(parent[nonempty], minlength=n).astype(np.float64)
+        sum_len = np.bincount(
+            parent[nonempty], weights=wlen[nonempty], minlength=n
+        )
+        n_stop = np.bincount(
+            parent[nonempty & is_stop], minlength=n
+        ).astype(np.float64)
+        nw1 = np.maximum(nw, 1.0)
+        punct_ratio = punct / np.maximum(ln, 1.0)
+        stop_ratio = n_stop / nw1
+        mean_word_len = sum_len / nw1
+        len_ok = np.where((ln >= 50) & (ln <= 20_000), 1.0, 0.3)
+        wl_ok = np.where((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 1.0, 0.3)
+        score = len_ok * wl_ok * (1.0 - np.minimum(punct_ratio * 2, 0.8))
         for name, arr in (
             ("punct_ratio", punct_ratio),
             ("stop_ratio", stop_ratio),
@@ -126,20 +153,41 @@ class LangId:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        # ASCII \S+ tokenization matches DuckDB RE2 for the SQL oracle
-        self.nonws = re.compile(r"\S+", re.ASCII)
+        # RE2 \s+ split on the lowered text == \S+ tokenization, matching
+        # the DuckDB oracle's engine; fully vectorized: one split pass,
+        # dictionary-encoded distinct-(doc, token) dedup in numpy, and
+        # ONE stopword-set membership test per language over the
+        # dictionary (not the occurrence stream)
+        self.lang_sets = [
+            (lang, pa.array(sorted(stops), type=pa.string()))
+            for lang, stops in _STOPWORDS.items()
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        langs = []
-        for t in texts:
-            words = set(self.nonws.findall(t.lower()))
-            best, best_n = "und", 0
-            for lang, stops in _STOPWORDS.items():
-                k = len(words & stops)
-                if k > best_n:
-                    best, best_n = lang, k
-            langs.append(best)
+        col = _col(batch, self.text_col)
+        n = len(batch)
+        splits = pc.split_pattern_regex(pc.utf8_lower(col), pattern=r"\s+")
+        flat = pc.list_flatten(splits)
+        parent = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+        enc = flat.dictionary_encode()
+        nu = len(enc.dictionary)
+        hits = np.zeros((n, len(self.lang_sets)), dtype=np.int64)
+        if nu:
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = np.unique(parent.astype(np.int64) * nu + codes)
+            up, uc = uniq // nu, uniq % nu
+            for j, (_, stops) in enumerate(self.lang_sets):
+                m = pc.is_in(enc.dictionary, value_set=stops).to_numpy(
+                    zero_copy_only=False
+                )
+                sel = m[uc]
+                if sel.any():
+                    hits[:, j] = np.bincount(up[sel], minlength=n)
+        # first-max == the dict-order "strictly greater" scan of the
+        # scalar version; all-zero rows are undetermined
+        best = hits.argmax(axis=1)
+        names = np.array([lang for lang, _ in self.lang_sets], dtype=object)
+        langs = np.where(hits[np.arange(n), best] > 0, names[best], "und")
         return set_column(batch, "lang_pred", pa.array(langs, type=pa.string()))
 
 
@@ -190,6 +238,7 @@ def vocab_topk(
     ds: ray.data.Dataset,
     k: int = 50,
     text_col: str = "text",
+    final_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Global top-k token vocabulary by corpus frequency.
 
@@ -208,20 +257,20 @@ def vocab_topk(
     Ties are broken (count desc, token asc) — a total order, so the k-row
     result is a pure function of the corpus.
     """
-    from collections import Counter
-
     from ray.data.aggregate import Sum
 
+    from raylink.util import skip_empty
+
     def _partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column(text_col).to_pylist():
-            c.update(map(str.lower, _WORD_RE.findall(t)))
-        return pa.table(
-            {
-                "token": pa.array(list(c.keys()), type=pa.string()),
-                "cnt": pa.array(list(c.values()), type=pa.int64()),
-            }
+        # vectorized: split-on-nonword == \w+ runs, lower, ONE Arrow
+        # value_counts — no per-document Python loop
+        splits = pc.split_pattern_regex(_col(batch, text_col), pattern=_NONWORD_PAT)
+        flat = pc.utf8_lower(pc.list_flatten(splits))
+        vc = pc.value_counts(flat)
+        tbl = pa.table(
+            {"token": vc.field("values"), "cnt": _i64(vc.field("counts"))}
         )
+        return tbl.filter(pc.not_equal(tbl.column("token"), pa.scalar("")))
 
     def _local_topk(batch: pa.Table) -> pa.Table:
         if len(batch) <= k:
@@ -230,13 +279,18 @@ def vocab_topk(
         df = df.sort_values(["cnt", "token"], ascending=[False, True]).head(k)
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
-    summed = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    )
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    # final_partitions: pass a small value when the vocabulary is KNOWN
+    # tiny (test corpora) so the Aggregate emits no schema-less empty
+    # range partitions (Ray 2.49 empty-block class — same knob and
+    # rationale as line_frequencies); leave None at scale, the vocabulary
+    # table is Zipf-large and must keep its parallelism
+    if final_partitions is not None:
+        partials = partials.repartition(final_partitions)
+    summed = partials.groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
     return (
-        summed.map_batches(_local_topk, batch_format="pyarrow")
+        # skip_empty: belt-and-braces for the None-default scale path
+        summed.map_batches(skip_empty(_local_topk), batch_format="pyarrow")
         .sort(["cnt", "token"], descending=[True, False])
         .limit(k)
     )
@@ -454,6 +508,7 @@ def bpe_pair_counts(
     ds: ray.data.Dataset,
     k: int = 50,
     text_col: str = "text",
+    final_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Global top-k ADJACENT token pairs by corpus frequency — the
     statistic one BPE merge step maximizes (the candidate merge is the
@@ -468,20 +523,36 @@ def bpe_pair_counts(
     ≤ blocks×k rows. Emits ``(t1, t2, n)`` under the total tie order
     (n DESC, t1 ASC, t2 ASC).
     """
-    from collections import Counter
-
     from ray.data.aggregate import Sum
 
+    from raylink.util import skip_empty
+
+    _empty = pa.table(
+        {"pair": pa.array([], type=pa.string()),
+         "n": pa.array([], type=pa.int64())}
+    )
+
     def _partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column(text_col).to_pylist():
-            toks = [s.lower() for s in _WORD_RE.findall(t)] if t else []
-            c.update(map(" ".join, zip(toks, toks[1:])))
+        # vectorized adjacency: split → flatten + parent indices, drop the
+        # empty edge segments keeping parent alignment, pair consecutive
+        # tokens that share a parent with ONE element-wise join, then ONE
+        # Arrow value_counts — no per-document Python loop
+        splits = pc.split_pattern_regex(_col(batch, text_col), pattern=_NONWORD_PAT)
+        flat = pc.utf8_lower(pc.list_flatten(splits))
+        parent = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+        mask = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        toks = flat.filter(pa.array(mask))
+        p = parent[mask]
+        if len(p) < 2:
+            return _empty
+        same = pa.array(p[1:] == p[:-1])
+        left = toks.slice(0, len(toks) - 1).filter(same)
+        right = toks.slice(1).filter(same)
+        if len(left) == 0:
+            return _empty
+        vc = pc.value_counts(pc.binary_join_element_wise(left, right, " "))
         return pa.table(
-            {
-                "pair": pa.array(list(c.keys()), type=pa.string()),
-                "n": pa.array(list(c.values()), type=pa.int64()),
-            }
+            {"pair": vc.field("values"), "n": _i64(vc.field("counts"))}
         )
 
     def _local_topk(batch: pa.Table) -> pa.Table:
@@ -492,8 +563,6 @@ def bpe_pair_counts(
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def _split(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         parts = pc.split_pattern(batch.column("pair"), " ")
         return pa.table(
             {
@@ -503,13 +572,13 @@ def bpe_pair_counts(
             }
         )
 
-    summed = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby("pair")
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    # final_partitions: see vocab_topk — same Ray 2.49 empty-block knob
+    if final_partitions is not None:
+        partials = partials.repartition(final_partitions)
+    summed = partials.groupby("pair").aggregate(Sum("n", alias_name="n"))
     return (
-        summed.map_batches(_local_topk, batch_format="pyarrow")
+        summed.map_batches(skip_empty(_local_topk), batch_format="pyarrow")
         .sort(["n", "pair"], descending=[True, False])
         .limit(k)
         .map_batches(_split, batch_format="pyarrow")
@@ -521,6 +590,7 @@ def grouped_vocab_topk(
     group_col: str,
     k: int = 10,
     text_col: str = "text",
+    final_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Per-GROUP top-k token vocabulary (e.g. per language, per source
     shard) — the stratified counterpart of :func:`vocab_topk`, same
@@ -534,33 +604,43 @@ def grouped_vocab_topk(
     table under the total tie order (cnt DESC, token ASC). Returns
     ``(group_col, token, cnt, rn)`` rows with ``rn ≤ k``.
     """
-    from collections import Counter
+    import pandas as pd
 
     from ray.data.aggregate import Sum
 
     from raylink.ops.window import windowed_rank
 
     def _partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        groups = batch.column(group_col).to_pylist()
-        for g, t in zip(groups, batch.column(text_col).to_pylist()):
-            for tok in _WORD_RE.findall(t):
-                c[(g, tok.lower())] += 1
-        gs = [g for g, _ in c.keys()]
-        toks = [t for _, t in c.keys()]
+        # vectorized: one split pass; the (group, token) count is a
+        # hash-based pandas groupby-size over the flattened stream
+        g = _col(batch, group_col)
+        splits = pc.split_pattern_regex(_col(batch, text_col), pattern=_NONWORD_PAT)
+        flat = pc.utf8_lower(pc.list_flatten(splits))
+        parent = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+        mask = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "g": g.to_numpy(zero_copy_only=False)[parent][mask],
+                "token": flat.to_numpy(zero_copy_only=False)[mask],
+            }
+        )
+        out = df.groupby(["g", "token"], sort=False).size().reset_index(name="cnt")
         return pa.table(
             {
-                group_col: pa.array(gs),
-                "token": pa.array(toks, type=pa.string()),
-                "cnt": pa.array(list(c.values()), type=pa.int64()),
+                group_col: pa.array(out["g"].tolist()),
+                "token": pa.array(out["token"].to_numpy(), type=pa.string()),
+                "cnt": pa.array(out["cnt"].to_numpy().astype(np.int64)),
             }
         )
 
-    summed = (
-        ds.select_columns([group_col, text_col])
-        .map_batches(_partial, batch_format="pyarrow")
-        .groupby([group_col, "token"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    partials = ds.select_columns([group_col, text_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    # final_partitions: see vocab_topk — same Ray 2.49 empty-block knob
+    if final_partitions is not None:
+        partials = partials.repartition(final_partitions)
+    summed = partials.groupby([group_col, "token"]).aggregate(
+        Sum("cnt", alias_name="cnt")
     )
 
     def _neg(batch: pa.Table) -> pa.Table:
@@ -574,11 +654,17 @@ def grouped_vocab_topk(
             }
         )
 
+    from raylink.util import skip_empty
+
     ranked = windowed_rank(
-        summed.map_batches(_neg, batch_format="pyarrow"),
+        # skip_empty + sized rank exchange: the summed table's empty range
+        # partitions and a rank partition count above the (tiny) group
+        # cardinality both fire Ray 2.49 schema-less-RefBundle warnings
+        summed.map_batches(skip_empty(_neg), batch_format="pyarrow"),
         group_col,
         ["_nc", "token", "cnt"],
         out_col="rn",
+        num_partitions=final_partitions,
     )
 
     def _keep(batch: pa.Table) -> pa.Table:
@@ -587,7 +673,7 @@ def grouped_vocab_topk(
             [group_col, "token", "cnt", "rn"]
         )
 
-    return ranked.map_batches(_keep, batch_format="pyarrow")
+    return ranked.map_batches(skip_empty(_keep), batch_format="pyarrow")
 
 
 def normalize_text(

@@ -1950,3 +1950,50 @@ def test_mutual_best_rejects_non_numeric_scores():
     df = pd.DataFrame({"a": [1], "b": [2], "s": ["high"]})
     with pytest.raises((TypeError, Exception)):
         mutual_best(rd.from_pandas(df), "a", "b", "s").materialize()
+
+
+def test_vocab_topk_paths_emit_no_refbundle_schema_warnings():
+    """r4 VERDICT #4: the vocab/bpe local-topk stage used to pass the
+    Aggregate's empty range partitions through un-wrapped, firing Ray
+    2.49 'RefBundle with a different schema' executor warnings on
+    small-cardinality corpora. Spy on the executor logger and assert the
+    tiny-vocab path is warning-free."""
+    import logging
+
+    from raylink.ops.text import bpe_pair_counts, vocab_topk
+
+    records: list[str] = []
+
+    class _Spy(logging.Handler):
+        def emit(self, rec):
+            msg = rec.getMessage()
+            if "different schema" in msg:
+                records.append(msg)
+
+    log = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    )
+    spy, old_level = _Spy(), log.level
+    log.addHandler(spy)
+    log.setLevel(logging.WARNING)
+    try:
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(12, dtype=np.int64)),
+                    # 4 distinct tokens << default partitions -> the
+                    # aggregate emits empty range partitions
+                    "text": ["aa bb", "bb cc", "cc dd", "aa aa"] * 3,
+                }
+            )
+        ).repartition(8)
+        top = vocab_topk(docs, k=3, final_partitions=2).to_pandas()
+        assert top["token"].tolist() == ["aa", "bb", "cc"]
+        pairs = bpe_pair_counts(docs, k=3, final_partitions=2).to_pandas()
+        assert len(pairs) == 3 and pairs["n"].tolist() == sorted(
+            pairs["n"].tolist(), reverse=True
+        )
+    finally:
+        log.removeHandler(spy)
+        log.setLevel(old_level)
+    assert records == []
