@@ -2929,6 +2929,183 @@ def _q_audio_features(sf_dir: str):
     ).reset_index(drop=True)
 
 
+# Frozen BPE merge list: trained ONCE on the sf0.01 documents corpus by the
+# distributed trainer (raylink/ops/bpe.py train_bpe: one word-frequency
+# exchange, driver merge loop, deterministic (count DESC, a ASC, b ASC) tie
+# rule) and pinned here so the Ray apply pass and the DuckDB recursive-CTE
+# replay share one merge list — the kmeans_assign pinned-state pattern.
+# Training itself is equivalence-tested against an independent local
+# reference in tests/test_bpe.py.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"),
+]
+
+
+def _q_bpe_tokenize(sf_dir: str):
+    # Full BPE tokenizer APPLY (raylink/ops/bpe.py, r4 VERDICT missing #1):
+    # frozen merges broadcast per task, per-batch dictionary-encode so only
+    # DISTINCT words are encoded (Zipf-memoized), token ids scattered back
+    # through the dictionary indices. Exploded to (doc_id, pos, token_id)
+    # rows so the hash compare needs no list canonicalization. The oracle
+    # replays apply EXACTLY: merge (a,b) = one non-overlapping
+    # replace('(a)(b)','(ab)') over the bracketed word per training step
+    # (bracketing makes adjacent occurrences share no characters, so SQL
+    # replace IS the greedy left-to-right merge scan).
+    from raylink.ops.bpe import apply_bpe
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tok = apply_bpe(docs, _BPE_MERGES)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        tl = batch.column("token_ids")
+        if isinstance(tl, pa.ChunkedArray):
+            tl = tl.combine_chunks()
+        flat = pc.list_flatten(tl)
+        parent = pc.list_parent_indices(tl).to_numpy(zero_copy_only=False)
+        lens = (
+            pc.list_value_length(tl)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        starts = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        pos = np.arange(len(parent), dtype=np.int64) - starts[parent]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[parent].astype(np.int64)),
+                "pos": pa.array(pos),
+                "token_id": flat,
+            }
+        )
+
+    out = (
+        tok.select_columns(["doc_id", "token_ids"])
+        .map_batches(_explode, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+def _bpe_merge_values() -> tuple[str, str, int]:
+    from raylink.ops.bpe import bpe_vocab
+
+    mrows = ",".join(
+        f"({i}, '({a})({b})', '({a}{b})')"
+        for i, (a, b) in enumerate(_BPE_MERGES)
+    )
+    vrows = ",".join(
+        f"('{s}', {i})" for s, i in bpe_vocab(_BPE_MERGES).items()
+    )
+    return mrows, vrows, len(_BPE_MERGES)
+
+
+def _bpe_tokenize_sql() -> str:
+    mrows, vrows, nm = _bpe_merge_values()
+    return f"""
+        WITH RECURSIVE m(idx, pat, rep) AS (VALUES {mrows}),
+        vocab(sym, id) AS (VALUES {vrows}),
+        words AS (
+            SELECT doc_id, w.word AS word, w.wpos AS wpos FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           regexp_extract_all(lower(text), '[0-9a-z_]+'),
+                           (x, i) -> struct_pack(word := x, wpos := i))) AS w
+                FROM documents)
+        ),
+        folded(doc_id, wpos, s, i) AS (
+            SELECT doc_id, wpos,
+                   array_to_string(
+                       list_transform(regexp_extract_all(word, '.'),
+                                      c -> '(' || c || ')'), ''),
+                   0
+            FROM words
+            UNION ALL
+            SELECT f.doc_id, f.wpos, replace(f.s, m.pat, m.rep), f.i + 1
+            FROM folded f JOIN m ON m.idx = f.i
+        ),
+        toks AS (
+            SELECT doc_id, wpos, t.sym AS sym, t.spos AS spos FROM (
+                SELECT doc_id, wpos,
+                       unnest(list_transform(
+                           regexp_extract_all(s, '\\(([0-9a-z_]+)\\)', 1),
+                           (x, ii) -> struct_pack(sym := x, spos := ii))) AS t
+                FROM folded WHERE i = {nm})
+        )
+        SELECT doc_id,
+               (row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos)
+                - 1)::BIGINT AS pos,
+               COALESCE(v.id, -1)::BIGINT AS token_id
+        FROM toks LEFT JOIN vocab v ON v.sym = toks.sym
+        ORDER BY doc_id, pos
+    """
+
+
+def _q_pack_tokens(sf_dir: str):
+    # pack_sequences over REAL token counts (r4 VERDICT #2's "rewire"):
+    # apply_bpe's n_tokens column feeds the distributed ordered-prefix-sum
+    # packing plan via token_counts_col — no whitespace proxy anywhere.
+    from raylink.ops.bpe import apply_bpe
+    from raylink.ops.pack import pack_sequences
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tok = apply_bpe(docs, _BPE_MERGES)
+    out = pack_sequences(tok, budget=256, token_counts_col="n_tokens").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _pack_tokens_sql() -> str:
+    mrows, _vrows, nm = _bpe_merge_values()
+    return f"""
+        WITH RECURSIVE m(idx, pat, rep) AS (VALUES {mrows}),
+        words AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                  '[0-9a-z_]+')) AS word
+            FROM documents
+        ),
+        folded(doc_id, s, i) AS (
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(regexp_extract_all(word, '.'),
+                                      c -> '(' || c || ')'), ''),
+                   0
+            FROM words
+            UNION ALL
+            SELECT f.doc_id, replace(f.s, m.pat, m.rep), f.i + 1
+            FROM folded f JOIN m ON m.idx = f.i
+        ),
+        counts AS (
+            SELECT d.doc_id,
+                   COALESCE(SUM(len(regexp_extract_all(
+                       f.s, '\\(([0-9a-z_]+)\\)', 1))), 0)::BIGINT AS n_tokens
+            FROM documents d
+            LEFT JOIN (SELECT * FROM folded WHERE i = {nm}) f
+                   ON f.doc_id = d.doc_id
+            GROUP BY d.doc_id
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS start_tok
+            FROM counts
+        )
+        SELECT doc_id, n_tokens, start_tok,
+               (CASE WHEN n_tokens > 0 THEN start_tok // 256
+                     ELSE -1 END)::BIGINT AS chunk_first,
+               (CASE WHEN n_tokens > 0
+                     THEN (start_tok + n_tokens - 1) // 256
+                     ELSE -1 END)::BIGINT AS chunk_last
+        FROM c ORDER BY doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked (operator inventory: aggregation, maps, joins, sorts)
@@ -2994,6 +3171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_p_select": _q_top_p,
         "chunk_documents": _q_chunk_documents,
         "bpe_pairs": _q_bpe_pairs,
+        "bpe_tokenize": _q_bpe_tokenize,
+        "pack_tokens": _q_pack_tokens,
         "grouped_moments": _q_grouped_moments,
         "basket_pairs": _q_basket_pairs,
         "q3_topk": _q_q3_topk,
@@ -4070,6 +4249,8 @@ def oracle_sql() -> dict[str, str]:
         # k-means: iterative fit frozen as centroid literals, assignment
         # replayed (argmax cosine == argmax raw dot; ties -> smaller cid)
         "kmeans_assign": _kmeans_assign_sql(_GATE_SF),
+        "bpe_tokenize": _bpe_tokenize_sql(),
+        "pack_tokens": _pack_tokens_sql(),
         "ann_recall": _ann_recall_sql(_GATE_SF),
         # SemDeDup: the kmeans_assign replay + a NOT-EXISTS survivor rule
         "semantic_dedup": _semantic_dedup_sql(_GATE_SF),

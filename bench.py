@@ -437,6 +437,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         bpe_pair_counts(docs, k=50, final_partitions=8).count()
         q["bpe_pairs"] = round(time.perf_counter() - t, 3)
 
+        # full BPE tokenizer: distributed train (one word-frequency
+        # exchange + driver merge loop) then apply (dict-encoded memoized
+        # actor tasks) + token-count packing plan
+        from raylink.ops.bpe import apply_bpe, train_bpe
+        from raylink.ops.pack import pack_sequences as _pack
+
+        t = time.perf_counter()
+        merges = train_bpe(docs, num_merges=24, final_partitions=8)
+        tokenized = apply_bpe(docs, merges)
+        _pack(tokenized, budget=256, token_counts_col="n_tokens").count()
+        q["bpe_tokenize_pack"] = round(time.perf_counter() - t, 3)
+
         # string-kernel throughput: plain-Levenshtein + unrestricted DL
         # over a 300x300 name cross per batch (pair-axis vectorized DPs)
         from raylink.features import damerau_cross, lev_cross

@@ -158,35 +158,56 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    token_counts_col: str | None = None,
 ) -> ray.data.Dataset:
     """Concat-and-chunk packing plan: per document, ``(doc_id, n_tokens,
     start_tok, chunk_first, chunk_last)`` under ``budget``-token context
     windows over the id-ordered concatenated token stream. Empty
-    documents get chunk ids ``-1``."""
+    documents get chunk ids ``-1``.
+
+    ``token_counts_col``: name of a REAL per-document token-count column
+    already on ``docs`` (e.g. ``apply_bpe``'s ``n_tokens``) — when given,
+    packing runs on those counts instead of the ``\\S+`` whitespace
+    proxy."""
     if budget <= 0:
         raise ValueError("budget must be positive")
 
-    def _count(batch: pa.Table) -> pa.Table:
-        # ASCII \S+ runs — the convention the gated token_counts op and
-        # DuckDB's RE2 regexp_extract_all share (ops/dedup._NONWS_ASCII)
-        from raylink.ops.dedup import _NONWS_ASCII
+    if token_counts_col is not None:
 
-        texts = batch.column(text_col).to_pylist()
-        counts = np.fromiter(
-            (len(_NONWS_ASCII.findall(t)) if t else 0 for t in texts),
-            dtype=np.int64,
-            count=len(texts),
-        )
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "n_tokens": pa.array(counts),
-            }
-        )
+        def _count(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "n_tokens": pc.cast(batch.column(token_counts_col), pa.int64()),
+                }
+            )
 
-    counted = docs.select_columns([id_col, text_col]).map_batches(
-        _count, batch_format="pyarrow"
-    )
+        counted = docs.select_columns([id_col, token_counts_col]).map_batches(
+            _count, batch_format="pyarrow"
+        )
+    else:
+
+        def _count(batch: pa.Table) -> pa.Table:
+            # ASCII \S+ runs — the convention the gated token_counts op and
+            # DuckDB's RE2 regexp_extract_all share (ops/dedup._NONWS_ASCII)
+            from raylink.ops.dedup import _NONWS_ASCII
+
+            texts = batch.column(text_col).to_pylist()
+            counts = np.fromiter(
+                (len(_NONWS_ASCII.findall(t)) if t else 0 for t in texts),
+                dtype=np.int64,
+                count=len(texts),
+            )
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "n_tokens": pa.array(counts),
+                }
+            )
+
+        counted = docs.select_columns([id_col, text_col]).map_batches(
+            _count, batch_format="pyarrow"
+        )
     scanned = ordered_prefix_sum(
         counted, id_col, "n_tokens", num_partitions=num_partitions
     )
