@@ -2913,6 +2913,59 @@ def _q_video_frames(sf_dir: str):
     return df.sort_values(["media_id", "frame_ms"]).reset_index(drop=True)
 
 
+def _q_multimodal_decode_tar(sf_dir: str):
+    # Tar-shard (webdataset-convention) ingest variant of
+    # multimodal_decode (r4 VERDICT missing #3): the SAME image payloads
+    # are packed into two .tar shards (members named <media_id>.<format>),
+    # ingested by sources.read_binary_shards (one read task per shard,
+    # stdlib tarfile over an in-memory view, no temp extraction) and fed
+    # to the SAME real-decode actor pool — pixel outputs must equal the
+    # direct-table path's (parity pinned in tests/test_sources.py).
+    import io
+    import os
+    import tarfile
+
+    from raylink.ops.multimodal import decode_images, fake_media_table
+    from raylink.sources import read_binary_shards
+
+    media = fake_media_table(64, seed=42)
+    imgs = [r for r in media.to_pylist() if r["kind"] == "image"]
+    tdir = "/tmp/raylink_wds_gate"
+    os.makedirs(tdir, exist_ok=True)
+    paths = [f"{tdir}/shard-{i}.tar" for i in range(2)]
+    for i, p in enumerate(paths):
+        with tarfile.open(p + ".tmp", "w") as tf:
+            for r in imgs:
+                if (r["media_id"] // 3) % 2 != i:
+                    continue
+                info = tarfile.TarInfo(
+                    name=f"{r['media_id']:06d}.{r['format']}"
+                )
+                info.size = len(r["payload"])
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(r["payload"]))
+        os.replace(p + ".tmp", p)
+
+    def _to_media(batch: pa.Table) -> pa.Table:
+        ids = [int(m.split(".")[0]) for m in batch.column("member").to_pylist()]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "kind": pa.array(["image"] * len(ids), type=pa.string()),
+                "payload": batch.column("data"),
+            }
+        )
+
+    ds = read_binary_shards(paths).map_batches(_to_media, batch_format="pyarrow")
+    df = decode_images(ds, dim=8, fake=False).to_pandas()
+    df["feat0_e6"] = [int(round(float(f[0]) * 1e6)) for f in df["feat"]]
+    return (
+        df[["media_id", "kind", "feat0_e6"]]
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_audio_features(sf_dir: str):
     # real PCM WAV decode + sample-domain features (rms / zero-crossing /
     # spectral centroid) over deterministic sine payloads
@@ -3224,6 +3277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": _q_temperature_sample,
         "fingerprint": _q_fingerprint,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_decode_tar": _q_multimodal_decode_tar,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "kmeans_assign": _q_kmeans_assign,

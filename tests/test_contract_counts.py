@@ -44,7 +44,12 @@ def test_readme_counts_match_contract():
 def test_rows_only_is_codec_bound_only():
     """Every non-codec query must carry a DuckDB oracle — the r4 contract."""
     rows_only = set(_dict_keys("queries")) - set(_dict_keys("oracle_sql"))
-    assert rows_only == {"multimodal_decode", "audio_features", "video_frames"}
+    assert rows_only == {
+        "multimodal_decode",
+        "multimodal_decode_tar",  # same codec-bound family: tar-shard ingest variant
+        "audio_features",
+        "video_frames",
+    }
 
 
 def test_operator_index_current():
