@@ -4,11 +4,13 @@ No image/audio libraries exist in this sandbox, but five image container
 formats are decodable with nothing beyond ``zlib``/``struct``/numpy —
 binary PPM (P6), uncompressed 24-bit BMP, non-interlaced 8-bit PNG
 (zlib inflate + the five scanline filters), baseline-DCT JPEG
-(Huffman + dequant + numpy IDCT), and GIF87a/89a (variable-width LZW,
-local/global palettes, interlacing) — and PCM WAV needs only ``struct``.
+(Huffman + dequant + numpy IDCT), PROGRESSIVE JPEG (SOF2: spectral
+selection + DC/AC successive approximation, the T.81 G.2 / libjpeg
+jdphuff algorithms), and GIF87a/89a (variable-width LZW, local/global
+palettes, interlacing) — and PCM WAV needs only ``struct``.
 These make ``DecodeImage``/``ExtractAudioFeatures`` REAL kernels for the
 formats a real corpus is dominated by; formats that genuinely need
-external codecs (progressive JPEG, webp, MP3/AAC, compressed video)
+external codecs (webp, MP3/AAC, compressed video)
 remain behind the documented fake path.
 
 Encoders are provided too so tests and the gate can generate real payloads
@@ -497,19 +499,10 @@ def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
     return plane
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """(H, W, 3) or (H, W) uint8 → baseline JFIF JPEG bytes.
-
-    Color images are encoded as YCbCr (BT.601 full range), 4:4:4 by
-    default or 4:2:0 with ``subsample=True`` (2×2-mean chroma, MCU of four
-    luma blocks — exercises the decoder's general MCU path).
-    ``restart_interval`` > 0 writes DRI + RSTn markers every that many
-    MCUs (exercises the decoder's restart resynchronization)."""
+def _jpeg_prepare(img: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half (baseline + progressive): color convert,
+    optional 4:2:0 chroma subsample, MCU padding, per-component quantized
+    zigzag blocks in MCU-raster block order."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     ql = _scale_quant(_QLUM, quality)
@@ -554,11 +547,30 @@ def encode_jpeg(
         comp_blocks.append(
             (_fwd_blocks(p, ql if tq == 0 else qc), sh, sv, mcux * sh)
         )
+    return gray, h, w, ql, qc, samp, tqs, hmax, vmax, mcux, mcuy, comp_blocks
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) or (H, W) uint8 → baseline JFIF JPEG bytes.
+
+    Color images are encoded as YCbCr (BT.601 full range), 4:4:4 by
+    default or 4:2:0 with ``subsample=True`` (2×2-mean chroma, MCU of four
+    luma blocks — exercises the decoder's general MCU path).
+    ``restart_interval`` > 0 writes DRI + RSTn markers every that many
+    MCUs (exercises the decoder's restart resynchronization)."""
+    (gray, h, w, ql, qc, samp, tqs, hmax, vmax, mcux, mcuy, comp_blocks) = (
+        _jpeg_prepare(img, quality, subsample)
+    )
 
     dc_codes = _huff_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_codes = _huff_codes(_ENC_AC_BITS, _ENC_AC_VALS)
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(comp_blocks)
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -569,7 +581,7 @@ def encode_jpeg(
                 bw.buf += bytes(
                     [0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8]
                 )
-                preds = [0] * len(planes)
+                preds = [0] * len(comp_blocks)
             for ci, (blocks, sh, sv, bw_blocks) in enumerate(comp_blocks):
                 for by in range(sv):
                     for bx in range(sh):
@@ -588,7 +600,7 @@ def encode_jpeg(
     out += seg(0xFFDB, b"\x00" + bytes(ql[_ZZ].astype(np.uint8)))
     if not gray:
         out += seg(0xFFDB, b"\x01" + bytes(qc[_ZZ].astype(np.uint8)))
-    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    sof = struct.pack(">BHHB", 8, h, w, len(comp_blocks))
     for ci, ((sh, sv), tq) in enumerate(zip(samp, tqs)):
         sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, tq)
     out += seg(0xFFC0, sof)
@@ -600,13 +612,217 @@ def encode_jpeg(
     )
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    sos = bytes([len(planes)])
-    for ci in range(len(planes)):
+    sos = bytes([len(comp_blocks)])
+    for ci in range(len(comp_blocks)):
         sos += struct.pack(">BB", ci + 1, 0x00)  # DC table 0, AC table 0
     sos += b"\x00\x3f\x00"
     out += seg(0xFFDA, sos)
     out += bw.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift toward zero (T.81 G.1.2.2)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _emit_eobrun(bw: _BitWriter, ac_codes: dict, st: dict) -> None:
+    """Flush a pending EOB run plus its buffered correction bits."""
+    n = st["eobrun"]
+    if n:
+        cat = n.bit_length() - 1
+        code, ln = ac_codes[cat << 4]
+        bw.put(code, ln)
+        if cat:
+            bw.put(n - (1 << cat), cat)
+        st["eobrun"] = 0
+    for b in st["bits"]:
+        bw.put(b, 1)
+    st["bits"] = []
+
+
+def _enc_ac_first(bw, zz, ss, se, al, ac_codes, st) -> None:
+    """AC spectral-selection first pass (Ah=0) for one block."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = _pt_ac(int(zz[k]), al)
+        if v == 0:
+            r += 1
+            continue
+        _emit_eobrun(bw, ac_codes, st)
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            bw.put(code, ln)
+            r -= 16
+        s = _cat(v)
+        code, ln = ac_codes[(r << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+    if r:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw, ac_codes, st)
+
+
+def _enc_ac_refine(bw, zz, ss, se, al, ac_codes, st) -> None:
+    """AC successive-approximation refinement (Ah=Al+1) for one block —
+    the jcphuff encode_mcu_AC_refine correction-bit algorithm."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob_k = ss - 1  # last newly-significant position (absv == 1)
+    for i, k in enumerate(range(ss, se + 1)):
+        if absv[i] == 1:
+            eob_k = k
+    r = 0
+    br: list[int] = []  # this block's pending correction bits
+    for i, k in enumerate(range(ss, se + 1)):
+        temp = absv[i]
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_k:
+            _emit_eobrun(bw, ac_codes, st)
+            code, ln = ac_codes[0xF0]
+            bw.put(code, ln)
+            r -= 16
+            for b in br:
+                bw.put(b, 1)
+            br = []
+        if temp > 1:  # already significant: buffer its correction bit
+            br.append(temp & 1)
+            continue
+        # newly significant (magnitude exactly 1 at this precision)
+        _emit_eobrun(bw, ac_codes, st)
+        code, ln = ac_codes[(r << 4) | 1]
+        bw.put(code, ln)
+        bw.put(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in br:
+            bw.put(b, 1)
+        br = []
+        r = 0
+    if r or br:
+        st["eobrun"] += 1
+        st["bits"].extend(br)
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw, ac_codes, st)
+
+
+# Progressive AC table: baseline's symbols plus the EOBn run-length codes
+# (0x10..0xE0) progressive EOB-run coding needs. 176 symbols, all 8 bits —
+# canonical-valid (codes 0..175 < 255, all-ones stays unused per T.81).
+_ENC_AC_BITS_PROG = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_VALS_PROG = (
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """(H, W, 3) or (H, W) uint8 → PROGRESSIVE (SOF2) JFIF JPEG with the
+    libjpeg-style scan script: interleaved DC first pass (Al=1), per-
+    component AC spectral-selection first passes at Al=2 (bands 1–5 and
+    6–63), two per-component AC refinement passes (Al=1 then 0), and a DC
+    refinement pass — i.e. BOTH progressive mechanisms (spectral
+    selection and successive approximation) are exercised. The quantized
+    coefficients equal :func:`encode_jpeg`'s, so a full decode is pixel-
+    identical to the baseline encoding of the same image."""
+    (gray, h, w, ql, qc, samp, tqs, hmax, vmax, mcux, mcuy, comp_blocks) = (
+        _jpeg_prepare(img, quality, subsample)
+    )
+    nc = len(comp_blocks)
+    dc_codes = _huff_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _huff_codes(_ENC_AC_BITS_PROG, _ENC_AC_VALS_PROG)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            body += struct.pack(">BB", ci + 1, 0x00)
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(ql[_ZZ].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, b"\x01" + bytes(qc[_ZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, ((sh, sv), tq) in enumerate(zip(samp, tqs)):
+        sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, tq)
+    out += seg(0xFFC2, sof)  # SOF2: progressive Huffman
+    out += seg(0xFFC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    out += seg(
+        0xFFC4, b"\x10" + bytes(_ENC_AC_BITS_PROG) + bytes(_ENC_AC_VALS_PROG)
+    )
+
+    # ---- scan 1: DC first pass, interleaved, Al=1 ----
+    out += sos_header(list(range(nc)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (blocks, sh, sv, stride) in enumerate(comp_blocks):
+                for by in range(sv):
+                    for bx in range(sh):
+                        bi = (my * sv + by) * stride + (mx * sh + bx)
+                        v = int(blocks[bi][0]) >> 1  # DC pt: arithmetic shift
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _cat(diff)
+                        code, ln = dc_codes[s]
+                        bw.put(code, ln)
+                        if s:
+                            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += bw.buf
+
+    # per-component true rasters for the non-interleaved AC scans
+    rasters = []
+    for blocks, sh, sv, stride in comp_blocks:
+        rows, cols = _comp_raster(h, w, sh, sv, hmax, vmax)
+        rasters.append((blocks, stride, rows, cols))
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        blocks, stride, rows, cols = rasters[ci]
+        bw = _BitWriter()
+        st = {"eobrun": 0, "bits": []}
+        enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+        for rrow in range(rows):
+            for rcol in range(cols):
+                enc(bw, blocks[rrow * stride + rcol], ss, se, al, ac_codes, st)
+        _emit_eobrun(bw, ac_codes, st)
+        bw.flush()
+        return sos_header([ci], ss, se, ah, al) + bw.buf
+
+    # ---- scans 2..: AC first passes at Al=2 (two spectral bands) ----
+    for ci in range(nc):
+        out += ac_scan(ci, 1, 5, 0, 2)
+        out += ac_scan(ci, 6, 63, 0, 2)
+    # ---- AC refinement passes: Al 2->1, then 1->0 ----
+    for ci in range(nc):
+        out += ac_scan(ci, 1, 63, 2, 1)
+    for ci in range(nc):
+        out += ac_scan(ci, 1, 63, 1, 0)
+    # ---- DC refinement: interleaved, Ah=1 Al=0, raw bits ----
+    out += sos_header(list(range(nc)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (blocks, sh, sv, stride) in enumerate(comp_blocks):
+                for by in range(sv):
+                    for bx in range(sh):
+                        bi = (my * sv + by) * stride + (mx * sh + bx)
+                        bw.put(int(blocks[bi][0]) & 1, 1)
+    bw.flush()
+    out += bw.buf
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -643,7 +859,9 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF JPEG → (H, W, 3) uint8 (or (H, W) for grayscale)."""
+    """Baseline (SOF0/1) or progressive (SOF2) JFIF JPEG → (H, W, 3)
+    uint8 (or (H, W) for grayscale). Progressive covers spectral
+    selection and successive approximation (DC + AC refinement scans)."""
     if data[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG")
     pos = 2
@@ -651,7 +869,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → lookup
     frame = None
     restart_interval = 0
-    scan = None
+    progressive = False
+    scans: list = []
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -695,7 +914,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[o + 17 : o + 17 + n])
                 huff[(tc, th)] = _huff_lookup(bits, vals)
                 o += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline Huffman)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -704,24 +923,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF:
-            raise ValueError("only baseline (SOF0) JPEG supported")
+            progressive = marker == 0xC2
+        elif marker == 0xC3 or 0xC5 <= marker <= 0xCF:
+            raise ValueError("only baseline/progressive Huffman JPEG supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the header
-            if scan is not None:
-                # a second scan means non-interleaved multi-scan baseline
-                # (or DNL tricks) — decoding only one scan would return
-                # garbage pixels silently; fail loudly instead
-                raise ValueError(
-                    "multi-scan baseline JPEG not supported (single "
-                    "interleaved SOS only)"
-                )
             ns = body[0]
             scan_comps = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
                 for i in range(ns)
             ]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
             # entropy-coded data: up to the next non-RST/non-stuffing marker
             end = pos
             while end < len(data) - 1:
@@ -730,13 +944,36 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 ):
                     break
                 end += 1
-            scan = (scan_comps, data[pos:end])
+            # snapshot the Huffman tables + DRI in force AT THIS SCAN —
+            # progressive streams may redefine them between scans
+            scans.append(
+                (
+                    scan_comps,
+                    int(ss),
+                    int(se),
+                    ahal >> 4,
+                    ahal & 15,
+                    data[pos:end],
+                    dict(huff),
+                    restart_interval,
+                )
+            )
             pos = end
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
+    if progressive:
+        return _decode_progressive(frame, scans, quant)
+    if len(scans) > 1:
+        # a second scan means non-interleaved multi-scan baseline (or DNL
+        # tricks) — decoding only one scan would return garbage pixels
+        # silently; fail loudly instead
+        raise ValueError(
+            "multi-scan baseline JPEG not supported (single "
+            "interleaved SOS only)"
+        )
 
     fh, fw, comps = frame
-    scan_comps, entropy = scan
+    scan_comps, _ss, _se, _ah, _al, entropy, huff, restart_interval = scans[0]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-fw // (8 * hmax))
@@ -811,6 +1048,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
             mcu_count += 1
 
+    return _jpeg_finish(planes, comps, hmax, vmax, fh, fw)
+
+
+def _jpeg_finish(
+    planes: dict, comps: list, hmax: int, vmax: int, fh: int, fw: int
+) -> np.ndarray:
+    """Shared decoder back half: chroma upsample, crop, YCbCr → RGB."""
     out_planes = []
     for cid, ch, cv, _ in comps:
         p = planes[cid]
@@ -825,6 +1069,201 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _comp_raster(fh: int, fw: int, sh: int, sv: int, hmax: int, vmax: int):
+    """True (non-MCU-padded) data-unit raster of one component for
+    non-interleaved scans: (block rows, block cols)."""
+    cw = -(-(fw * sh) // hmax)
+    ch = -(-(fh * sv) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _split_restarts(entropy: bytes) -> list["_BitReader"]:
+    """Split entropy data at RSTn markers and unstuff each interval."""
+    segments = []
+    seg_start = 0
+    i = 0
+    while i < len(entropy) - 1:
+        if entropy[i] == 0xFF and 0xD0 <= entropy[i + 1] <= 0xD7:
+            segments.append(entropy[seg_start:i])
+            seg_start = i + 2
+            i += 2
+        else:
+            i += 1
+    segments.append(entropy[seg_start:])
+    return [_BitReader(s.replace(b"\xff\x00", b"\xff")) for s in segments]
+
+
+def _decode_progressive(frame, scans, quant) -> np.ndarray:
+    """Progressive (SOF2) Huffman JPEG: accumulate dequantized-domain
+    COEFFICIENTS across scans (spectral selection bands, DC/AC successive
+    approximation first + refinement passes — the T.81 G.2 / libjpeg
+    jdphuff algorithms), then one vectorized IDCT over every block."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    # raw (quantizer-free) coefficients in NATURAL (raster) order, over the
+    # MCU-padded block raster, stride = mcux*sh blocks per row
+    coefs = {
+        cid: np.zeros((mcuy * sv * mcux * sh, 64), dtype=np.int64)
+        for cid, sh, sv, _ in comps
+    }
+
+    for scan_comps, ss, se, ah, al, entropy, huff, ri in scans:
+        readers = _split_restarts(entropy)
+        seg_i = 0
+        br = readers[0]
+        st = {"eobrun": 0}
+        preds = {cid: 0 for cid, _, _ in scan_comps}
+
+        def _next_segment():
+            nonlocal seg_i, br
+            seg_i += 1
+            br = readers[seg_i]
+            st["eobrun"] = 0
+            for c in preds:
+                preds[c] = 0
+
+        if len(scan_comps) > 1 or (ss == 0 and len(scan_comps) == len(comps)):
+            # interleaved scan (DC only, per T.81): MCU raster order
+            if ss != 0 or se != 0:
+                raise ValueError("interleaved progressive AC scan is illegal")
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and unit and unit % ri == 0:
+                        _next_segment()
+                    for cid, td, _ta in scan_comps:
+                        _, sh, sv, _tq = by_id[cid]
+                        lut = huff[(0, td)]
+                        arr = coefs[cid]
+                        stride = mcux * sh
+                        for iy in range(sv):
+                            for ix in range(sh):
+                                bi = (my * sv + iy) * stride + (mx * sh + ix)
+                                if ah == 0:
+                                    s = br.decode(lut)
+                                    diff = _extend(br.receive(s), s) if s else 0
+                                    preds[cid] += diff
+                                    arr[bi, 0] = preds[cid] << al
+                                else:
+                                    if br.bit():
+                                        arr[bi, 0] |= 1 << al
+                    unit += 1
+        else:
+            # non-interleaved scan: one component, its true block raster
+            cid, td, ta = scan_comps[0]
+            _, sh, sv, _tq = by_id[cid]
+            rows, cols = _comp_raster(fh, fw, sh, sv, hmax, vmax)
+            stride = mcux * sh
+            arr = coefs[cid]
+            zz_nat = _ZZ  # zigzag index k -> natural index
+            unit = 0
+            for rrow in range(rows):
+                for rcol in range(cols):
+                    if ri and unit and unit % ri == 0:
+                        _next_segment()
+                    bi = rrow * stride + rcol
+                    blk = arr[bi]
+                    if ss == 0:
+                        # non-interleaved DC scan
+                        if ah == 0:
+                            lut = huff[(0, td)]
+                            s = br.decode(lut)
+                            diff = _extend(br.receive(s), s) if s else 0
+                            preds[cid] += diff
+                            blk[0] = preds[cid] << al
+                        else:
+                            if br.bit():
+                                blk[0] |= 1 << al
+                    elif ah == 0:
+                        _dec_ac_first(br, blk, ss, se, al, huff[(1, ta)], st, zz_nat)
+                    else:
+                        _dec_ac_refine(br, blk, ss, se, al, huff[(1, ta)], st, zz_nat)
+                    unit += 1
+
+    # dequantize + one einsum IDCT over all blocks per component
+    planes = {}
+    for cid, sh, sv, tq in comps:
+        qt = quant[tq]
+        stride = mcux * sh
+        nrows = mcuy * sv
+        c = (coefs[cid] * qt[np.newaxis, :]).astype(np.float64)
+        c = c.reshape(nrows, stride, 8, 8)
+        px = np.einsum("xu,nmuv,yv->nxmy", _DCT.T, c, _DCT.T) + 128.0
+        planes[cid] = px.reshape(nrows * 8, stride * 8)
+    return _jpeg_finish(planes, comps, hmax, vmax, fh, fw)
+
+
+def _dec_ac_first(br, blk, ss, se, al, lut, st, zz_nat) -> None:
+    """AC spectral-selection first pass (Ah=0): EOB-run coding."""
+    if st["eobrun"] > 0:
+        st["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = br.decode(lut)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                st["eobrun"] = (1 << r) - 1
+                if r:
+                    st["eobrun"] += br.receive(r)
+                return
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise ValueError("progressive JPEG AC index overflow")
+        blk[zz_nat[k]] = _extend(br.receive(s), s) << al
+        k += 1
+
+
+def _dec_ac_refine(br, blk, ss, se, al, lut, st, zz_nat) -> None:
+    """AC successive-approximation refinement (Ah=Al+1): correction bits
+    on history-nonzero coefficients, ±1<<Al for newly significant ones
+    (T.81 G.2 / jdphuff decode_mcu_AC_refine)."""
+    p1 = np.int64(1) << al
+    m1 = -p1
+    k = ss
+    if st["eobrun"] == 0:
+        while k <= se:
+            rs = br.decode(lut)
+            r, s = rs >> 4, rs & 15
+            if s:
+                val = p1 if br.bit() else m1
+            else:
+                if r != 15:
+                    st["eobrun"] = 1 << r
+                    if r:
+                        st["eobrun"] += br.receive(r)
+                    break
+                val = np.int64(0)  # ZRL: pass over 16 zero-history coeffs
+            while k <= se:
+                z = zz_nat[k]
+                if blk[z] != 0:
+                    if br.bit() and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0 and k <= se:
+                blk[zz_nat[k]] = val
+            k += 1
+    if st["eobrun"] > 0:
+        while k <= se:
+            z = zz_nat[k]
+            if blk[z] != 0:
+                if br.bit() and (blk[z] & p1) == 0:
+                    blk[z] += p1 if blk[z] >= 0 else m1
+            k += 1
+        st["eobrun"] -= 1
 
 
 # --------------------------------------------------------------------------

@@ -37,6 +37,7 @@ from raylink.ops.imagecodec import (
     encode_bmp,
     encode_gif,
     encode_jpeg,
+    encode_jpeg_progressive,
     encode_png,
     encode_ppm,
     encode_wav,
@@ -86,8 +87,9 @@ def _test_video(rng: np.random.Generator, w: int, h: int, n: int) -> np.ndarray:
 
 def fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
     """Deterministic media rows. Image payloads are REAL encoded PNG / BMP
-    / PPM / baseline JPEG / GIF (cycling; the JPEG rows alternate 4:4:4,
-    4:2:0 and restart-marker variants), audio payloads are real PCM WAV,
+    / PPM / JPEG / GIF (cycling; the JPEG rows alternate 4:4:4, 4:2:0,
+    restart-marker and PROGRESSIVE (SOF2) variants — all decoded for
+    real), audio payloads are real PCM WAV,
     and two of every three video payloads are real uncompressed Y4M — so
     the decode kernels run for real; the remaining video rows stay opaque
     'mp4' bytes (no stdlib codec for compressed video containers), keeping
@@ -112,12 +114,21 @@ def fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
             w, h = 32 + int(rng.integers(0, 32)), 24 + int(rng.integers(0, 24))
             img = _test_image(rng, w, h)
             if fmt == "jpeg":
-                payload = encode_jpeg(
-                    img,
-                    quality=90,
-                    subsample=bool(n_img % 8 >= 4),
-                    restart_interval=2 if n_img % 12 >= 8 else 0,
-                )
+                if n_img % 24 >= 16:
+                    # progressive (SOF2) variant — decodes to pixels
+                    # IDENTICAL to the baseline encoding of the same
+                    # image (same quantized coefficients), so swapping
+                    # it in changes payload bytes, never features
+                    payload = encode_jpeg_progressive(
+                        img, quality=90, subsample=bool(n_img % 8 >= 4)
+                    )
+                else:
+                    payload = encode_jpeg(
+                        img,
+                        quality=90,
+                        subsample=bool(n_img % 8 >= 4),
+                        restart_interval=2 if n_img % 12 >= 8 else 0,
+                    )
             else:
                 payload = img_encoders[fmt](img)
             n_img += 1
@@ -162,7 +173,7 @@ class DecodeImage:
     the feature is a ``dim``-cell adaptive mean-pool of the grayscale
     image in [0, 1] — i.e. decode → grayscale → fixed-grid downsample,
     the canonical decode/resize/featurize shape of a training-data
-    pipeline. Formats needing external codecs (progressive JPEG, webp…)
+    pipeline. Formats needing external codecs (webp, HEIC…)
     raise unless ``fake=True``, which substitutes a digest-based stand-in
     with the same output layout."""
 

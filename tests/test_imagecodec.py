@@ -14,6 +14,7 @@ from raylink.ops.imagecodec import (
     decode_wav,
     encode_bmp,
     encode_jpeg,
+    encode_jpeg_progressive,
     encode_png,
     encode_ppm,
     encode_wav,
@@ -194,13 +195,15 @@ def test_jpeg_pinned_pixels():
 PINNED_JPEG_DIGEST = "47b89022654eeae1"
 
 
-def test_jpeg_progressive_rejected():
-    """SOF2 (progressive) must fail loudly, not decode garbage."""
-    img = _smooth_img(16, 16)
+def test_jpeg_mislabeled_progressive_rejected():
+    """A baseline stream relabeled SOF2 carries an interleaved full-band
+    scan, which is ILLEGAL in progressive mode — it must fail loudly
+    (real SOF2 streams decode; see TestProgressiveJpeg)."""
+    img = _smooth_img(16, 16)  # already (H, W, 3)
     enc = bytearray(encode_jpeg(img))
     idx = enc.find(b"\xff\xc0")
     enc[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="interleaved progressive"):
         decode_jpeg(bytes(enc))
 
 
@@ -363,3 +366,62 @@ def test_gif_interlaced_decode():
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     assert np.array_equal(decode_gif(bytes(out)), plain)
+
+
+class TestProgressiveJpeg:
+    """SOF2 decode: spectral selection + DC/AC successive approximation.
+    The encoder shares the baseline's quantized coefficients, so a full
+    progressive decode must be PIXEL-IDENTICAL to decoding the baseline
+    encoding of the same image — the strongest possible pin."""
+
+    def test_parity_gray_and_color(self):
+        rng = np.random.default_rng(3)
+        for img, sub in [
+            (rng.integers(0, 256, (24, 31), dtype=np.uint8), False),
+            (rng.integers(0, 256, (33, 45, 3), dtype=np.uint8), False),
+            (rng.integers(0, 256, (35, 45, 3), dtype=np.uint8), True),
+        ]:
+            kw = {"quality": 80}
+            if img.ndim == 3:
+                kw["subsample"] = sub
+            base = decode_jpeg(encode_jpeg(img, **kw))
+            prog = decode_jpeg(encode_jpeg_progressive(img, **kw))
+            assert np.array_equal(base, prog)
+
+    def test_parity_sparse_blocks_long_eob_runs(self):
+        # a nearly-flat image quantizes to mostly-zero AC -> cross-block
+        # EOB runs and buffered refinement correction bits get exercised
+        img = np.full((64, 96, 3), 128, dtype=np.uint8)
+        img[10, 20] = [255, 0, 0]
+        img[40, 70] = [0, 0, 255]
+        base = decode_jpeg(encode_jpeg(img, quality=60))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=60))
+        assert np.array_equal(base, prog)
+
+    def test_sof2_header_and_multiscan(self):
+        img = np.zeros((16, 16), dtype=np.uint8)
+        data = encode_jpeg_progressive(img)
+        assert b"\xff\xc2" in data  # SOF2 marker present
+        # six+ SOS markers (DC first, 2 AC bands, 2 AC refines, DC refine)
+        assert data.count(b"\xff\xda") >= 6
+
+    def test_media_table_has_progressive_row_and_decodes(self):
+        from raylink.ops.imagecodec import sniff_format
+        from raylink.ops.multimodal import DecodeImage, fake_media_table
+
+        media = fake_media_table(64, seed=42)
+        jpegs = [
+            r for r in media.to_pylist()
+            if r["kind"] == "image" and r["format"] == "jpeg"
+        ]
+        prog = [r for r in jpegs if b"\xff\xc2" in r["payload"][:400]]
+        assert prog, "expected at least one progressive JPEG row"
+        d = DecodeImage(dim=8, fake=False)
+        import pyarrow as pa_
+
+        out = d(pa.table({
+            "media_id": pa.array([r["media_id"] for r in prog], type=pa.int64()),
+            "payload": pa.array([r["payload"] for r in prog], type=pa.binary()),
+        }))
+        assert len(out) == len(prog)
+        assert sniff_format(prog[0]["payload"]) == "jpeg"
