@@ -3100,6 +3100,77 @@ def _bpe_tokenize_sql() -> str:
     """
 
 
+def _q_bpe_train(sf_dir: str):
+    # DISTRIBUTED BPE TRAINING gated end-to-end (not just frozen apply):
+    # one word-frequency exchange + the driver merge loop, vs a DuckDB
+    # oracle that re-derives the word table in SQL and runs the ENTIRE
+    # merge loop as a single-row recursive CTE (state = the whole
+    # segmented word table as a LIST<STRUCT>, one LATERAL argmax per
+    # iteration, bracketed-replace application) — same (count DESC, a, b)
+    # tie rule and min-pair-count-2 stop, so the merge SEQUENCE is
+    # bit-exact.
+    from raylink.ops.bpe import train_bpe
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    merges = train_bpe(docs, num_merges=24, final_partitions=4)
+    return pd.DataFrame(
+        {
+            "idx": np.arange(len(merges), dtype=np.int64),
+            "t1": [a for a, _ in merges],
+            "t2": [b for _, b in merges],
+        }
+    )
+
+
+_BPE_TRAIN_SQL = r"""
+    WITH RECURSIVE wf AS (
+        SELECT word, COUNT(*)::BIGINT AS n FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS word
+            FROM documents
+        ) WHERE word <> '' GROUP BY word
+    ),
+    st(i, words, merges) AS (
+        SELECT 0,
+               (SELECT list(struct_pack(
+                    s := array_to_string(
+                        list_transform(regexp_extract_all(word, '.'),
+                                       c -> '(' || c || ')'), ''),
+                    cnt := n) ORDER BY word)
+                FROM wf),
+               CAST([] AS STRUCT(a VARCHAR, b VARCHAR)[])
+        UNION ALL
+        SELECT st.i + 1,
+               list_transform(st.words,
+                   w -> struct_pack(
+                       s := replace(w.s, '(' || best.a || ')(' || best.b || ')',
+                                    '(' || best.a || best.b || ')'),
+                       cnt := w.cnt)),
+               list_append(st.merges, struct_pack(a := best.a, b := best.b))
+        FROM st, LATERAL (
+            SELECT a, b, n FROM (
+                SELECT syms[j] AS a, syms[j+1] AS b, SUM(cnt)::BIGINT AS n
+                FROM (
+                    SELECT regexp_extract_all(t.w.s, '\(([0-9a-z_]+)\)', 1) AS syms,
+                           t.w.cnt AS cnt
+                    FROM unnest(st.words) AS t(w)
+                ), unnest(CASE WHEN len(syms) > 1
+                               THEN generate_series(1, len(syms) - 1)
+                               ELSE [] END) AS g(j)
+                GROUP BY a, b
+            ) WHERE n >= 2
+            ORDER BY n DESC, a, b LIMIT 1
+        ) best
+        WHERE st.i < 24
+    )
+    SELECT (q.u.idx - 1)::BIGINT AS idx, q.u.m.a AS t1, q.u.m.b AS t2 FROM (
+        SELECT unnest(list_transform(merges,
+                   (x, ii) -> struct_pack(m := x, idx := ii))) AS u
+        FROM st WHERE i = (SELECT max(i) FROM st)
+    ) q
+    ORDER BY idx
+"""
+
+
 def _q_pack_tokens(sf_dir: str):
     # pack_sequences over REAL token counts (r4 VERDICT #2's "rewire"):
     # apply_bpe's n_tokens column feeds the distributed ordered-prefix-sum
@@ -3225,6 +3296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_tokenize": _q_bpe_tokenize,
+        "bpe_train": _q_bpe_train,
         "pack_tokens": _q_pack_tokens,
         "grouped_moments": _q_grouped_moments,
         "basket_pairs": _q_basket_pairs,
@@ -4304,6 +4376,7 @@ def oracle_sql() -> dict[str, str]:
         # replayed (argmax cosine == argmax raw dot; ties -> smaller cid)
         "kmeans_assign": _kmeans_assign_sql(_GATE_SF),
         "bpe_tokenize": _bpe_tokenize_sql(),
+        "bpe_train": _BPE_TRAIN_SQL,
         "pack_tokens": _pack_tokens_sql(),
         "ann_recall": _ann_recall_sql(_GATE_SF),
         # SemDeDup: the kmeans_assign replay + a NOT-EXISTS survivor rule
