@@ -711,26 +711,35 @@ def uniform_sample_k(
     # rows strictly below the threshold hash are unconditionally in; the
     # tie stratum (hash == thr) is ranked by id on the driver. With a
     # 32-bit hash the stratum is ~n/2^32 rows per distinct value — O(1).
-    def _below_count(batch: pa.Table) -> pa.Table:
+    # ONE pass returns both the below-threshold count and the O(1)-row tie
+    # stratum (hash == thr) as a list column — always exactly one output
+    # row per batch, so no task ever emits a 0-row block (Ray 2.49 wraps
+    # those schema-less regardless of typing — the executor-warning class;
+    # a separate tie filter or union would mint one per empty task).
+    def _below_and_ties(batch: pa.Table) -> pa.Table:
         hv = batch.column("_h").to_numpy(zero_copy_only=False)
-        return pa.table({"c": pa.array([int((hv < thr).sum())], type=pa.int64())})
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c": pa.array([int((hv < thr).sum())], type=pa.int64()),
+                "ties": pa.array(
+                    [ids[hv == thr].tolist()], type=pa.list_(pa.int64())
+                ),
+            }
+        )
 
-    below = int(hds.map_batches(_below_count, batch_format="pyarrow")
-                .to_pandas()["c"].sum())
+    parts = hds.map_batches(_below_and_ties, batch_format="pyarrow").to_pandas()
+    below = int(parts["c"].sum())
     need = k - below
 
-    # Resolve the boundary WITHOUT a union (a mostly-empty filter side
-    # meeting a one-block tie side mints schema-less RefBundles — the
-    # executor-warning class the r4 hygiene sweep eliminated): collect the
-    # O(1)-row tie stratum, pick the `need` smallest ids on the driver,
-    # and fold them into the single keep pass as a broadcast id set.
+    from raylink.util import skip_empty
+
     tie_ids = np.empty(0, dtype=np.int64)
     if need > 0:
-        ties = hds.filter(expr=f"_h == {thr}").to_pandas()
-        ties = ties.sort_values(id_col, kind="stable").head(need)
-        tie_ids = ties[id_col].to_numpy()
-
-    from raylink.util import skip_empty
+        all_ties = np.sort(
+            np.concatenate([np.asarray(t, dtype=np.int64) for t in parts["ties"]])
+        )
+        tie_ids = all_ties[:need]
 
     def _keep(batch: pa.Table) -> pa.Table:
         hv = batch.column("_h").to_numpy(zero_copy_only=False)
