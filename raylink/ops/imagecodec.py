@@ -9,8 +9,9 @@ selection + DC/AC successive approximation, the T.81 G.2 / libjpeg
 jdphuff algorithms), and GIF87a/89a (variable-width LZW, local/global
 palettes, interlacing) — and PCM WAV needs only ``struct``.
 These make ``DecodeImage``/``ExtractAudioFeatures`` REAL kernels for the
-formats a real corpus is dominated by; formats that genuinely need
-external codecs (webp, MP3/AAC, compressed video)
+formats a real corpus is dominated by; lossless WebP (VP8L) decodes for
+real too (see :mod:`raylink.ops.webpcodec`). Formats that genuinely need
+external codecs (lossy WebP/VP8, MP3/AAC, compressed video)
 remain behind the documented fake path.
 
 Encoders are provided too so tests and the gate can generate real payloads
@@ -1468,6 +1469,8 @@ def sniff_format(data: bytes) -> str | None:
         return "gif"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     if data.startswith(b"YUV4MPEG2 "):
         return "y4m"
     return None

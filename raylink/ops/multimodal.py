@@ -44,6 +44,7 @@ from raylink.ops.imagecodec import (
     encode_y4m,
     sniff_format,
 )
+from raylink.ops.webpcodec import decode_webp, encode_webp
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -63,6 +64,7 @@ _IMG_DECODERS = {
     "ppm": decode_ppm,
     "jpeg": decode_jpeg,
     "gif": decode_gif,
+    "webp": decode_webp,
 }
 
 
@@ -87,8 +89,9 @@ def _test_video(rng: np.random.Generator, w: int, h: int, n: int) -> np.ndarray:
 
 def fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
     """Deterministic media rows. Image payloads are REAL encoded PNG / BMP
-    / PPM / JPEG / GIF (cycling; the JPEG rows alternate 4:4:4, 4:2:0,
-    restart-marker and PROGRESSIVE (SOF2) variants — all decoded for
+    / PPM / JPEG / GIF / lossless WebP (cycling; the JPEG rows alternate
+    4:4:4, 4:2:0, restart-marker and PROGRESSIVE (SOF2) variants, the WebP
+    rows cycle transform stacks — all decoded for
     real), audio payloads are real PCM WAV,
     and two of every three video payloads are real uncompressed Y4M — so
     the decode kernels run for real; the remaining video rows stay opaque
@@ -96,7 +99,7 @@ def fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
     the fake/stub path exercised."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
-    img_fmts = ["png", "bmp", "ppm", "jpeg", "gif"]
+    img_fmts = ["png", "bmp", "ppm", "jpeg", "gif", "webp"]
     img_encoders = {
         "png": encode_png,
         "bmp": encode_bmp,
@@ -110,10 +113,23 @@ def fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         if kind == "image":
-            fmt = img_fmts[n_img % 5]
+            fmt = img_fmts[n_img % len(img_fmts)]
             w, h = 32 + int(rng.integers(0, 32)), 24 + int(rng.integers(0, 24))
             img = _test_image(rng, w, h)
-            if fmt == "jpeg":
+            if fmt == "webp":
+                # lossless VP8L, cycling transform stacks so every decoder
+                # branch (predictor, cross-color+subtract-green, color
+                # cache + RLE backrefs) sees real gate traffic
+                variant = (n_img // len(img_fmts)) % 3
+                if variant == 0:
+                    payload = encode_webp(img, subtract_green=True, predictor_mode=11)
+                elif variant == 1:
+                    payload = encode_webp(img, cache_bits=6, use_rle=True)
+                else:
+                    payload = encode_webp(
+                        img, color_transform=(23, 250, 13), predictor_mode=12
+                    )
+            elif fmt == "jpeg":
                 if n_img % 24 >= 16:
                     # progressive (SOF2) variant — decodes to pixels
                     # IDENTICAL to the baseline encoding of the same
@@ -169,13 +185,13 @@ def _pool_grid(dim: int) -> tuple[int, int]:
 class DecodeImage:
     """Actor stage: binary payload → decoded pixel features.
 
-    REAL decode for PPM/BMP/PNG/baseline JPEG/GIF (pure-stdlib codecs);
-    the feature is a ``dim``-cell adaptive mean-pool of the grayscale
-    image in [0, 1] — i.e. decode → grayscale → fixed-grid downsample,
-    the canonical decode/resize/featurize shape of a training-data
-    pipeline. Formats needing external codecs (webp, HEIC…)
-    raise unless ``fake=True``, which substitutes a digest-based stand-in
-    with the same output layout."""
+    REAL decode for PPM/BMP/PNG/baseline+progressive JPEG/GIF/lossless
+    WebP (pure-stdlib codecs); the feature is a ``dim``-cell adaptive
+    mean-pool of the grayscale image in [0, 1] — i.e. decode → grayscale
+    → fixed-grid downsample, the canonical decode/resize/featurize shape
+    of a training-data pipeline. Formats needing external codecs (lossy
+    WebP, HEIC…) raise unless ``fake=True``, which substitutes a
+    digest-based stand-in with the same output layout."""
 
     def __init__(self, dim: int = 16, fake: bool = False):
         self.dim = dim
@@ -198,7 +214,13 @@ class DecodeImage:
                 "this sandbox (PPM/BMP/PNG decode natively; construct with "
                 "fake=True to stub other formats)"
             )
-        img = dec(payload)
+        try:
+            img = dec(payload)
+        except NotImplementedError:
+            # e.g. a lossy-VP8 payload inside a sniffed WebP container
+            if self.fake:
+                return self._fake_feat(payload)
+            raise
         if img.ndim == 3 and img.shape[2] >= 3:
             gray = img[:, :, :3].astype(np.float64) @ [0.299, 0.587, 0.114]
         else:

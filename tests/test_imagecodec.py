@@ -130,7 +130,17 @@ def test_decode_image_real_feature_semantics():
 
 
 def test_decode_image_unknown_format_raises_or_fakes():
-    payload = b"RIFF\x00\x00\x00\x00WEBPVP8 "  # webp: no stdlib codec
+    # lossy (VP8) webp: sniffed, but no stdlib codec — the documented
+    # boundary (lossless VP8L decodes for real, see test_webp.py)
+    lossy = (
+        b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
+    )
+    with pytest.raises(NotImplementedError):
+        DecodeImage(dim=4)._decode(lossy)
+    f = DecodeImage(dim=4, fake=True)._decode(lossy)
+    assert f.shape == (4,) and (0 <= f).all() and (f <= 1).all()
+    # a format nothing sniffs
+    payload = b"\x00\x01HEIC-ish opaque bytes"
     with pytest.raises(NotImplementedError):
         DecodeImage(dim=4)._decode(payload)
     f = DecodeImage(dim=4, fake=True)._decode(payload)
