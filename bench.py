@@ -220,6 +220,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             jw_counter=jw_counter,
             hist=(na, nb),
         )
+        if os.environ.get("GRAFT_BENCH_CAPTURE_STATS") == "1":
+            # materialize so per-stage executor stats attach to THIS plan
+            # (count() runs a derived AggregateNumRows plan whose stats are
+            # not visible from `accepted`)
+            accepted = accepted.materialize()
         n_accepted = accepted.count()
         headline = time.perf_counter() - t0
         # Reconcile the fire-and-forget tile tallies (untimed): cross-worker
