@@ -1471,6 +1471,8 @@ def sniff_format(data: bytes) -> str | None:
         return "wav"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
+    if data[:4] == b"fLaC":
+        return "flac"
     if data.startswith(b"YUV4MPEG2 "):
         return "y4m"
     return None

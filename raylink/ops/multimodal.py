@@ -45,6 +45,7 @@ from raylink.ops.imagecodec import (
     sniff_format,
 )
 from raylink.ops.webpcodec import decode_webp, encode_webp
+from raylink.ops.flaccodec import decode_flac, encode_flac
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -150,12 +151,19 @@ def fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
             n_img += 1
             dur = 0
         elif kind == "audio":
-            fmt = "wav"
             dur = int(rng.integers(100, 2000))
             t = np.arange(int(8000 * dur / 1000))
             freq = float(rng.integers(100, 1000))
             wave = np.sin(2 * np.pi * freq * t / 8000) * 0.5
-            payload = encode_wav((wave * 32767).astype(np.int16))
+            pcm = (wave * 32767).astype(np.int16)
+            # every third audio row ships FLAC (same 8 kHz PCM inside, so
+            # the features are identical to the WAV encoding of it)
+            if (i // 3) % 3 == 2:
+                fmt = "flac"
+                payload = encode_flac(pcm, rate=8000)
+            else:
+                fmt = "wav"
+                payload = encode_wav(pcm)
             w = h = 0
         elif (i // 3) % 3 == 2:
             fmt = "mp4"
@@ -253,24 +261,34 @@ class DecodeImage:
 
 
 class ExtractAudioFeatures:
-    """Actor stage: WAV payload → (rms, zero-crossing rate, spectral
-    centroid in Hz) — real sample-domain features via stdlib decode +
-    numpy rfft. Non-WAV audio raises unless ``fake=True``."""
+    """Actor stage: WAV or FLAC payload → (rms, zero-crossing rate,
+    spectral centroid in Hz) — real sample-domain features via
+    stdlib decode + numpy rfft. Other audio raises unless ``fake=True``."""
 
     def __init__(self, fake: bool = False):
         self.fake = fake
 
     def _features(self, payload: bytes) -> tuple[float, float, float]:
-        if sniff_format(payload) != "wav":
+        fmt = sniff_format(payload)
+        if fmt not in ("wav", "flac"):
             if self.fake:
                 dig = hashlib.blake2b(payload, digest_size=12).digest()
                 v = np.frombuffer(dig, dtype=np.uint32).astype(np.float64) / 2**32
                 return float(v[0]), float(v[1]), float(v[2] * 4000)
             raise NotImplementedError(
-                "only PCM WAV decodes natively; construct with fake=True "
-                "to stub compressed audio"
+                "only PCM WAV and FLAC decode natively; construct with "
+                "fake=True to stub other compressed audio"
             )
-        samples, rate = decode_wav(payload)
+        if fmt == "flac":
+            from raylink.ops.flaccodec import flac_stream_info
+
+            ints, rate = decode_flac(payload)
+            bps = flac_stream_info(payload)["bits_per_sample"]
+            # same normalization as decode_wav: floats in [-1, 1], so a
+            # FLAC and a WAV of the same PCM yield identical features
+            samples = ints.astype(np.float64) / float(1 << (bps - 1))
+        else:
+            samples, rate = decode_wav(payload)
         mono = samples.mean(axis=1)
         rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
         zcr = (
