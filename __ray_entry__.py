@@ -3230,6 +3230,113 @@ def _pack_tokens_sql() -> str:
     """
 
 
+def _q_cube_agg(sf_dir: str):
+    # CUBE lattice over orders (raylink/ops/relational.py cube_agg): the
+    # input aggregates ONCE (per-batch partials, one groupby); each of the
+    # other 2^k - 1 grouping sets re-aggregates the finest level's
+    # result-cardinality table — tiny exchanges, never a second data pass.
+    # g_mask matches DuckDB GROUPING(status)*2 + GROUPING(priority).
+    from raylink.ops.relational import cube_agg
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "cents": cents,
+            }
+        )
+
+    pre = orders.map_batches(_cents, batch_format="pyarrow")
+    out = cube_agg(
+        pre, ["o_orderstatus", "o_orderpriority"], {"cents": "sum_cents"},
+        final_partitions=2,
+    ).to_pandas()
+    return out.sort_values(
+        ["g_mask", "o_orderstatus", "o_orderpriority"]
+    ).reset_index(drop=True)
+
+
+def _q_pr_curve(sf_dir: str):
+    # Threshold sweep of the ER operating curve (raylink/evaluate.py
+    # pr_curve): JW name-similarity as the score, brand equality as truth,
+    # over the first 200 parts' i<j pairs (generated map-side against a
+    # broadcast side, the monge_elkan pattern). The sweep itself is ONE
+    # map-only bincount pass + a bucket-cardinality groupby; metrics are
+    # floor-division micro-units so DuckDB replays them bit-exact.
+    import ray as _ray
+
+    from raylink.evaluate import pr_curve
+
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"]
+    ).filter(expr="p_partkey <= 200")
+    side = part.to_pandas().sort_values("p_partkey")
+    ref = _ray.put(
+        (
+            side["p_partkey"].to_numpy(),
+            [s.lower() for s in side["p_name"]],
+            side["p_brand"].to_numpy(),
+        )
+    )
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        from raylink.features import jw_cross
+
+        s_ids, s_low, s_br = _ray.get(ref)
+        ak = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        a_low = [c.lower() for c in batch.column("p_name").to_pylist()]
+        a_br = batch.column("p_brand").to_numpy(zero_copy_only=False)
+        na, nb = len(a_low), len(s_low)
+        ai = np.repeat(np.arange(na), nb)
+        bi = np.tile(np.arange(nb), na)
+        m = ak[ai] < s_ids[bi]
+        ai, bi = ai[m], bi[m]
+        jw = jw_cross(a_low, s_low, ai, bi, boost_threshold=0.7)
+        return pa.table(
+            {
+                "jw_e6": pa.array(np.round(jw * 1e6).astype(np.int64)),
+                "y": pa.array(a_br[ai] == s_br[bi]),
+            }
+        )
+
+    scored = part.map_batches(_pairs, batch_format="pyarrow")
+    return pr_curve(scored, "jw_e6", "y", list(range(500000, 1000000, 25000)))
+
+
+def _q_pareto_front(sf_dir: str):
+    # Skyline pruning (raylink/ops/sample.py pareto_front): events not
+    # dominated on (recency, value). Per-batch local skylines are lossless
+    # pruning; only the FRONT-sized union crosses to the final pass.
+    from raylink.ops.sample import pareto_front
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "value_e6": pc.cast(
+                    pc.round(pc.multiply(t.column("value"), 1e6)), pa.int64()
+                ),
+            }
+        )
+
+    front = pareto_front(
+        ev.map_batches(_f, batch_format="pyarrow"), "ts_us", "value_e6"
+    )
+    return front.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked (operator inventory: aggregation, maps, joins, sorts)
@@ -3354,6 +3461,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": _q_video_frames,
         "kmeans_assign": _q_kmeans_assign,
         "semantic_dedup": _q_semantic_dedup,
+        "cube_agg": _q_cube_agg,
+        "pr_curve": _q_pr_curve,
+        "pareto_front": _q_pareto_front,
     }
 
 
@@ -5500,5 +5610,66 @@ def oracle_sql() -> dict[str, str]:
                        WHERE o_orderstatus = 'P') o
               ON o.o_custkey = c.c_custkey
             ORDER BY c.c_custkey
+        """,
+        "cube_agg": """
+            SELECT (GROUPING(o_orderstatus) * 2
+                      + GROUPING(o_orderpriority))::BIGINT AS g_mask,
+                   o_orderstatus, o_orderpriority,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT
+                       AS sum_cents,
+                   COUNT(*)::BIGINT AS n
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ORDER BY g_mask, o_orderstatus, o_orderpriority
+        """,
+        "pr_curve": """
+            WITH pairs AS (
+                SELECT CAST(ROUND(jaro_winkler_similarity(
+                           lower(a.p_name), lower(b.p_name)) * 1000000)
+                           AS BIGINT) AS jw_e6,
+                       (a.p_brand = b.p_brand) AS y
+                FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+                WHERE a.p_partkey <= 200 AND b.p_partkey <= 200
+            ),
+            thr AS (SELECT UNNEST(range(500000, 1000000, 25000)) AS thr),
+            tot AS (SELECT COUNT(*) FILTER (y)::BIGINT AS n_pos FROM pairs)
+            SELECT t.thr::BIGINT AS thr,
+                   COUNT(*) FILTER (p.jw_e6 >= t.thr)::BIGINT AS n_pred,
+                   COUNT(*) FILTER (p.jw_e6 >= t.thr AND p.y)::BIGINT AS tp,
+                   (COUNT(*) FILTER (p.jw_e6 >= t.thr)
+                      - COUNT(*) FILTER (p.jw_e6 >= t.thr AND p.y))::BIGINT
+                       AS fp,
+                   (ANY_VALUE(tot.n_pos)
+                      - COUNT(*) FILTER (p.jw_e6 >= t.thr AND p.y))::BIGINT
+                       AS fn,
+                   CASE WHEN COUNT(*) FILTER (p.jw_e6 >= t.thr) = 0 THEN 0
+                        ELSE (COUNT(*) FILTER (p.jw_e6 >= t.thr AND p.y)
+                                * 1000000)
+                             // COUNT(*) FILTER (p.jw_e6 >= t.thr)
+                   END::BIGINT AS precision_e6,
+                   CASE WHEN ANY_VALUE(tot.n_pos) = 0 THEN 0
+                        ELSE (COUNT(*) FILTER (p.jw_e6 >= t.thr AND p.y)
+                                * 1000000) // ANY_VALUE(tot.n_pos)
+                   END::BIGINT AS recall_e6,
+                   ((2 * COUNT(*) FILTER (p.jw_e6 >= t.thr AND p.y)
+                       * 1000000)
+                    // (COUNT(*) FILTER (p.jw_e6 >= t.thr)
+                          + ANY_VALUE(tot.n_pos)))::BIGINT AS f1_e6
+            FROM thr t CROSS JOIN pairs p, tot
+            GROUP BY t.thr ORDER BY t.thr
+        """,
+        "pareto_front": """
+            WITH f AS (
+                SELECT event_id, epoch_us(ts)::BIGINT AS ts_us,
+                       CAST(ROUND(value * 1000000) AS BIGINT) AS value_e6
+                FROM events
+            )
+            SELECT event_id, ts_us, value_e6 FROM f a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM f b
+                WHERE b.ts_us >= a.ts_us AND b.value_e6 >= a.value_e6
+                  AND (b.ts_us > a.ts_us OR b.value_e6 > a.value_e6)
+            )
+            ORDER BY event_id
         """,
     }

@@ -228,3 +228,88 @@ def bcubed_evidence(
         _truth_counts,
         out_schema,
     )
+
+
+def pr_curve(
+    pairs: "ray.data.Dataset",
+    score_col: str,
+    label_col: str,
+    thresholds: list[int],
+    final_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Precision/recall/F1 sweep over a scored pair table — the cutoff
+    diagnostic behind the flagship's expected-F1 rule (`get_cutoff`,
+    reference R/fuzzylink.R:344-371 picks ONE operating point; this
+    operator reports the whole curve so a user can audit the trade-off).
+
+    Input: a Dataset with an integer score column (micro-units, the repo
+    convention) and a boolean truth column. ``thresholds`` is an
+    ascending list of ints in the same units; at threshold ``t`` a pair
+    is predicted positive iff ``score >= t``. Output: one pandas row per
+    threshold with exact integer counts ``(n_pred, tp, fp, fn)`` and
+    floor-division micro-unit metrics ``precision_e6 = tp*1e6 // n_pred``,
+    ``recall_e6``, ``f1_e6 = 2*tp*1e6 // (n_pred + n_pos)`` — integer
+    arithmetic end-to-end so a SQL oracle replays it bit-exact.
+
+    Scale shape: ONE map-only pass — each batch bin-counts its scores
+    into the ``len(thresholds)+1`` inter-threshold buckets (split by
+    truth) via ``np.searchsorted`` + ``bincount`` — then a
+    bucket-cardinality groupby-sum; the driver sees ≤ T+1 rows and
+    finishes with suffix sums. No sort, no pair-scale exchange, nothing
+    proportional to the input ever leaves the tasks."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    thr = np.asarray(sorted(thresholds), dtype=np.int64)
+    if len(thr) == 0:
+        raise ValueError("need at least one threshold")
+    nb = len(thr) + 1
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(score_col).to_numpy(zero_copy_only=False)
+        y = batch.column(label_col).to_numpy(zero_copy_only=False).astype(bool)
+        b = np.searchsorted(thr, np.asarray(s, dtype=np.int64), side="right")
+        n = np.bincount(b, minlength=nb).astype(np.int64)
+        npos = np.bincount(b[y], minlength=nb).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(nb, dtype=np.int64)),
+                "n": pa.array(n),
+                "n_pos": pa.array(npos),
+            }
+        )
+
+    agg = (
+        pairs.map_batches(_partial, batch_format="pyarrow")
+        .repartition(final_partitions or 1)
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_pos", alias_name="n_pos"))
+        .to_pandas()
+        .set_index("bucket")
+        .reindex(range(nb), fill_value=0)
+    )
+    n = agg["n"].to_numpy(dtype=np.int64)
+    npos = agg["n_pos"].to_numpy(dtype=np.int64)
+    total_pos = int(npos.sum())
+    # suffix sums: bucket b holds scores in [thr[b-1], thr[b]) — predicted
+    # positive at threshold index i are exactly the buckets > i
+    pred = np.cumsum(n[::-1])[::-1]
+    tp = np.cumsum(npos[::-1])[::-1]
+    rows = []
+    for i, t in enumerate(thr.tolist()):
+        p_, tp_ = int(pred[i + 1]), int(tp[i + 1])
+        rows.append(
+            {
+                "thr": t,
+                "n_pred": p_,
+                "tp": tp_,
+                "fp": p_ - tp_,
+                "fn": total_pos - tp_,
+                "precision_e6": (tp_ * 1_000_000) // p_ if p_ else 0,
+                "recall_e6": (tp_ * 1_000_000) // total_pos if total_pos else 0,
+                "f1_e6": (2 * tp_ * 1_000_000) // (p_ + total_pos)
+                if (p_ + total_pos)
+                else 0,
+            }
+        )
+    return pd.DataFrame(rows)

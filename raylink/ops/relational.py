@@ -1070,3 +1070,78 @@ def melt(
     return ds.select_columns(list(id_cols) + list(value_cols)).map_batches(
         _melt, batch_format="pyarrow"
     )
+
+
+def cube_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    final_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """CUBE aggregate: one row per grouping SET (every subset of
+    ``keys``, 2^k sets), with absent key columns NULL and ``g_mask`` the
+    DuckDB ``GROUPING(k0)*2^(k-1) + ... + GROUPING(k_last)`` bitmask
+    (bit set = key rolled up). The lattice :func:`rollup_agg` only walks
+    the prefix chain of; CUBE covers the off-chain sets ("by priority
+    regardless of status") a profiling pass wants in one plan.
+
+    Shape: the INPUT aggregates exactly once (``preagg_sum_count``);
+    every other grouping set re-aggregates the FINEST level's
+    result-cardinality table — 2^k - 1 tiny exchanges over
+    |distinct(keys)|-sized tables, never a second data pass. Practical
+    for the small k (2-3) a CUBE is for; sums must be integer
+    micro-units per the repo convention."""
+    if len(keys) > 4:
+        raise ValueError("cube_agg supports at most 4 keys (2^k sets)")
+    out_sums = list(sum_cols.values())
+    finest = preagg_sum_count(ds, keys, sum_cols, final_partitions)
+    from raylink.util import pa_type
+
+    fschema = finest.schema()
+    ktypes = {
+        k: pa_type(t) for k, t in zip(fschema.names, fschema.types) if k in keys
+    }
+
+    def _pad(mask: int):
+        def _f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {"g_mask": pa.array(np.full(n, mask, dtype=np.int64))}
+            for i, k in enumerate(keys):
+                rolled = mask & (1 << (len(keys) - 1 - i))
+                cols[k] = pa.nulls(n, type=ktypes[k]) if rolled else t.column(k)
+            for c in out_sums:
+                cols[c] = t.column(c)
+            cols["n"] = t.column("n")
+            return pa.table(cols)
+
+        return _f
+
+    levels = [finest.map_batches(_pad(0), batch_format="pyarrow")]
+    aggs = [Sum(c, alias_name=c) for c in out_sums] + [Sum("n", alias_name="n")]
+    for mask in range(1, 1 << len(keys)):
+        kept = [
+            k for i, k in enumerate(keys)
+            if not (mask & (1 << (len(keys) - 1 - i)))
+        ]
+        # the finest table is result-cardinality-sized: collapse to one
+        # partition so the groupby's sort can't emit schema-less empties
+        if kept:
+            cur = finest.repartition(1).groupby(kept).aggregate(*aggs)
+        else:
+            cur = (
+                finest.map_batches(
+                    lambda t: t.append_column(
+                        "_one", pa.array(np.zeros(len(t), dtype=np.int64))
+                    ),
+                    batch_format="pyarrow",
+                )
+                .repartition(1)
+                .groupby("_one")
+                .aggregate(*aggs)
+                .drop_columns(["_one"])
+            )
+        levels.append(cur.map_batches(_pad(mask), batch_format="pyarrow"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

@@ -750,3 +750,72 @@ def uniform_sample_k(
         return batch.filter(pa.array(mask)).drop_columns(["_h"])
 
     return hds.map_batches(skip_empty(_keep), batch_format="pyarrow")
+
+
+def _skyline_2d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean survivor mask of the 2-D maximal (Pareto) front.
+
+    Dominance: row j dominates row i iff x_j >= x_i and y_j >= y_i with
+    at least one strict. Exact duplicates dominate nothing and survive
+    together (matching the SQL ``NOT EXISTS`` dominance replay).
+    Vectorized: one lexsort (x desc, y desc), per-x-group max y, and a
+    running strict-x max — O(n log n), no Python loop over rows."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    # group starts: first row of each distinct x (y desc inside a group)
+    new_x = np.empty(n, dtype=bool)
+    new_x[0] = True
+    new_x[1:] = xs[1:] != xs[:-1]
+    group_id = np.cumsum(new_x) - 1
+    group_max_y = ys[new_x]  # first row per group has the group's max y
+    # best y among groups with STRICTLY larger x
+    best_prev = np.empty(len(group_max_y), dtype=np.int64)
+    best_prev[0] = np.iinfo(np.int64).min
+    if len(group_max_y) > 1:
+        best_prev[1:] = np.maximum.accumulate(group_max_y[:-1])
+    keep_sorted = (ys == group_max_y[group_id]) & (ys > best_prev[group_id])
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def pareto_front(
+    ds: ray.data.Dataset,
+    x_col: str,
+    y_col: str,
+    maximize: bool = True,
+) -> ray.data.Dataset:
+    """Pareto-front (skyline) pruning over two integer criteria — the
+    multi-objective curation shape ("keep documents not dominated on
+    quality AND length" — single-quantile filters can't express the
+    trade-off). Keeps every row not dominated by another row; exact
+    duplicates all survive; ``maximize=False`` minimizes both.
+
+    Scale shape: per-batch local skyline (vectorized lexsort kernel —
+    a point dominated within its batch is dominated globally, so local
+    pruning is lossless), then the union of local fronts collapses to
+    one partition for the final skyline — correct because
+    skyline(union of local skylines) = skyline(all). The exchange is
+    FRONT-sized, not data-sized. Contract: the global front must fit one
+    task (fronts are ~O(log n) for independent criteria; adversarially
+    anti-correlated data degenerates to the full set — profile with
+    ``column_profile`` first, or pre-bucket one axis)."""
+
+    def _local(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column(x_col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        y = np.asarray(batch.column(y_col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        if not maximize:
+            x, y = -x, -y
+        return batch.filter(pa.array(_skyline_2d(x, y)))
+
+    from raylink.util import skip_empty
+
+    local = ds.map_batches(skip_empty(_local), batch_format="pyarrow")
+    return local.repartition(1).map_batches(
+        skip_empty(_local), batch_format="pyarrow", batch_size=None
+    )

@@ -1997,3 +1997,107 @@ def test_vocab_topk_paths_emit_no_refbundle_schema_warnings():
         log.removeHandler(spy)
         log.setLevel(old_level)
     assert records == []
+
+
+def test_cube_agg_matches_duckdb_cube():
+    import duckdb
+
+    from raylink.ops.relational import cube_agg
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(list("xyz"), 4000),
+            "b": rng.choice(list("pq"), 4000),
+            "v": rng.integers(0, 1000, 4000),
+        }
+    )
+    got = (
+        cube_agg(rd.from_pandas(df), ["a", "b"], {"v": "sum_v"})
+        .to_pandas()
+        .sort_values(["g_mask", "a", "b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """SELECT (GROUPING(a)*2 + GROUPING(b))::BIGINT AS g_mask, a, b,
+                  SUM(v)::BIGINT AS sum_v, COUNT(*)::BIGINT AS n
+           FROM t GROUP BY CUBE(a, b) ORDER BY g_mask, a, b"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # every grouping set present: 3*2 + 3 + 2 + 1 rows
+    assert got.groupby("g_mask").size().tolist() == [6, 3, 2, 1]
+
+
+def test_pareto_front_matches_bruteforce():
+    from raylink.ops.sample import _skyline_2d, pareto_front
+
+    rng = np.random.default_rng(11)
+    # kernel: randomized brute-force dominance parity incl. ties/dups
+    for _ in range(60):
+        n = int(rng.integers(1, 60))
+        x = rng.integers(-4, 8, n).astype(np.int64)
+        y = rng.integers(-4, 8, n).astype(np.int64)
+        keep = _skyline_2d(x, y)
+        for i in range(n):
+            dom = (
+                (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+            ).any()
+            assert keep[i] == (not dom)
+
+    # distributed: local-then-merge equals the global front regardless of
+    # partitioning; exact duplicates of a front point all survive
+    df = pd.DataFrame(
+        {
+            "id": np.arange(1000, dtype=np.int64),
+            "x": rng.integers(0, 50, 1000),
+            "y": rng.integers(0, 50, 1000),
+        }
+    )
+    df.loc[0, ["x", "y"]] = [49, 49]
+    df.loc[1, ["x", "y"]] = [49, 49]
+    got = (
+        pareto_front(rd.from_pandas(df).repartition(7), "x", "y")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    x, y = df["x"].to_numpy(np.int64), df["y"].to_numpy(np.int64)
+    want = df[_skyline_2d(x, y)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert {0, 1} <= set(got["id"])  # both duplicates of the front point
+
+    # minimize mode is the mirrored front
+    got_min = pareto_front(rd.from_pandas(df), "x", "y", maximize=False)
+    want_min = df[_skyline_2d(-x, -y)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_min.to_pandas().sort_values("id").reset_index(drop=True), want_min
+    )
+
+
+def test_pr_curve_hand_values():
+    from raylink.evaluate import pr_curve
+
+    # scores: 10,20,30,40 with labels F,T,F,T
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"s": [10, 20, 30, 40], "y": [False, True, False, True]}
+        )
+    ).repartition(3)
+    out = pr_curve(ds, "s", "y", [15, 25, 35, 45])
+    assert out["thr"].tolist() == [15, 25, 35, 45]
+    assert out["n_pred"].tolist() == [3, 2, 1, 0]
+    assert out["tp"].tolist() == [2, 1, 1, 0]
+    assert out["fp"].tolist() == [1, 1, 0, 0]
+    assert out["fn"].tolist() == [0, 1, 1, 2]
+    # floor-division micro-units: 2e6//3, 1e6//2, 1e6//1, 0
+    assert out["precision_e6"].tolist() == [666666, 500000, 1000000, 0]
+    assert out["recall_e6"].tolist() == [1000000, 500000, 500000, 0]
+    # f1 = 2*tp*1e6 // (n_pred + n_pos)
+    assert out["f1_e6"].tolist() == [
+        (2 * 2 * 10**6) // 5, (2 * 10**6) // 4, (2 * 10**6) // 3, 0
+    ]
+    # threshold at/below every score predicts everything
+    all_in = pr_curve(ds, "s", "y", [10])
+    assert all_in["n_pred"].tolist() == [4] and all_in["tp"].tolist() == [2]
