@@ -202,18 +202,78 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
-# WAV (PCM 16-bit mono/stereo)
+# WAV (PCM 16-bit + G.711 μ-law/A-law mono/stereo)
+#
+# G.711 is CLOSED-FORM (segment/exponent companding, ITU-T G.711 — the
+# telephony codec real speech corpora ship as 8-bit WAV format tags 7/6):
+# the 256-word decode codebook below is the standard expansion, and the
+# encoder is its exact nearest-codeword inverse (midpoint searchsorted),
+# so encode(decode(b)) == b for every codeword and round-trip error is
+# bounded by half a segment step — both pinned in tests.
 
 
-def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
-    """(n,) int16 mono PCM → WAV."""
+def _g711_ulaw_table() -> np.ndarray:
+    """μ-law byte → linear int16 (±32124 full scale)."""
+    u = np.arange(256, dtype=np.int64) ^ 0xFF  # stored complemented
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """A-law byte → linear int16 (±32256 full scale; no exact zero)."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55  # even bits inverted
+    mant = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(
+        seg == 0, mant + 8,
+        np.where(seg == 1, mant + 0x108, (mant + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_ULAW_TABLE = _g711_ulaw_table()
+_ALAW_TABLE = _g711_alaw_table()
+
+
+def _g711_encoder(table: np.ndarray):
+    """Nearest-codeword quantizer for a 256-entry decode table: sort the
+    codebook once, split on midpoints, break exact-midpoint ties toward
+    the lower codeword index (deterministic)."""
+    order = np.argsort(table.astype(np.int64), kind="stable")
+    vals = table.astype(np.int64)[order]
+    mids = (vals[:-1] + vals[1:] + 1) // 2  # value >= mid → upper cell
+
+    def _enc(x: np.ndarray) -> np.ndarray:
+        cell = np.searchsorted(mids, np.asarray(x, dtype=np.int64), side="right")
+        return order[cell].astype(np.uint8)
+
+    return _enc
+
+
+_ULAW_ENCODE = _g711_encoder(_ULAW_TABLE)
+_ALAW_ENCODE = _g711_encoder(_ALAW_TABLE)
+
+_WAV_FMT_PCM16, _WAV_FMT_ALAW, _WAV_FMT_ULAW = 1, 6, 7
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000, codec: str = "pcm16") -> bytes:
+    """(n,) int16 mono → WAV. ``codec``: 'pcm16' (default), 'ulaw' or
+    'alaw' (G.711 8-bit companded, WAV format tags 7/6)."""
     assert samples.dtype == np.int16
-    body = samples.tobytes()
+    if codec == "pcm16":
+        fmt, bits, body = _WAV_FMT_PCM16, 16, samples.tobytes()
+    elif codec == "ulaw":
+        fmt, bits, body = _WAV_FMT_ULAW, 8, _ULAW_ENCODE(samples).tobytes()
+    elif codec == "alaw":
+        fmt, bits, body = _WAV_FMT_ALAW, 8, _ALAW_ENCODE(samples).tobytes()
+    else:
+        raise ValueError(f"unknown WAV codec {codec!r}")
+    block = bits // 8
     return (
         b"RIFF"
         + struct.pack("<I", 36 + len(body))
         + b"WAVEfmt "
-        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + struct.pack("<IHHIIHH", 16, fmt, 1, rate, rate * block, block, bits)
         + b"data"
         + struct.pack("<I", len(body))
         + body
@@ -221,10 +281,11 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """WAV → ((n, channels) float64 in [-1, 1], sample_rate). PCM 16-bit."""
+    """WAV → ((n, channels) float64 in [-1, 1], sample_rate). Supports
+    16-bit PCM and G.711 μ-law/A-law (format tags 1/7/6)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
-    pos, rate, channels, bits, pcm = 12, None, None, None, None
+    pos, rate, channels, fmt, pcm = 12, None, None, None, None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", data, pos + 4)
@@ -232,13 +293,23 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + ln + (ln & 1)
         if tag == b"fmt ":
             fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
-            if fmt != 1 or bits != 16:
+            if fmt == _WAV_FMT_PCM16 and bits != 16:
                 raise ValueError("only 16-bit PCM WAV supported")
+            if fmt in (_WAV_FMT_ULAW, _WAV_FMT_ALAW) and bits != 8:
+                raise ValueError("G.711 WAV must be 8-bit")
+            if fmt not in (_WAV_FMT_PCM16, _WAV_FMT_ULAW, _WAV_FMT_ALAW):
+                raise ValueError(f"unsupported WAV format tag {fmt}")
         elif tag == b"data":
             pcm = body
-    if pcm is None or rate is None:
+    if pcm is None or rate is None or fmt is None:
         raise ValueError("WAV missing fmt/data chunk")
-    arr = np.frombuffer(pcm, dtype=np.int16).astype(np.float64) / 32768.0
+    if fmt == _WAV_FMT_ULAW:
+        ints = _ULAW_TABLE[np.frombuffer(pcm, dtype=np.uint8)]
+    elif fmt == _WAV_FMT_ALAW:
+        ints = _ALAW_TABLE[np.frombuffer(pcm, dtype=np.uint8)]
+    else:
+        ints = np.frombuffer(pcm, dtype=np.int16)
+    arr = ints.astype(np.float64) / 32768.0
     return arr.reshape(-1, channels), rate
 
 

@@ -435,3 +435,64 @@ class TestProgressiveJpeg:
         }))
         assert len(out) == len(prog)
         assert sniff_format(prog[0]["payload"]) == "jpeg"
+
+
+def test_g711_codebooks_are_itu_shaped():
+    """Closed-form G.711 pins: full-scale ±32124 (μ) / ±32256 (A), two
+    zero codewords in μ-law, no zero in A-law (min magnitude 8), and
+    encode = exact nearest-codeword inverse of decode."""
+    from raylink.ops.imagecodec import (
+        _ALAW_ENCODE,
+        _ALAW_TABLE,
+        _ULAW_ENCODE,
+        _ULAW_TABLE,
+    )
+
+    assert int(_ULAW_TABLE.max()) == 32124 and int(_ULAW_TABLE.min()) == -32124
+    assert int(_ALAW_TABLE.max()) == 32256 and int(_ALAW_TABLE.min()) == -32256
+    assert np.count_nonzero(_ULAW_TABLE == 0) == 2  # +0 and -0 codewords
+    assert np.abs(_ALAW_TABLE.astype(np.int64)).min() == 8
+    for tab, enc in ((_ULAW_TABLE, _ULAW_ENCODE), (_ALAW_TABLE, _ALAW_ENCODE)):
+        b = np.arange(256, dtype=np.uint8)
+        assert np.array_equal(tab[enc(tab[b])], tab[b])  # codebook idempotence
+        x = np.arange(-32768, 32768, dtype=np.int64)
+        err = np.abs(tab[enc(x)].astype(np.int64) - x)
+        steps = np.diff(np.sort(tab.astype(np.int64)))
+        assert err.max() <= steps.max() // 2 + (32768 - int(tab.max()))
+
+
+@pytest.mark.parametrize("codec,min_snr", [("ulaw", 30.0), ("alaw", 35.0)])
+def test_g711_wav_roundtrip_snr(codec, min_snr):
+    from raylink.ops.imagecodec import decode_wav, encode_wav
+
+    t = np.arange(16000)
+    pcm = (np.sin(2 * np.pi * 500 * t / 8000) * 16384).astype(np.int16)
+    enc = encode_wav(pcm, rate=8000, codec=codec)
+    assert len(enc) < 16000 + 60  # one byte per sample + headers
+    dec, rate = decode_wav(enc)
+    assert rate == 8000
+    ref = pcm / 32768.0
+    noise = dec[:, 0] - ref
+    snr = 10 * np.log10(np.sum(ref**2) / np.sum(noise**2))
+    assert snr > min_snr
+    # companded features stay close to the PCM ones (companding noise is
+    # broadband, so the centroid drifts up a little — wider band than PCM)
+    rms, zcr, centroid = ExtractAudioFeatures()._features(enc)
+    assert abs(centroid - 500) < 120 and abs(zcr - 2 * 500 / 8000) < 0.01
+
+
+def test_fake_media_table_cycles_audio_codecs():
+    from raylink.ops.imagecodec import decode_wav
+    from raylink.ops.multimodal import fake_media_table
+
+    media = fake_media_table(64, seed=42).to_pandas()
+    audio = media[media["kind"] == "audio"]
+    assert set(audio["format"]) == {"wav", "flac"}
+    fmts = set()
+    for _, row in audio.iterrows():
+        if row["format"] == "wav":
+            import struct as _s
+
+            tag = _s.unpack_from("<H", row["payload"], 20)[0]
+            fmts.add({1: "pcm", 7: "ulaw", 6: "alaw"}[tag])
+    assert fmts == {"pcm", "ulaw"}
