@@ -254,12 +254,127 @@ _ULAW_ENCODE = _g711_encoder(_ULAW_TABLE)
 _ALAW_ENCODE = _g711_encoder(_ALAW_TABLE)
 
 _WAV_FMT_PCM16, _WAV_FMT_ALAW, _WAV_FMT_ULAW = 1, 6, 7
+_WAV_FMT_IMA_ADPCM = 0x11
+
+# ----------------------------------------------------------------------
+# IMA/DVI ADPCM (WAV format tag 0x11): 4-bit differential coding with the
+# standard 89-entry step table and per-nibble step-index adaptation
+# (IMA "Recommended Practices for Enhancing Digital Audio Compatibility",
+# rev 3.00 — the algorithm every player implements bit-identically). The
+# encoder quantizes diff against (step, step/2, step/4) and updates its
+# predictor with the DECODER's reconstruction rule, so encode → decode is
+# deterministic and drift-free; 4:1 compression vs PCM16.
+
+_IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_TABLE = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64
+)
 
 
-def encode_wav(samples: np.ndarray, rate: int = 8000, codec: str = "pcm16") -> bytes:
-    """(n,) int16 mono → WAV. ``codec``: 'pcm16' (default), 'ulaw' or
-    'alaw' (G.711 8-bit companded, WAV format tags 7/6)."""
+def _ima_decode_nibbles(nibbles: np.ndarray, predictor: int, index: int) -> np.ndarray:
+    """Decode a (n,) uint8 nibble stream given the block-header state.
+    Sequential recurrence (each step's quantizer depends on the previous
+    reconstruction) — the per-block loop is the codec, not a shortcut."""
+    out = np.empty(len(nibbles), dtype=np.int16)
+    for i, n in enumerate(nibbles):
+        step = int(_IMA_STEP_TABLE[index])
+        diff = step >> 3
+        if n & 4:
+            diff += step
+        if n & 2:
+            diff += step >> 1
+        if n & 1:
+            diff += step >> 2
+        predictor = predictor - diff if n & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        out[i] = predictor
+        index = max(0, min(88, index + int(_IMA_INDEX_TABLE[n])))
+    return out
+
+
+def _ima_encode_block(samples: np.ndarray, index: int) -> tuple[bytes, int]:
+    """Encode one mono block: samples[0] rides the 4-byte header verbatim;
+    the rest become nibbles. Returns (block bytes, final step index)."""
+    predictor = int(samples[0])
+    header = struct.pack("<hBB", predictor, index, 0)
+    nibbles = []
+    for s in samples[1:]:
+        step = int(_IMA_STEP_TABLE[index])
+        diff = int(s) - predictor
+        nib = 0
+        if diff < 0:
+            nib = 8
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        # reconstruct with the decoder's rule so encoder state == decoder state
+        rec = step >> 3
+        if nib & 4:
+            rec += step
+        if nib & 2:
+            rec += step >> 1
+        if nib & 1:
+            rec += step >> 2
+        predictor = predictor - rec if nib & 8 else predictor + rec
+        predictor = max(-32768, min(32767, predictor))
+        nibbles.append(nib)
+        index = max(0, min(88, index + int(_IMA_INDEX_TABLE[nib])))
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    arr = np.asarray(nibbles, dtype=np.uint8)
+    packed = (arr[0::2] | (arr[1::2] << 4)).tobytes()  # low nibble first
+    return header + packed, index
+
+
+def encode_wav(
+    samples: np.ndarray,
+    rate: int = 8000,
+    codec: str = "pcm16",
+    block_align: int = 256,
+) -> bytes:
+    """(n,) int16 mono → WAV. ``codec``: 'pcm16' (default), 'ulaw' /
+    'alaw' (G.711 8-bit companded, WAV format tags 7/6), or 'adpcm'
+    (IMA ADPCM 4-bit, tag 0x11; ``block_align`` bytes per coded block)."""
     assert samples.dtype == np.int16
+    if codec == "adpcm":
+        spb = (block_align - 4) * 2 + 1  # header sample + 2 nibbles/byte
+        body = bytearray()
+        index = 0
+        for off in range(0, len(samples), spb):
+            chunk = samples[off : off + spb]
+            blk, index = _ima_encode_block(chunk, index)
+            body += blk + bytes(block_align - len(blk))
+        fmt_body = struct.pack(
+            "<HHIIHHHH",
+            _WAV_FMT_IMA_ADPCM, 1, rate,
+            rate * block_align // spb, block_align, 4, 2, spb,
+        )
+        return (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt_body) + 12 + 8 + len(body))
+            + b"WAVEfmt "
+            + struct.pack("<I", len(fmt_body))
+            + fmt_body
+            + b"fact"
+            + struct.pack("<II", 4, len(samples))
+            + b"data"
+            + struct.pack("<I", len(body))
+            + bytes(body)
+        )
     if codec == "pcm16":
         fmt, bits, body = _WAV_FMT_PCM16, 16, samples.tobytes()
     elif codec == "ulaw":
@@ -282,28 +397,58 @@ def encode_wav(samples: np.ndarray, rate: int = 8000, codec: str = "pcm16") -> b
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV → ((n, channels) float64 in [-1, 1], sample_rate). Supports
-    16-bit PCM and G.711 μ-law/A-law (format tags 1/7/6)."""
+    16-bit PCM, G.711 μ-law/A-law (format tags 1/7/6) and IMA ADPCM
+    (tag 0x11, mono)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos, rate, channels, fmt, pcm = 12, None, None, None, None
+    block_align, spb, n_samples = None, None, None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + ln]
         pos += 8 + ln + (ln & 1)
         if tag == b"fmt ":
-            fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
+            fmt, channels, rate, _, block_align, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
             if fmt == _WAV_FMT_PCM16 and bits != 16:
                 raise ValueError("only 16-bit PCM WAV supported")
             if fmt in (_WAV_FMT_ULAW, _WAV_FMT_ALAW) and bits != 8:
                 raise ValueError("G.711 WAV must be 8-bit")
-            if fmt not in (_WAV_FMT_PCM16, _WAV_FMT_ULAW, _WAV_FMT_ALAW):
+            if fmt == _WAV_FMT_IMA_ADPCM:
+                if bits != 4 or channels != 1:
+                    raise ValueError("IMA ADPCM WAV must be 4-bit mono")
+                (spb,) = struct.unpack_from("<H", body, 18)
+            elif fmt not in (_WAV_FMT_PCM16, _WAV_FMT_ULAW, _WAV_FMT_ALAW):
                 raise ValueError(f"unsupported WAV format tag {fmt}")
+        elif tag == b"fact":
+            (n_samples,) = struct.unpack_from("<I", body)
         elif tag == b"data":
             pcm = body
     if pcm is None or rate is None or fmt is None:
         raise ValueError("WAV missing fmt/data chunk")
-    if fmt == _WAV_FMT_ULAW:
+    if fmt == _WAV_FMT_IMA_ADPCM:
+        if block_align is None or spb is None:
+            raise ValueError("ADPCM WAV missing block layout")
+        chunks = []
+        for off in range(0, len(pcm) - 3, block_align):
+            blk = pcm[off : off + block_align]
+            predictor, index, _ = struct.unpack_from("<hBB", blk)
+            packed = np.frombuffer(blk[4:], dtype=np.uint8)
+            nibbles = np.empty(len(packed) * 2, dtype=np.uint8)
+            nibbles[0::2] = packed & 0x0F
+            nibbles[1::2] = packed >> 4
+            want = min(spb, (n_samples - off // block_align * spb)
+                       if n_samples is not None else spb)
+            dec = _ima_decode_nibbles(nibbles[: max(want - 1, 0)],
+                                      predictor, index)
+            chunks.append(np.concatenate(
+                [np.array([predictor], dtype=np.int16), dec]))
+        ints = np.concatenate(chunks) if chunks else np.empty(0, np.int16)
+        if n_samples is not None:
+            ints = ints[:n_samples]
+    elif fmt == _WAV_FMT_ULAW:
         ints = _ULAW_TABLE[np.frombuffer(pcm, dtype=np.uint8)]
     elif fmt == _WAV_FMT_ALAW:
         ints = _ALAW_TABLE[np.frombuffer(pcm, dtype=np.uint8)]

@@ -156,16 +156,20 @@ def fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
             freq = float(rng.integers(100, 1000))
             wave = np.sin(2 * np.pi * freq * t / 8000) * 0.5
             pcm = (wave * 32767).astype(np.int16)
-            # audio rows cycle PCM-WAV / G.711 μ-law WAV / FLAC so the
-            # decode stage exercises every native audio codec (FLAC and
-            # PCM carry identical samples; μ-law adds companding noise)
-            r = (i // 3) % 3
+            # audio rows cycle PCM-WAV / G.711 μ-law WAV / FLAC / IMA
+            # ADPCM WAV so the decode stage exercises every native audio
+            # codec (FLAC and PCM carry identical samples; μ-law adds
+            # companding noise, ADPCM differential quantization noise)
+            r = (i // 3) % 4
             if r == 2:
                 fmt = "flac"
                 payload = encode_flac(pcm, rate=8000)
             elif r == 1:
                 fmt = "wav"
                 payload = encode_wav(pcm, codec="ulaw")
+            elif r == 3:
+                fmt = "wav"
+                payload = encode_wav(pcm, codec="adpcm")
             else:
                 fmt = "wav"
                 payload = encode_wav(pcm)

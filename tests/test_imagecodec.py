@@ -494,5 +494,42 @@ def test_fake_media_table_cycles_audio_codecs():
             import struct as _s
 
             tag = _s.unpack_from("<H", row["payload"], 20)[0]
-            fmts.add({1: "pcm", 7: "ulaw", 6: "alaw"}[tag])
-    assert fmts == {"pcm", "ulaw"}
+            fmts.add({1: "pcm", 7: "ulaw", 6: "alaw", 0x11: "adpcm"}[tag])
+    assert fmts == {"pcm", "ulaw", "adpcm"}
+
+
+def test_ima_adpcm_roundtrip():
+    from raylink.ops.imagecodec import decode_wav, encode_wav
+
+    t = np.arange(9000)  # not a multiple of samples-per-block (505)
+    pcm = (np.sin(2 * np.pi * 440 * t / 8000) * 12000).astype(np.int16)
+    enc = encode_wav(pcm, rate=8000, codec="adpcm")
+    # ~4:1 vs PCM16 (4 bits/sample + 4-byte header per 505-sample block,
+    # final block zero-padded to block_align)
+    assert len(enc) < len(pcm) * 2 * 0.27
+    dec, rate = decode_wav(enc)
+    assert rate == 8000 and dec.shape == (9000, 1)
+    ref = pcm / 32768.0
+    noise = dec[:, 0] - ref
+    snr = 10 * np.log10(np.sum(ref**2) / np.sum(noise**2))
+    assert snr > 22.0
+    # each block header carries its first sample verbatim
+    assert dec[0, 0] == pcm[0] / 32768.0 and dec[505, 0] == pcm[505] / 32768.0
+    # deterministic, and second generation is lossless (decoder states align)
+    assert enc == encode_wav(pcm, rate=8000, codec="adpcm")
+    g2 = (dec[:, 0] * 32768).astype(np.int16)
+    enc2 = encode_wav(g2, rate=8000, codec="adpcm")
+    dec2, _ = decode_wav(enc2)
+    assert np.array_equal((dec2[:, 0] * 32768).astype(np.int16), g2)
+
+
+def test_ima_adpcm_nibble_semantics():
+    # hand-decoded reference: predictor 0, index 0 (step 7), nibbles
+    # [1, 8, 15]:
+    #   n=1  → diff = 7>>3 + 7>>2 = 0+1 = 1,  pred 1,  index 0-1→0
+    #   n=8  → diff = 0 (sign only),          pred 1,  index 0
+    #   n=15 → diff = 0+7+3+1 = 11, sign → pred -10, index +8 → 8
+    from raylink.ops.imagecodec import _ima_decode_nibbles
+
+    out = _ima_decode_nibbles(np.array([1, 8, 15], dtype=np.uint8), 0, 0)
+    assert out.tolist() == [1, 1, -10]
