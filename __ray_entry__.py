@@ -2900,15 +2900,17 @@ def _q_multimodal_decode(sf_dir: str):
 
 def _q_video_frames(sf_dir: str):
     # REAL video decode: Y4M payloads (uncompressed YUV4MPEG2, pure-stdlib
-    # parse) are frame-sampled every 500ms and each sampled row carries
-    # actual pixel work (the frame's mean luma). The analytic luma values
-    # are pinned in tests/test_imagecodec.py; binary decode is not
+    # parse) AND compressed MJPEG AVI payloads (RIFF demux + per-frame
+    # baseline-JPEG decode, raylink/ops/imagecodec.py decode_avi_mjpeg)
+    # are frame-sampled every 500ms and each sampled row carries actual
+    # pixel work (the frame's mean luma). The analytic luma values are
+    # pinned in tests/test_imagecodec.py; binary decode is not
     # SQL-expressible → rows-only gate.
     from raylink.ops.multimodal import fake_media_table, sample_frames
 
     rd = _rd()
     media = rd.from_arrow(fake_media_table(64, seed=42))
-    videos = media.filter(expr="kind == 'video' and format == 'y4m'")
+    videos = media.filter(expr="kind == 'video' and format != 'mp4'")
     df = sample_frames(videos, every_ms=500, fake=False).to_pandas()
     return df.sort_values(["media_id", "frame_ms"]).reset_index(drop=True)
 

@@ -539,6 +539,83 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, int, int]:
 
 
 # --------------------------------------------------------------------------
+# AVI / MJPEG (RIFF 'AVI ' container, 'MJPG' video stream) — every frame is
+# an independent baseline JFIF JPEG, so the container work is pure RIFF
+# chunk plumbing (hdrl: avih + strl(strh/strf), movi: 00dc chunks, idx1)
+# and the pixel work reuses encode_jpeg/decode_jpeg above. This is REAL
+# compressed video — inter-frame-free, but a format actual capture
+# hardware and OpenCV emit — closing the "compressed video containers are
+# fake-only" boundary for one genuine codec.
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def encode_avi_mjpeg(
+    frames: np.ndarray, fps: int = 25, quality: int = 90
+) -> bytes:
+    """(n, h, w) luma or (n, h, w, 3) RGB uint8 → MJPEG AVI bytes."""
+    n, h, w = frames.shape[:3]
+    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+    max_sz = max((len(j) for j in jpegs), default=0)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, max_sz * fps, 0, 0x10,  # AVIF_HASINDEX
+        n, 0, 1, max_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, n, max_sz, 0, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    strl = _riff_chunk(
+        b"LIST", b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    )
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+    movi_body = bytearray(b"movi")
+    idx = bytearray()
+    for j in jpegs:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx += b"00dc" + struct.pack("<III", 0x10, len(movi_body), len(j))
+        movi_body += _riff_chunk(b"00dc", j)
+    movi = _riff_chunk(b"LIST", bytes(movi_body))
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[list[np.ndarray], int, int]:
+    """MJPEG AVI → (frames, fps_num, fps_den). Frames are whatever
+    decode_jpeg yields per stored image ((h, w) luma or (h, w, 3) RGB)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    rate, scale = None, None
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal rate, scale
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", buf, pos + 4)
+            body = buf[pos + 8 : pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)
+            if tag == b"LIST":
+                walk(body[4:])
+            elif tag == b"strh" and body[:4] == b"vids":
+                scale, rate = struct.unpack_from("<II", body, 20)
+            elif tag[2:] in (b"dc", b"db") and body[:3] == b"\xff\xd8\xff":
+                frames.append(decode_jpeg(body))
+
+    walk(data[12:])
+    if rate is None or scale is None or scale == 0:
+        raise ValueError("AVI missing a vids stream header")
+    return frames, rate, scale
+
+
+# --------------------------------------------------------------------------
 # JPEG (baseline DCT, ITU-T T.81 / JFIF)
 #
 # Decoder: general baseline — SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS parsing,
@@ -1687,6 +1764,8 @@ def sniff_format(data: bytes) -> str | None:
         return "wav"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     if data[:4] == b"fLaC":
         return "flac"
     if data.startswith(b"YUV4MPEG2 "):

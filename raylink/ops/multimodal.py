@@ -94,10 +94,11 @@ def fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
     4:4:4, 4:2:0, restart-marker and PROGRESSIVE (SOF2) variants, the WebP
     rows cycle transform stacks — all decoded for
     real), audio payloads are real PCM WAV,
-    and two of every three video payloads are real uncompressed Y4M — so
-    the decode kernels run for real; the remaining video rows stay opaque
-    'mp4' bytes (no stdlib codec for compressed video containers), keeping
-    the fake/stub path exercised."""
+    and video payloads cycle real uncompressed Y4M / real COMPRESSED
+    MJPEG AVI (per-frame baseline JPEG) / opaque 'mp4' bytes — so the
+    decode kernels run for real while the fake/stub path stays exercised
+    on the one container class (inter-frame codecs) the sandbox cannot
+    decode."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     img_fmts = ["png", "bmp", "ppm", "jpeg", "gif", "webp"]
@@ -180,11 +181,19 @@ def fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
             payload = rng.bytes(int(rng.integers(256, 2048)))
             w, h = 64, 48
         else:
-            fmt = "y4m"
+            # alternate uncompressed Y4M and REAL compressed MJPEG AVI
             w, h = 32, 24
             fps = 8
             nfr = int(rng.integers(4, 12))
-            payload = encode_y4m(_test_video(rng, w, h, nfr), fps, 1)
+            vid = _test_video(rng, w, h, nfr)
+            if (i // 3) % 3 == 1:
+                from raylink.ops.imagecodec import encode_avi_mjpeg
+
+                fmt = "avi"
+                payload = encode_avi_mjpeg(vid, fps, quality=90)
+            else:
+                fmt = "y4m"
+                payload = encode_y4m(vid, fps, 1)
             dur = nfr * 1000 // fps
         rows["format"].append(fmt)
         rows["width"].append(w)
@@ -344,21 +353,34 @@ class FrameSample:
         self.fake = fake
 
     def _rows(self, mid: int, dur: int, payload: bytes):
-        if sniff_format(payload) == "y4m":
-            frames, num, den = decode_y4m(payload)
+        fmt = sniff_format(payload)
+        if fmt in ("y4m", "avi"):
+            if fmt == "y4m":
+                frames, num, den = decode_y4m(payload)
+                means = frames.mean(axis=(1, 2)) if len(frames) else frames
+            else:
+                from raylink.ops.imagecodec import decode_avi_mjpeg
+
+                flist, num, den = decode_avi_mjpeg(payload)
+                frames = flist
+                # Rec.601 luma for RGB MJPEG frames; luma frames pass through
+                means = np.array([
+                    float((f @ [0.299, 0.587, 0.114]).mean())
+                    if f.ndim == 3 else float(f.mean())
+                    for f in flist
+                ])
             if len(frames) == 0:
                 return
             total_ms = len(frames) * 1000 * den // num
-            means = frames.mean(axis=(1, 2))
             for t in range(0, max(total_ms, 1), self.every_ms):
                 idx = min(len(frames) - 1, t * num // (1000 * den))
                 yield mid, t, idx, int(round(float(means[idx]) * 1000))
             return
         if not self.fake:
             raise NotImplementedError(
-                "compressed video containers require codecs not present in "
-                "this sandbox (Y4M decodes natively; construct with "
-                "fake=True to stub mp4/webm)"
+                "compressed video containers other than MJPEG AVI require "
+                "codecs not present in this sandbox (Y4M and MJPEG AVI "
+                "decode natively; construct with fake=True to stub mp4/webm)"
             )
         for t in range(0, dur, self.every_ms):
             dig = hashlib.blake2b(

@@ -298,6 +298,47 @@ def test_frame_sample_real_y4m_luma(ray_session):
     assert (stub["frame_idx"] == -1).all() and len(stub) > 0
 
 
+def test_avi_mjpeg_roundtrip():
+    from raylink.ops.imagecodec import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        sniff_format,
+    )
+    from raylink.ops.multimodal import _test_video
+
+    rng = np.random.default_rng(7)
+    frames = _test_video(rng, 32, 24, 6)
+    data = encode_avi_mjpeg(frames, fps=8, quality=90)
+    assert sniff_format(data) == "avi"
+    assert data == encode_avi_mjpeg(frames, fps=8, quality=90)  # deterministic
+    got, num, den = decode_avi_mjpeg(data)
+    assert (num, den) == (8, 1) and len(got) == 6
+    for g, f in zip(got, frames):
+        assert g.shape == (24, 32)
+        assert np.abs(g.astype(int) - f.astype(int)).max() <= 3  # JPEG q90
+    # RGB frames round-trip through the 3-component JPEG path
+    rgb = np.stack([np.stack([f, f // 2, 255 - f], axis=2) for f in frames])
+    got3, num3, _ = decode_avi_mjpeg(encode_avi_mjpeg(rgb, fps=25))
+    assert num3 == 25 and got3[0].shape == (24, 32, 3)
+    assert np.abs(got3[2].astype(int) - rgb[2].astype(int)).max() <= 24
+
+
+def test_frame_sample_real_avi_luma(ray_session):
+    from raylink.ops.multimodal import sample_frames
+
+    media = rd.from_arrow(fake_media_table(18, seed=3))
+    videos = media.filter(expr="kind == 'video' and format == 'avi'")
+    frames = sample_frames(videos, every_ms=250, fake=False).to_pandas()
+    assert len(frames) > 0
+    assert (frames["frame_idx"] >= 0).all()
+    # decoded MJPEG luma tracks the generator within JPEG quantization error
+    x = np.linspace(0, 200, 32)
+    for _, row in frames.head(8).iterrows():
+        f = int(row["frame_idx"])
+        expect = float(np.mean((x + 5.0 * f) % 256))
+        assert abs(row["mean_luma_e3"] / 1000 - expect) < 1.5
+
+
 def test_jpeg_roundtrip_property():
     """Property check: any smooth-ish small image round-trips within the
     quantization error budget at q=90, for both sampling modes and
