@@ -3339,6 +3339,101 @@ def _q_pareto_front(sf_dir: str):
     return front.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def _q_explode_vectors(sf_dir: str):
+    # List-column UNNEST WITH ORDINALITY (raylink/ops/relational.py
+    # explode_list): pure Arrow list_flatten + list_parent_indices map —
+    # no shuffle, values pass through untouched so the float32 embedding
+    # components compare bit-exactly against DuckDB's UNNEST.
+    from raylink.ops.relational import explode_list
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = explode_list(emb, "vec_id", "embedding").to_pandas()
+    return out.sort_values(["vec_id", "pos"]).reset_index(drop=True)
+
+
+def _q_grouping_sets(sf_dir: str):
+    # GROUP BY GROUPING SETS (raylink/ops/relational.py
+    # grouping_sets_agg): arbitrary-subset generalization of the rollup /
+    # cube gates — the input aggregates once at (status, priority) grain,
+    # the (priority) and () strata re-aggregate that result-cardinality
+    # table. g_mask matches DuckDB GROUPING(status)*2+GROUPING(priority).
+    from raylink.ops.relational import grouping_sets_agg
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "cents": cents,
+            }
+        )
+
+    pre = orders.map_batches(_cents, batch_format="pyarrow")
+    out = grouping_sets_agg(
+        pre,
+        ["o_orderstatus", "o_orderpriority"],
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+        {"cents": "sum_cents"},
+        final_partitions=2,
+    ).to_pandas()
+    return out.sort_values(
+        ["g_mask", "o_orderstatus", "o_orderpriority"]
+    ).reset_index(drop=True)
+
+
+def _q_pmi_topk(sf_dir: str):
+    # Bigram collocations by PMI (raylink/ops/text.py pmi_topk): adjacent
+    # lowered \w+ tokens, counts are exact int64, and the PMI ORDER is the
+    # order of one double division c_xy/(c_x*c_y) — IEEE-identical on both
+    # sides — with (w1, w2) tie-breaks, so the top-50 SET is bit-exact.
+    from raylink.ops.text import pmi_topk
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    out = pmi_topk(docs, k=50, min_count=3, final_partitions=4).to_pandas()
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+def _q_bfs_distances(sf_dir: str):
+    # Single-source BFS hop distances (raylink/ops/graph.py
+    # bfs_distances) over the symmetrized gate graph (the
+    # triangles/pagerank band edges): level-synchronous frontier
+    # expansion, two frontier-scale exchanges per round, replayed by a
+    # bounded recursive CTE with MIN(dist) per node.
+    import pyarrow as _pa
+
+    from raylink.ops.graph import bfs_distances
+
+    und = _doc_band_edges(sf_dir)
+
+    def _sym(t: _pa.Table) -> _pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return _pa.table(
+            {
+                "src": _pa.array(np.concatenate([a, b])),
+                "dst": _pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    d = bfs_distances(
+        und.map_batches(_sym, batch_format="pyarrow"),
+        source=0,
+        max_hops=8,
+        # gate graph is tiny; 8 range partitions per exchange keeps the
+        # per-round overhead proportionate (default 2x CPUs at scale)
+        num_partitions=8,
+    )
+    return d.to_pandas().sort_values("node").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked (operator inventory: aggregation, maps, joins, sorts)
@@ -3466,6 +3561,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_agg": _q_cube_agg,
         "pr_curve": _q_pr_curve,
         "pareto_front": _q_pareto_front,
+        "explode_vectors": _q_explode_vectors,
+        "grouping_sets": _q_grouping_sets,
+        "pmi_topk": _q_pmi_topk,
+        "bfs_distances": _q_bfs_distances,
     }
 
 
@@ -5673,5 +5772,76 @@ def oracle_sql() -> dict[str, str]:
                   AND (b.ts_us > a.ts_us OR b.value_e6 > a.value_e6)
             )
             ORDER BY event_id
+        """,
+        "explode_vectors": """
+            SELECT vec_id,
+                   (generate_subscripts(embedding, 1) - 1)::BIGINT AS pos,
+                   UNNEST(embedding) AS val
+            FROM embeddings
+            ORDER BY vec_id, pos
+        """,
+        "grouping_sets": """
+            SELECT (GROUPING(o_orderstatus) * 2
+                      + GROUPING(o_orderpriority))::BIGINT AS g_mask,
+                   o_orderstatus, o_orderpriority,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT
+                       AS sum_cents,
+                   COUNT(*)::BIGINT AS n
+            FROM orders
+            GROUP BY GROUPING SETS (
+                (o_orderstatus, o_orderpriority), (o_orderpriority), ()
+            )
+            ORDER BY g_mask, o_orderstatus, o_orderpriority
+        """,
+        "pmi_topk": """
+            WITH toks AS (
+                SELECT list_transform(
+                           regexp_extract_all(text, '[0-9A-Za-z_]+'),
+                           t -> lower(t)) AS ts
+                FROM documents
+            ),
+            big AS (
+                SELECT ts[g] AS w1, ts[g + 1] AS w2
+                FROM toks, UNNEST(range(1, len(ts))) u(g)
+            ),
+            bc AS (
+                SELECT w1, w2, COUNT(*)::BIGINT AS c_xy
+                FROM big GROUP BY w1, w2 HAVING COUNT(*) >= 3
+            ),
+            uc AS (
+                SELECT w, COUNT(*)::BIGINT AS c
+                FROM (SELECT UNNEST(ts) AS w FROM toks) GROUP BY w
+            )
+            SELECT w1, w2, c_xy, c_x, c_y FROM (
+                SELECT bc.w1, bc.w2, bc.c_xy,
+                       ux.c AS c_x, uy.c AS c_y
+                FROM bc
+                JOIN uc ux ON ux.w = bc.w1
+                JOIN uc uy ON uy.w = bc.w2
+                ORDER BY bc.c_xy::DOUBLE / (ux.c::DOUBLE * uy.c::DOUBLE)
+                             DESC,
+                         bc.w1, bc.w2
+                LIMIT 50
+            )
+            ORDER BY w1, w2
+        """,
+        "bfs_distances": """
+            WITH RECURSIVE und AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM documents a JOIN documents b
+                  ON a.source = b.source
+                 AND b.doc_id > a.doc_id
+                 AND b.doc_id - a.doc_id <= 60
+            ),
+            e AS (SELECT a AS src, b AS dst FROM und
+                  UNION ALL SELECT b AS src, a AS dst FROM und),
+            r AS (
+                SELECT 0::BIGINT AS node, 0::BIGINT AS dist
+                UNION
+                SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.node
+                WHERE r.dist < 8
+            )
+            SELECT node, MIN(dist)::BIGINT AS dist
+            FROM r GROUP BY node ORDER BY node
         """,
     }

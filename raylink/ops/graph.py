@@ -470,3 +470,121 @@ def k_core(
         .aggregate(Count(alias_name="_c"))
         .select_columns(["node"])
     )
+
+
+def bfs_distances(
+    edges: ray.data.Dataset,
+    source: int,
+    max_hops: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Single-source BFS hop distances over a DIRECTED edge table:
+    ``(node, dist)`` for every node reachable from ``source`` within
+    ``max_hops`` edges. SQL-replayable with a bounded recursive CTE
+    (UNION-dedup on (node, dist) states + MIN(dist) per node).
+
+    Scale shape: level-synchronous frontier expansion — each round is
+    exactly TWO exchanges, both frontier-scale, never visited-set-scale:
+    one :func:`raylink.util.shuffle_merge` of the current frontier onto
+    the hash-partitioned edge table (per-partition pandas join, candidate
+    dsts deduped inside the merge kernel) and one
+    :func:`raylink.ops.relational.anti_join` of the candidates against
+    the visited table (unit edge weights: a node's distance is final the
+    first round it appears, so no min-merge is ever needed). The edge
+    table is materialized once and re-partitioned per round by frontier
+    hash only. The driver holds one scalar per round (the fixpoint
+    test); rounds are bounded by min(graph diameter, ``max_hops``).
+    """
+    from raylink.util import shuffle_merge, skip_empty
+
+    epair = edges.map_batches(
+        skip_empty(
+            lambda t: pa.table(
+                {
+                    "src": t.column(src_col).cast(pa.int64()),
+                    "dst": t.column(dst_col).cast(pa.int64()),
+                }
+            )
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    nd_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+    dist = ray.data.from_arrow(
+        pa.table({"node": pa.array([source], pa.int64()),
+                  "dist": pa.array([0], pa.int64())})
+    )
+    frontier = dist
+
+    def _expand(ldf, rdf):
+        import pandas as _pd
+
+        if len(ldf) == 0 or len(rdf) == 0:
+            return _pd.DataFrame(
+                {"node": _pd.Series([], dtype=np.int64),
+                 "dist": _pd.Series([], dtype=np.int64)}
+            )
+        m = ldf.merge(rdf, left_on="src", right_on="node", how="inner")
+        out = _pd.DataFrame(
+            {"node": m["dst"].astype(np.int64), "dist": m["dist"] + 1}
+        )
+        # all candidates this round share one dist level: plain dedup
+        return out.drop_duplicates(subset=["node"])
+
+    node_schema = pa.schema([("node", pa.int64())])
+
+    def _dedup_anti(cdf, ddf):
+        import pandas as _pd
+
+        nodes = cdf["node"].drop_duplicates()
+        if len(ddf):
+            nodes = nodes[~nodes.isin(ddf["node"])]
+        return _pd.DataFrame({"node": nodes.astype(np.int64)})
+
+    for level in range(1, max_hops + 1):
+        cand = shuffle_merge(
+            epair,
+            frontier,
+            ["src"],
+            ["node"],
+            _expand,
+            nd_schema,
+            num_partitions=num_partitions,
+            left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+            right_schema=nd_schema,
+        )
+        # one candidate-scale exchange folds BOTH the cross-partition dedup
+        # (same dst reached from several source partitions) and the
+        # visited-set anti-join — typed schemas throughout, so empty rounds
+        # cannot emit schema-less blocks
+        new_nodes = shuffle_merge(
+            cand,
+            dist.select_columns(["node"]),
+            ["node"],
+            ["node"],
+            _dedup_anti,
+            node_schema,
+            num_partitions=num_partitions,
+            left_schema=nd_schema,
+            right_schema=node_schema,
+        ).materialize()
+        if new_nodes.count() == 0:
+            break
+        # the dedup-anti exchange dropped dist; every survivor is at this level
+        frontier = new_nodes.map_batches(
+            skip_empty(
+                lambda t, _d=level: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "dist": pa.array(
+                            np.full(t.num_rows, _d, dtype=np.int64)
+                        ),
+                    }
+                )
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        dist = dist.union(frontier).materialize()
+    return dist

@@ -1072,6 +1072,132 @@ def melt(
     )
 
 
+def explode_list(
+    ds: ray.data.Dataset,
+    id_col: str,
+    list_col: str,
+    pos_col: str = "pos",
+    value_col: str = "val",
+) -> ray.data.Dataset:
+    """List-column UNNEST WITH ORDINALITY: one output row per list
+    element, carrying the parent's ``id_col``, the element's 0-based
+    position and its value — the long form that feeds per-dimension
+    aggregates over embedding columns (`ops/kmeans.py` builds the same
+    shape inline; this is the standalone operator).
+
+    Pure stateless Arrow-kernel map — ``list_flatten`` +
+    ``list_parent_indices`` + an offset subtraction — so a 100-TB
+    embedding table explodes at memcpy speed with no Python per-row work
+    and no shuffle. Values pass through untouched (zero arithmetic), so
+    float columns stay bit-identical to the input."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        lc = batch.column(list_col)
+        if isinstance(lc, pa.ChunkedArray):
+            lc = lc.combine_chunks()
+        flat = pc.list_flatten(lc)
+        parents = pc.list_parent_indices(lc).to_numpy(zero_copy_only=False)
+        # element index within its own list = global flat index minus the
+        # parent list's start offset
+        offsets = np.asarray(lc.offsets)
+        pos = np.arange(len(flat), dtype=np.int64) - offsets[parents].astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(pa.array(parents)),
+                pos_col: pa.array(pos),
+                value_col: flat,
+            }
+        )
+
+    return ds.select_columns([id_col, list_col]).map_batches(
+        _explode, batch_format="pyarrow"
+    )
+
+
+def grouping_sets_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sets: list[list[str]],
+    sum_cols: dict[str, str],
+    final_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """GROUP BY GROUPING SETS — the arbitrary-subset generalization of
+    :func:`rollup_agg` (prefix chain) and :func:`cube_agg` (full
+    lattice): one result stratum per requested subset of ``keys``, with
+    rolled-up key columns NULL and ``g_mask`` the DuckDB
+    ``GROUPING(k0)*2^(k-1) + ...`` bitmask.
+
+    Same scale shape as cube_agg: the INPUT aggregates exactly once at
+    the finest requested grain (``preagg_sum_count`` — per-batch partials,
+    one groupby), and every requested set re-aggregates that
+    result-cardinality table; with s sets that is s-1 tiny exchanges over
+    |distinct(keys)|-sized tables, never a second data pass. Sums must
+    be integer micro-units per the repo convention."""
+    sets_t = [tuple(s) for s in sets]
+    if len(set(sets_t)) != len(sets_t):
+        raise ValueError("duplicate grouping sets")
+    for s in sets_t:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} not a subset of keys")
+    out_sums = list(sum_cols.values())
+    finest = preagg_sum_count(ds, keys, sum_cols, final_partitions)
+    from ray.data.aggregate import Sum
+
+    from raylink.util import pa_type
+
+    fschema = finest.schema()
+    ktypes = {
+        k: pa_type(t) for k, t in zip(fschema.names, fschema.types) if k in keys
+    }
+
+    def _pad(mask: int):
+        def _f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {"g_mask": pa.array(np.full(n, mask, dtype=np.int64))}
+            for i, k in enumerate(keys):
+                rolled = mask & (1 << (len(keys) - 1 - i))
+                cols[k] = pa.nulls(n, type=ktypes[k]) if rolled else t.column(k)
+            for c in out_sums:
+                cols[c] = t.column(c)
+            cols["n"] = t.column("n")
+            return pa.table(cols)
+
+        return _f
+
+    aggs = [Sum(c, alias_name=c) for c in out_sums] + [Sum("n", alias_name="n")]
+    levels = []
+    for s in sets_t:
+        mask = 0
+        for i, k in enumerate(keys):
+            if k not in s:
+                mask |= 1 << (len(keys) - 1 - i)
+        if mask == 0:
+            levels.append(finest.map_batches(_pad(0), batch_format="pyarrow"))
+        elif s:
+            cur = finest.repartition(1).groupby(list(s)).aggregate(*aggs)
+            levels.append(cur.map_batches(_pad(mask), batch_format="pyarrow"))
+        else:
+            cur = (
+                finest.map_batches(
+                    lambda t: t.append_column(
+                        "_one", pa.array(np.zeros(len(t), dtype=np.int64))
+                    ),
+                    batch_format="pyarrow",
+                )
+                .repartition(1)
+                .groupby("_one")
+                .aggregate(*aggs)
+                .drop_columns(["_one"])
+            )
+            levels.append(cur.map_batches(_pad(mask), batch_format="pyarrow"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
 def cube_agg(
     ds: ray.data.Dataset,
     keys: list[str],

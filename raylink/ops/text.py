@@ -676,6 +676,133 @@ def grouped_vocab_topk(
     return ranked.map_batches(skip_empty(_keep), batch_format="pyarrow")
 
 
+def pmi_topk(
+    ds: "ray.data.Dataset",
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    final_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Top-k bigram collocations by pointwise mutual information —
+    PMI(x,y) = log(P(x,y)/(P(x)P(y))) over adjacent lowered ``\\w+``
+    tokens (the vocab_topk token rule, so the DuckDB oracle replays the
+    stream with ``regexp_extract_all`` + list indexing). Since corpus
+    totals are constant across bigrams, PMI ORDER is the order of
+    c_xy / (c_x · c_y); that ratio is computed as ONE double division of
+    exact int64 counts — bit-identical on both sides — and ties break
+    (w1, w2) ascending, a total order. Output rows carry only exact
+    integers (c_xy, c_x, c_y).
+
+    Scale shape: map-side tokenize + per-batch bigram/unigram partial
+    counts (Arrow split kernel, numpy adjacency — no per-row Python), one
+    groupby-sum each, ``min_count`` pruning BEFORE the two
+    :func:`raylink.util.shuffle_merge` exchanges that attach unigram
+    counts, then the local-topk-then-sort funnel (any global top-k row is
+    in its block's local top-k). Nothing corpus-scale reaches the driver.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from raylink.util import shuffle_merge, skip_empty
+
+    def _tok_lists(batch: pa.Table):
+        splits = pc.split_pattern_regex(_col(batch, text_col), pattern=_NONWORD_PAT)
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        flat = pc.utf8_lower(pc.list_flatten(splits))
+        parents = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+        return flat, parents
+
+    def _partial_bigrams(batch: pa.Table) -> pa.Table:
+        flat, parents = _tok_lists(batch)
+        toks = flat.to_numpy(zero_copy_only=False)
+        if len(toks) < 2:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "c_xy": pa.array([], pa.int64())}
+            )
+        # adjacent within the same document; the split kernel only emits
+        # empty tokens at document edges, so dropping pairs touching ""
+        # reproduces regexp_extract_all adjacency exactly
+        m = (parents[1:] == parents[:-1]) & (toks[1:] != "") & (toks[:-1] != "")
+        df = pd.DataFrame({"w1": toks[:-1][m], "w2": toks[1:][m]})
+        g = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="c_xy")
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    def _partial_unigrams(batch: pa.Table) -> pa.Table:
+        flat, _ = _tok_lists(batch)
+        vc = pc.value_counts(flat)
+        tbl = pa.table({"w": vc.field("values"), "c": _i64(vc.field("counts"))})
+        return tbl.filter(pc.not_equal(tbl.column("w"), pa.scalar("")))
+
+    bi = ds.map_batches(_partial_bigrams, batch_format="pyarrow")
+    uni = ds.map_batches(_partial_unigrams, batch_format="pyarrow")
+    if final_partitions is not None:
+        bi = bi.repartition(final_partitions)
+        uni = uni.repartition(final_partitions)
+    bi = bi.groupby(["w1", "w2"]).aggregate(Sum("c_xy", alias_name="c_xy"))
+    uni = uni.groupby("w").aggregate(Sum("c", alias_name="c"))
+    bi = bi.filter(expr=f"c_xy >= {int(min_count)}")
+
+    uni_schema = pa.schema([("w", pa.string()), ("c", pa.int64())])
+
+    def _mk_attach(side: str):
+        out_col = {"w1": "c_x", "w2": "c_y"}[side]
+
+        def _attach(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+            if len(ldf) == 0:
+                return ldf.assign(**{out_col: pd.Series([], dtype=np.int64)})
+            m = ldf.merge(
+                rdf.rename(columns={"w": side, "c": out_col}), on=side, how="inner"
+            )
+            m[out_col] = m[out_col].astype(np.int64)
+            return m
+
+        return _attach
+
+    s1 = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("c_xy", pa.int64()),
+         ("c_x", pa.int64())]
+    )
+    s2 = pa.schema(list(s1) + [pa.field("c_y", pa.int64())])
+    joined = shuffle_merge(
+        bi, uni, ["w1"], ["w"], _mk_attach("w1"), s1,
+        left_schema=pa.schema(
+            [("w1", pa.string()), ("w2", pa.string()), ("c_xy", pa.int64())]
+        ),
+        right_schema=uni_schema,
+        num_partitions=final_partitions,
+    )
+    joined = shuffle_merge(
+        joined, uni, ["w2"], ["w"], _mk_attach("w2"), s2,
+        left_schema=s1, right_schema=uni_schema,
+        num_partitions=final_partitions,
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        cxy = t.column("c_xy").to_numpy(zero_copy_only=False).astype(np.float64)
+        cx = t.column("c_x").to_numpy(zero_copy_only=False).astype(np.float64)
+        cy = t.column("c_y").to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("_score", pa.array(cxy / (cx * cy)))
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        if len(t) <= k:
+            return t
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["_score", "w1", "w2"], ascending=[False, True, True]
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        joined.map_batches(skip_empty(_score), batch_format="pyarrow")
+        .map_batches(skip_empty(_local_topk), batch_format="pyarrow")
+        .sort(["_score", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+        .drop_columns(["_score"])
+    )
+
+
 def normalize_text(
     ds: "ray.data.Dataset",
     text_col: str = "text",

@@ -2101,3 +2101,124 @@ def test_pr_curve_hand_values():
     # threshold at/below every score predicts everything
     all_in = pr_curve(ds, "s", "y", [10])
     assert all_in["n_pred"].tolist() == [4] and all_in["tp"].tolist() == [2]
+
+
+def test_explode_list_positions_and_values():
+    from raylink.ops.relational import explode_list
+
+    t = pa.table({"id": [1, 2, 3], "v": [[1.5, 2.5], [], [7.0]]})
+    out = explode_list(rd.from_arrow(t), "id", "v").to_pandas()
+    out = out.sort_values(["id", "pos"]).reset_index(drop=True)
+    assert out["id"].tolist() == [1, 1, 3]
+    assert out["pos"].tolist() == [0, 1, 0]  # 0-based, empty list drops out
+    assert out["val"].tolist() == [1.5, 2.5, 7.0]
+
+
+def test_grouping_sets_matches_duckdb():
+    import duckdb
+
+    from raylink.ops.relational import grouping_sets_agg
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 200),
+            "b": rng.choice(["p", "q"], 200),
+            "m": rng.integers(0, 1000, 200),
+        }
+    )
+    out = grouping_sets_agg(
+        rd.from_pandas(df).repartition(3),
+        ["a", "b"],
+        [["a", "b"], ["b"], []],
+        {"m": "sm"},
+        final_partitions=1,
+    ).to_pandas()
+    out = out.sort_values(["g_mask", "a", "b"]).reset_index(drop=True)
+    ref = duckdb.sql(
+        """
+        SELECT (GROUPING(a)*2 + GROUPING(b))::BIGINT AS g_mask, a, b,
+               SUM(m)::BIGINT AS sm, COUNT(*)::BIGINT AS n
+        FROM df GROUP BY GROUPING SETS ((a, b), (b), ())
+        ORDER BY g_mask, a, b
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        out[["g_mask", "a", "b", "sm", "n"]], ref, check_dtype=False
+    )
+    with pytest.raises(ValueError):
+        grouping_sets_agg(
+            rd.from_pandas(df), ["a"], [["a"], ["a"]], {"m": "sm"}
+        )
+    with pytest.raises(ValueError):
+        grouping_sets_agg(
+            rd.from_pandas(df), ["a"], [["b"]], {"m": "sm"}
+        )
+
+
+def test_pmi_topk_matches_duckdb():
+    import duckdb
+
+    from raylink.ops.text import pmi_topk
+
+    docs = pd.DataFrame(
+        {
+            "text": [
+                "the quick brown fox the quick fox",
+                "brown fox jumps, the quick brown fox!",
+                "a b a b a b a b c",
+                "New York New York new york times",
+            ]
+        }
+    )
+    out = pmi_topk(
+        rd.from_pandas(docs).repartition(2), k=5, min_count=2,
+        final_partitions=2,
+    ).to_pandas()
+    ref = duckdb.sql(
+        """
+        WITH toks AS (
+          SELECT list_transform(regexp_extract_all(text, '[0-9A-Za-z_]+'),
+                                t -> lower(t)) AS ts FROM docs
+        ), big AS (
+          SELECT ts[g] AS w1, ts[g+1] AS w2
+          FROM toks, UNNEST(range(1, len(ts))) u(g)
+        ), bc AS (
+          SELECT w1, w2, COUNT(*)::BIGINT AS c_xy FROM big
+          GROUP BY w1, w2 HAVING COUNT(*) >= 2
+        ), uc AS (
+          SELECT w, COUNT(*)::BIGINT AS c
+          FROM (SELECT UNNEST(ts) AS w FROM toks) GROUP BY w
+        )
+        SELECT bc.w1, bc.w2, bc.c_xy, ux.c AS c_x, uy.c AS c_y
+        FROM bc JOIN uc ux ON ux.w = bc.w1 JOIN uc uy ON uy.w = bc.w2
+        ORDER BY bc.c_xy::DOUBLE / (ux.c::DOUBLE * uy.c::DOUBLE) DESC,
+                 bc.w1, bc.w2
+        LIMIT 5
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), ref, check_dtype=False
+    )
+
+
+def test_bfs_distances_hand_graph():
+    from raylink.ops.graph import bfs_distances
+
+    # 0->1->2->3->4 with shortcut 0->2; detached 10->11
+    e = pa.table(
+        {"src": [0, 1, 2, 3, 0, 10], "dst": [1, 2, 3, 4, 2, 11]}
+    )
+    out = (
+        bfs_distances(rd.from_arrow(e), source=0, max_hops=8, num_partitions=4)
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert out.values.tolist() == [[0, 0], [1, 1], [2, 1], [3, 2], [4, 3]]
+    # max_hops caps the expansion
+    capped = (
+        bfs_distances(rd.from_arrow(e), source=0, max_hops=1, num_partitions=4)
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert capped.values.tolist() == [[0, 0], [1, 1], [2, 1]]
