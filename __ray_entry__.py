@@ -3427,9 +3427,12 @@ def _q_bfs_distances(sf_dir: str):
         und.map_batches(_sym, batch_format="pyarrow"),
         source=0,
         max_hops=8,
-        # gate graph is tiny; 8 range partitions per exchange keeps the
-        # per-round overhead proportionate (default 2x CPUs at scale)
-        num_partitions=8,
+        # gate frontiers are 1-4 nodes: ONE range partition per exchange
+        # keeps every sort partition NONEMPTY (empty sort partitions are
+        # schema-less in Ray 2.49 and fire executor warnings — the
+        # e^-(n/P) toy-size case shuffle_merge documents); default 2x CPUs
+        # at scale
+        num_partitions=1,
     )
     return d.to_pandas().sort_values("node").reset_index(drop=True)
 

@@ -479,23 +479,28 @@ def bfs_distances(
     src_col: str = "src",
     dst_col: str = "dst",
     num_partitions: int | None = None,
+    broadcast_cap: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Single-source BFS hop distances over a DIRECTED edge table:
     ``(node, dist)`` for every node reachable from ``source`` within
     ``max_hops`` edges. SQL-replayable with a bounded recursive CTE
     (UNION-dedup on (node, dist) states + MIN(dist) per node).
 
-    Scale shape: level-synchronous frontier expansion — each round is
-    exactly TWO exchanges, both frontier-scale, never visited-set-scale:
-    one :func:`raylink.util.shuffle_merge` of the current frontier onto
-    the hash-partitioned edge table (per-partition pandas join, candidate
-    dsts deduped inside the merge kernel) and one
-    :func:`raylink.ops.relational.anti_join` of the candidates against
-    the visited table (unit edge weights: a node's distance is final the
-    first round it appears, so no min-merge is ever needed). The edge
-    table is materialized once and re-partitioned per round by frontier
-    hash only. The driver holds one scalar per round (the fixpoint
-    test); rounds are bounded by min(graph diameter, ``max_hops``).
+    Scale shape: level-synchronous frontier expansion. Frontiers up to
+    ``broadcast_cap`` nodes (the common case: frontiers peak at one BFS
+    level, not at graph size) are ``ray.put`` once and expanded by a
+    stateless vectorized ``np.isin`` map over the edge table — a ZERO-
+    exchange edge scan, the same size-picked pattern as :func:`k_core`'s
+    peel sets. Larger frontiers fall back to one
+    :func:`raylink.util.shuffle_merge` of the frontier onto hash
+    partitions of the edges. Either way the round then does exactly ONE
+    node-scale exchange: a shuffle_merge of the candidate dsts against
+    the visited table that folds dedup + anti-join in one kernel (unit
+    edge weights: a node's distance is final the first round it appears,
+    so no min-merge is ever needed). The edge table is materialized once
+    and never re-partitioned. The driver holds one scalar per round (the
+    fixpoint test) plus the ≤cap broadcast frontier; rounds are bounded
+    by min(graph diameter, ``max_hops``).
     """
     from raylink.util import shuffle_merge, skip_empty
 
@@ -512,28 +517,22 @@ def bfs_distances(
     ).materialize()
 
     nd_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+    node_schema = pa.schema([("node", pa.int64())])
     dist = ray.data.from_arrow(
         pa.table({"node": pa.array([source], pa.int64()),
                   "dist": pa.array([0], pa.int64())})
     )
     frontier = dist
+    frontier_n = 1
 
-    def _expand(ldf, rdf):
+    def _expand_merge(ldf, rdf):
         import pandas as _pd
 
         if len(ldf) == 0 or len(rdf) == 0:
-            return _pd.DataFrame(
-                {"node": _pd.Series([], dtype=np.int64),
-                 "dist": _pd.Series([], dtype=np.int64)}
-            )
+            return _pd.DataFrame({"node": _pd.Series([], dtype=np.int64)})
         m = ldf.merge(rdf, left_on="src", right_on="node", how="inner")
-        out = _pd.DataFrame(
-            {"node": m["dst"].astype(np.int64), "dist": m["dist"] + 1}
-        )
         # all candidates this round share one dist level: plain dedup
-        return out.drop_duplicates(subset=["node"])
-
-    node_schema = pa.schema([("node", pa.int64())])
+        return _pd.DataFrame({"node": m["dst"].astype(np.int64)}).drop_duplicates()
 
     def _dedup_anti(cdf, ddf):
         import pandas as _pd
@@ -544,47 +543,93 @@ def bfs_distances(
         return _pd.DataFrame({"node": nodes.astype(np.int64)})
 
     for level in range(1, max_hops + 1):
-        cand = shuffle_merge(
-            epair,
-            frontier,
-            ["src"],
-            ["node"],
-            _expand,
-            nd_schema,
-            num_partitions=num_partitions,
-            left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
-            right_schema=nd_schema,
-        )
-        # one candidate-scale exchange folds BOTH the cross-partition dedup
-        # (same dst reached from several source partitions) and the
-        # visited-set anti-join — typed schemas throughout, so empty rounds
-        # cannot emit schema-less blocks
+        if frontier_n <= broadcast_cap:
+            # to_pandas is pure block fetch on a driver-built / materialized
+            # frontier — no Project op, so no schema-less empties
+            fr_nodes = np.sort(frontier.to_pandas()["node"].to_numpy())
+            ref = ray.put(fr_nodes)
+
+            def _scan(t: pa.Table, _ref=ref) -> pa.Table:
+                fn = ray.get(_ref)
+                src = t.column("src").to_numpy(zero_copy_only=False)
+                hit = np.searchsorted(fn, src)
+                m = (hit < len(fn)) & (fn[np.minimum(hit, len(fn) - 1)] == src)
+                dsts = np.unique(
+                    t.column("dst").to_numpy(zero_copy_only=False)[m]
+                )
+                return pa.table({"node": pa.array(dsts, pa.int64())})
+
+            cand = epair.map_batches(skip_empty(_scan), batch_format="pyarrow")
+        else:
+            cand = shuffle_merge(
+                epair,
+                frontier.select_columns(["node"]),
+                ["src"],
+                ["node"],
+                _expand_merge,
+                node_schema,
+                num_partitions=num_partitions,
+                left_schema=pa.schema(
+                    [("src", pa.int64()), ("dst", pa.int64())]
+                ),
+                right_schema=node_schema,
+            )
+        # ONE candidate-scale exchange folds the cross-partition dedup
+        # (same dst reached from several edge partitions) and the
+        # visited-set anti-join — typed schemas throughout
+        # dist passes WHOLE (node, dist): the merge tagger projects the
+        # right_schema columns itself and skips 0-row anchor blocks, where
+        # an explicit select_columns would Project them into schema-less
+        # bundles (one executor warning per round)
         new_nodes = shuffle_merge(
             cand,
-            dist.select_columns(["node"]),
+            dist,
             ["node"],
             ["node"],
             _dedup_anti,
             node_schema,
             num_partitions=num_partitions,
-            left_schema=nd_schema,
+            left_schema=node_schema,
             right_schema=node_schema,
+            # driver counts/collects the result itself: no schema anchor,
+            # so an all-empty final round yields zero blocks, not a 0-row
+            # block that downstream stages would re-emit schema-less
+            anchor=False,
         ).materialize()
-        if new_nodes.count() == 0:
+        frontier_n = new_nodes.count()
+        if frontier_n == 0:
             break
         # the dedup-anti exchange dropped dist; every survivor is at this level
-        frontier = new_nodes.map_batches(
-            skip_empty(
-                lambda t, _d=level: pa.table(
+        if frontier_n <= broadcast_cap:
+            # next round broadcasts anyway: rebuild the frontier as ONE
+            # clean driver-built block, so the accumulating union carries
+            # no 0-row anchor blocks (each anchor a downstream operator
+            # would re-emit as a schema-less, warning-firing bundle)
+            nodes_np = np.sort(new_nodes.to_pandas()["node"].to_numpy())
+            frontier = ray.data.from_arrow(
+                pa.table(
                     {
-                        "node": t.column("node"),
+                        "node": pa.array(nodes_np, pa.int64()),
                         "dist": pa.array(
-                            np.full(t.num_rows, _d, dtype=np.int64)
+                            np.full(len(nodes_np), level, dtype=np.int64)
                         ),
                     }
                 )
-            ),
-            batch_format="pyarrow",
-        ).materialize()
-        dist = dist.union(frontier).materialize()
+            )
+            dist = dist.union(frontier)
+        else:
+            frontier = new_nodes.map_batches(
+                skip_empty(
+                    lambda t, _d=level: pa.table(
+                        {
+                            "node": t.column("node"),
+                            "dist": pa.array(
+                                np.full(t.num_rows, _d, dtype=np.int64)
+                            ),
+                        }
+                    )
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            dist = dist.union(frontier).materialize()
     return dist

@@ -272,6 +272,7 @@ def shuffle_merge(
     num_partitions: int | None = None,
     left_schema=None,
     right_schema=None,
+    anchor: bool = True,
 ) -> ray.data.Dataset:
     """Distributed hash join without ``Dataset.join`` (which crashes on
     sparse partitions in Ray 2.49 — see :func:`hash_join`).
@@ -382,9 +383,14 @@ def shuffle_merge(
     # probability e^-(n/P), i.e. never past toy sizes)
     step = _PID_SPACE // num_partitions
     bounds = list(range(step, _PID_SPACE, step))[: num_partitions - 1]
+    # anchor=False: for callers that drive the result themselves (count /
+    # collect / another typed exchange) and would rather have ZERO blocks
+    # on an all-empty result than a 0-row anchor block — the anchor is a
+    # from_arrow empty whose bundle can lose the streaming interleave race
+    # and land mid-queue, firing the very warning it exists to prevent
     return sorted_partition_apply(
         tagged.repartition(num_partitions), "_pid", _merge, out_schema,
-        boundaries=bounds,
+        boundaries=bounds, anchor=anchor,
     )
 
 
