@@ -3437,6 +3437,21 @@ def _q_bfs_distances(sf_dir: str):
     return d.to_pandas().sort_values("node").reset_index(drop=True)
 
 
+def _q_pairwise_f1(sf_dir: str):
+    # Pairwise cluster precision/recall/F1 (raylink/evaluate.py
+    # pairwise_cluster_metrics) — THE north-rule metric shape, exact
+    # integers end-to-end: one contingency-table exchange, marginals
+    # re-aggregate the result-cardinality table, three scalars to the
+    # driver. Gate scores `source` as the predicted clustering against
+    # `lang` as truth (independent columns → nontrivial metrics).
+    from raylink.evaluate import pairwise_cluster_metrics
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    return pairwise_cluster_metrics(
+        docs, cluster_col="source", truth_col="lang", final_partitions=2
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked (operator inventory: aggregation, maps, joins, sorts)
@@ -3568,6 +3583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets": _q_grouping_sets,
         "pmi_topk": _q_pmi_topk,
         "bfs_distances": _q_bfs_distances,
+        "pairwise_f1": _q_pairwise_f1,
     }
 
 
@@ -5846,5 +5862,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, MIN(dist)::BIGINT AS dist
             FROM r GROUP BY node ORDER BY node
+        """,
+        "pairwise_f1": """
+            WITH ct AS (
+                SELECT source AS c, lang AS t, COUNT(*)::BIGINT AS n
+                FROM documents GROUP BY source, lang
+            ),
+            tpv AS (SELECT COALESCE(SUM(n*(n-1)//2), 0)::BIGINT AS tp FROM ct),
+            pv AS (SELECT COALESCE(SUM(n*(n-1)//2), 0)::BIGINT AS p
+                   FROM (SELECT SUM(n) AS n FROM ct GROUP BY c)),
+            tv AS (SELECT COALESCE(SUM(n*(n-1)//2), 0)::BIGINT AS t
+                   FROM (SELECT SUM(n) AS n FROM ct GROUP BY t))
+            SELECT tp, p AS pred_pairs, t AS truth_pairs,
+                   CASE WHEN p = 0 THEN 0
+                        ELSE tp * 1000000 // p END::BIGINT AS precision_e6,
+                   CASE WHEN t = 0 THEN 0
+                        ELSE tp * 1000000 // t END::BIGINT AS recall_e6,
+                   CASE WHEN p + t = 0 THEN 0
+                        ELSE 2 * tp * 1000000 // (p + t) END::BIGINT AS f1_e6
+            FROM tpv, pv, tv
         """,
     }

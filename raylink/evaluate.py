@@ -313,3 +313,82 @@ def pr_curve(
             }
         )
     return pd.DataFrame(rows)
+
+
+def pairwise_cluster_metrics(
+    assign: "ray.data.Dataset",
+    cluster_col: str = "cluster_id",
+    truth_col: str = "truth_id",
+    final_partitions: int | None = None,
+) -> "pd.DataFrame":
+    """Pairwise precision/recall/F1 of a clustering against truth classes
+    — THE metric the north rule scores the linkage on (pairwise F1 over
+    labeled pairs), computed distributed and in exact integers:
+
+    * ``tp``          = Σ over (cluster, truth) cells of C(n_ct, 2)
+    * ``pred_pairs``  = Σ over clusters of C(n_c, 2)
+    * ``truth_pairs`` = Σ over truth classes of C(n_t, 2)
+    * precision/recall/f1 cross as e6 micro-units with the repo's floor
+      convention (``f1_e6 = 2·tp·10⁶ // (pred_pairs + truth_pairs)``).
+
+    Scale shape: ONE data pass builds per-batch (cluster, truth)
+    value-count partials; one groupby-sum yields the contingency table
+    (result-cardinality, ≤ #clusters × #classes rows); the two marginals
+    re-aggregate THAT table, never the data (the cube_agg shape). The
+    driver sees three int64 scalars. C(n,2) is computed in int64 — the
+    same width (and the same overflow point) as the BIGINT oracle.
+    """
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "c": batch.column(cluster_col),
+                "t": batch.column(truth_col),
+            }
+        ).to_pandas()
+        g = df.groupby(["c", "t"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    ct = assign.map_batches(_partial, batch_format="pyarrow")
+    if final_partitions is not None:
+        ct = ct.repartition(final_partitions)
+    ct = ct.groupby(["c", "t"]).aggregate(Sum("n", alias_name="n")).materialize()
+
+    def _pairs_of(col: str) -> int:
+        if col == "":
+            src = ct
+        else:
+            src = ct.groupby(col).aggregate(Sum("n", alias_name="n"))
+
+        def _c2(t: pa.Table) -> pa.Table:
+            n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"p": pa.array(n * (n - 1) // 2)})
+
+        from raylink.util import skip_empty
+
+        total = src.map_batches(skip_empty(_c2), batch_format="pyarrow").sum("p")
+        return int(total or 0)
+
+    tp = _pairs_of("")
+    pred_pairs = _pairs_of("c")
+    truth_pairs = _pairs_of("t")
+    prec = (tp * 10**6) // pred_pairs if pred_pairs else 0
+    rec = (tp * 10**6) // truth_pairs if truth_pairs else 0
+    f1 = (
+        (2 * tp * 10**6) // (pred_pairs + truth_pairs)
+        if (pred_pairs + truth_pairs)
+        else 0
+    )
+    return pd.DataFrame(
+        {
+            "tp": [tp],
+            "pred_pairs": [pred_pairs],
+            "truth_pairs": [truth_pairs],
+            "precision_e6": [prec],
+            "recall_e6": [rec],
+            "f1_e6": [f1],
+        }
+    )

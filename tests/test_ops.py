@@ -2222,3 +2222,23 @@ def test_bfs_distances_hand_graph():
         .sort_values("node")
     )
     assert capped.values.tolist() == [[0, 0], [1, 1], [2, 1]]
+
+
+def test_pairwise_cluster_metrics_hand_values():
+    from raylink.evaluate import pairwise_cluster_metrics
+
+    # clusters {a,b,c}{d,e} vs truth {a,b}{c,d,e}:
+    # tp = C(2,2 cell ab)=1 + C(1)=0 [c] + C(2 cell de)=1 -> 2
+    # pred = C(3,2)+C(2,2) = 3+1 = 4 ; truth = C(2,2)+C(3,2) = 1+3 = 4
+    df = pd.DataFrame(
+        {
+            "cluster_id": [1, 1, 1, 2, 2],
+            "truth_id": [10, 10, 20, 20, 20],
+        }
+    )
+    out = pairwise_cluster_metrics(
+        rd.from_pandas(df).repartition(3), final_partitions=1
+    )
+    assert out.iloc[0].tolist() == [
+        2, 4, 4, 500000, 500000, (2 * 2 * 10**6) // 8
+    ]
