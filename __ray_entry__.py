@@ -3452,6 +3452,48 @@ def _q_pairwise_f1(sf_dir: str):
     )
 
 
+def _q_incremental_cc(sf_dir: str):
+    # Incremental connected components (raylink/cluster.py
+    # incremental_components): daily-shard ER reclustering — new edges are
+    # rewritten to component representatives (two shuffle_merge
+    # exchanges), union-find runs driver-side over the SHARD-scale rep
+    # graph, one exchange remaps only the touched components. Gate: the
+    # existing clustering is source-stars (comp = min doc_id per source),
+    # the new shard links doc_id -> doc_id+1 at every doc_id % 97 == 0,
+    # merging sources transitively.
+    from raylink.cluster import incremental_components
+    from raylink.ops.relational import broadcast_left_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    roots_df = (
+        docs.groupby("source").min("doc_id").to_pandas()
+        .rename(columns={"min(doc_id)": "comp"})
+    )
+    assign = broadcast_left_join(
+        docs, roots_df, ["source"], ["source"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["doc_id"].astype("int64"),
+             "comp": df["comp"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+    def _edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        a = ids[ids % 97 == 0]
+        return pa.table(
+            {"a": pa.array(a.astype(np.int64)),
+             "b": pa.array((a + 1).astype(np.int64))}
+        )
+
+    # edge endpoints must exist: doc_id+1 always does except at the max id
+    # (499 % 97 != 0 at every sf, so the generator is total)
+    new_edges = docs.map_batches(_edges, batch_format="pyarrow")
+    out = incremental_components(assign, new_edges, num_partitions=4)
+    return out.to_pandas().sort_values("node").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked (operator inventory: aggregation, maps, joins, sorts)
@@ -3584,6 +3626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_topk": _q_pmi_topk,
         "bfs_distances": _q_bfs_distances,
         "pairwise_f1": _q_pairwise_f1,
+        "incremental_cc": _q_incremental_cc,
     }
 
 
@@ -5881,5 +5924,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN p + t = 0 THEN 0
                         ELSE 2 * tp * 1000000 // (p + t) END::BIGINT AS f1_e6
             FROM tpv, pv, tv
+        """,
+        "incremental_cc": """
+            WITH RECURSIVE asg AS (
+                SELECT doc_id,
+                       MIN(doc_id) OVER (PARTITION BY source) AS comp
+                FROM documents
+            ),
+            ne AS (
+                SELECT doc_id AS a, doc_id + 1 AS b
+                FROM documents WHERE doc_id % 97 = 0
+            ),
+            ed AS (
+                SELECT doc_id AS u, comp AS v FROM asg WHERE doc_id <> comp
+                UNION ALL SELECT a, b FROM ne
+            ),
+            bi AS (SELECT u AS src, v AS dst FROM ed
+                   UNION ALL SELECT v, u FROM ed),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS r FROM asg
+                UNION
+                SELECT reach.node, bi.dst
+                FROM reach JOIN bi ON bi.src = reach.r
+            )
+            SELECT node::BIGINT AS node, MIN(r)::BIGINT AS comp
+            FROM reach GROUP BY node ORDER BY node
         """,
     }

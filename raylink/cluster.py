@@ -404,3 +404,174 @@ def golden_records(
         _golden,
         out_schema,
     )
+
+
+def incremental_components(
+    assign: "ray.data.Dataset",
+    new_edges: "ray.data.Dataset",
+    node_col: str = "node",
+    comp_col: str = "comp",
+    a_col: str = "a",
+    b_col: str = "b",
+    num_partitions: int | None = None,
+    driver_edge_cap: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Incremental connected components — the daily-shard ER reclustering
+    primitive: given an EXISTING assignment table ``(node, comp)`` (comp
+    following the min-node-id convention the engine's clusterings emit)
+    and a batch of NEW edges, produce the updated assignment WITHOUT
+    re-running closure over the corpus.
+
+    Shape: the only corpus-scale work is two hash exchanges. (1) each new
+    edge endpoint is rewritten to its component representative via one
+    ``shuffle_merge`` per side against ``assign`` (unknown endpoints — 
+    brand-new nodes — represent themselves); (2) union-find runs DRIVER-
+    side over the REP edge table, which is bounded by the NEW shard's
+    size, not the corpus (the incremental contract, same as
+    ``minhash_incremental_candidates``; ``driver_edge_cap`` guards the
+    bound loudly — above it, fall back to a full distributed closure);
+    (3) one ``shuffle_merge`` of ``assign`` against the rep→new-root
+    remap attaches the merged labels, and nodes in untouched components
+    pass through without a rewrite. New nodes appear in the output with
+    their merged component. Root convention: MIN over the merged
+    component of (old comps, new node ids) — stays min-node-id, so the
+    op composes with itself shard after shard.
+    """
+    import numpy as np
+    from raylink.util import pa_type, shuffle_merge, skip_empty
+
+    nd_schema = pa.schema([(node_col, pa.int64()), (comp_col, pa.int64())])
+
+    epair = new_edges.map_batches(
+        skip_empty(
+            lambda t: pa.table(
+                {
+                    "a": t.column(a_col).cast(pa.int64()),
+                    "b": t.column(b_col).cast(pa.int64()),
+                }
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _attach(side: str, out: str):
+        def _m(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+            m = ldf.merge(
+                rdf.rename(columns={node_col: side, comp_col: out}),
+                how="left",
+                on=side,
+            )
+            m[out] = m[out].fillna(m[side]).astype(np.int64)
+            return m
+
+        return _m
+
+    s1 = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("ra", pa.int64())])
+    s2 = pa.schema(list(s1) + [pa.field("rb", pa.int64())])
+    rep = shuffle_merge(
+        epair, assign, ["a"], [node_col], _attach("a", "ra"), s1,
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+        right_schema=nd_schema,
+    )
+    rep = shuffle_merge(
+        rep, assign, ["b"], [node_col], _attach("b", "rb"), s2,
+        num_partitions=num_partitions,
+        left_schema=s1, right_schema=nd_schema,
+    ).materialize()  # consumed twice: rep-edge collect + fresh-node scan
+
+    def _slim(t: pa.Table) -> pa.Table:
+        ra = t.column("ra").to_numpy(zero_copy_only=False)
+        rb = t.column("rb").to_numpy(zero_copy_only=False)
+        keep = ra != rb
+        # per-partition dedup: the rep stream is shard-scale already, this
+        # only trims the driver collect
+        df = pd.DataFrame({"ra": ra[keep], "rb": rb[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    rep_df = rep.map_batches(skip_empty(_slim), batch_format="pyarrow").to_pandas()
+    rep_df = rep_df.drop_duplicates()
+    if len(rep_df) > driver_edge_cap:
+        raise ValueError(
+            f"incremental_components: {len(rep_df)} rep edges exceed "
+            f"driver_edge_cap={driver_edge_cap}; run a full distributed "
+            "closure for this shard instead"
+        )
+    # driver union-find over the shard-scale rep graph, min-root convention
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for ra, rb in rep_df.itertuples(index=False):
+        xa, xb = find(int(ra)), find(int(rb))
+        if xa != xb:
+            lo, hi = (xa, xb) if xa < xb else (xb, xa)
+            parent[hi] = lo
+    remap = {x: find(x) for x in list(parent)}
+    remap = {k: v for k, v in remap.items() if k != v}
+    remap_tbl = pa.table(
+        {
+            "old": pa.array(list(remap.keys()), pa.int64()),
+            "new": pa.array(list(remap.values()), pa.int64()),
+        }
+    )
+    remap_ds = ray.data.from_arrow(remap_tbl) if len(remap) else None
+
+    # new nodes (endpoints absent from assign) enter the output seeded by
+    # themselves so the final remap covers them too
+    def _new_nodes(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        ra = t.column("ra").to_numpy(zero_copy_only=False)
+        rb = t.column("rb").to_numpy(zero_copy_only=False)
+        fresh = np.unique(np.concatenate([a[ra == a], b[rb == b]]))
+        return pa.table(
+            {node_col: pa.array(fresh, pa.int64()),
+             comp_col: pa.array(fresh, pa.int64())}
+        )
+
+    # a node can be "fresh" only if absent from assign; nodes whose comp
+    # HAPPENS to equal their id are cluster roots and re-emitting them
+    # (node, node) is exactly their assign row — the union below dedups
+    # via groupby-min? No: keep it exact — anti the fresh set against
+    # assign inside the final merge instead.
+    fresh_nodes = rep.map_batches(skip_empty(_new_nodes), batch_format="pyarrow")
+
+    full = assign.union(fresh_nodes)
+
+    if remap_ds is None:
+        from ray.data.aggregate import Min
+
+        return full.groupby(node_col).aggregate(
+            Min(comp_col, alias_name=comp_col)
+        )
+
+    out_schema = nd_schema
+
+    def _remap(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        m = ldf.merge(
+            rdf.rename(columns={"old": comp_col, "new": "_new"}),
+            how="left",
+            on=comp_col,
+        )
+        m[comp_col] = m["_new"].fillna(m[comp_col]).astype(np.int64)
+        # duplicate (node, comp) rows from fresh-node re-emission of roots
+        return m[[node_col, comp_col]].drop_duplicates()
+
+    return shuffle_merge(
+        full,
+        remap_ds,
+        [comp_col],
+        ["old"],
+        _remap,
+        out_schema,
+        num_partitions=num_partitions,
+        left_schema=nd_schema,
+        right_schema=pa.schema([("old", pa.int64()), ("new", pa.int64())]),
+    )

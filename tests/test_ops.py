@@ -2242,3 +2242,42 @@ def test_pairwise_cluster_metrics_hand_values():
     assert out.iloc[0].tolist() == [
         2, 4, 4, 500000, 500000, (2 * 2 * 10**6) // 8
     ]
+
+
+def test_incremental_components_hand_graph():
+    from raylink.cluster import incremental_components
+
+    assign = pa.table({"node": [1, 2, 3, 5, 9, 7], "comp": [1, 1, 1, 5, 5, 7]})
+    # 3-5 merges comps 1 & 5; 20-21 is a brand-new pair; 9-7 chains 5 & 7
+    edges = pa.table({"a": [3, 20, 9], "b": [5, 21, 7]})
+    out = (
+        incremental_components(
+            rd.from_arrow(assign), rd.from_arrow(edges), num_partitions=2
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [
+        [1, 1], [2, 1], [3, 1], [5, 1], [7, 1], [9, 1], [20, 20], [21, 20]
+    ]
+    # intra-cluster edge: nothing merges, assignment passes through
+    out2 = (
+        incremental_components(
+            rd.from_arrow(assign),
+            rd.from_arrow(pa.table({"a": [1], "b": [2]})),
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert out2.values.tolist() == [
+        [1, 1], [2, 1], [3, 1], [5, 5], [7, 7], [9, 5]
+    ]
+    # the driver-edge cap guards the incremental contract loudly
+    with pytest.raises(ValueError):
+        incremental_components(
+            rd.from_arrow(assign), rd.from_arrow(edges),
+            num_partitions=2, driver_edge_cap=1,
+        )
