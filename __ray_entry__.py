@@ -1781,9 +1781,12 @@ def _doc_band_edges(sf_dir: str):
     from raylink.ops.dedup import _default_partitions
     from raylink.util import hash_partition_ids, sorted_partition_apply
 
+    from raylink.util import skip_empty
+
     docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
     edge_schema = _pa.schema([("a", _pa.int64()), ("b", _pa.int64())])
 
+    @skip_empty
     def _tag(t: _pa.Table) -> _pa.Table:
         pid = hash_partition_ids(t, ["source"], 1 << 31)
         return t.append_column("_pid", pid).replace_schema_metadata(None)
@@ -1833,6 +1836,24 @@ def _q_triangles(sf_dir: str):
 
     out = triangle_counts(_doc_band_edges(sf_dir)).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
+
+
+def _q_link_prediction(sf_dir: str):
+    # Common-neighbor link prediction (raylink/ops/graph.py
+    # link_prediction): non-adjacent pairs sharing >=1 neighbor, with the
+    # exact integer common-neighbor count and preferential-attachment
+    # score deg(u)*deg(v). Wedges expand at the CENTER node through one
+    # exchange; ONE shuffle_merge does the pair count + anti-join against
+    # the edge table; degrees attach via node-keyed merges.
+    from raylink.ops.graph import link_prediction
+
+    # materialize the edge table once: link_prediction consumes it THREE
+    # times (wedges, anti-join side, degrees) and edges are edge-scale,
+    # not corpus-scale — re-executing the band-generation lineage per
+    # consumer would triple its cost and triple its empty-block crossings
+    edges = _doc_band_edges(sf_dir).materialize()
+    out = link_prediction(edges).to_pandas()
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
 
 
 def _q_pagerank(sf_dir: str):
@@ -3568,6 +3589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_mean": _q_vector_mean,
         "winsorize": _q_winsorize,
         "triangles": _q_triangles,
+        "link_prediction": _q_link_prediction,
         "pagerank": _q_pagerank,
         "kcore": _q_kcore,
         "block_topk": _q_block_topk,
@@ -4909,6 +4931,34 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT y FROM tri
                   UNION ALL SELECT z FROM tri)
             GROUP BY node ORDER BY node
+        """,
+        "link_prediction": """
+            WITH e AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM documents a JOIN documents b
+                  ON a.source = b.source
+                 AND b.doc_id > a.doc_id
+                 AND b.doc_id - a.doc_id <= 60
+            ),
+            sym AS (
+                SELECT a AS n, b AS m FROM e
+                UNION ALL SELECT b AS n, a AS m FROM e
+            ),
+            deg AS (SELECT n AS node, COUNT(*)::BIGINT AS d FROM sym GROUP BY n),
+            cand AS (
+                SELECT s1.m AS u, s2.m AS v, COUNT(*)::BIGINT AS cn
+                FROM sym s1 JOIN sym s2 ON s1.n = s2.n AND s1.m < s2.m
+                GROUP BY s1.m, s2.m
+            ),
+            ne AS (
+                SELECT c.u, c.v, c.cn FROM cand c
+                LEFT JOIN e ON e.a = c.u AND e.b = c.v
+                WHERE e.a IS NULL
+            )
+            SELECT ne.u, ne.v, ne.cn, du.d * dv.d AS pa_score
+            FROM ne JOIN deg du ON du.node = ne.u
+                    JOIN deg dv ON dv.node = ne.v
+            ORDER BY ne.u, ne.v
         """,
         "pagerank": _pagerank_sql(),
         "kcore": _kcore_sql(rounds=4),

@@ -2281,3 +2281,51 @@ def test_incremental_components_hand_graph():
             rd.from_arrow(assign), rd.from_arrow(edges),
             num_partitions=2, driver_edge_cap=1,
         )
+
+
+def test_link_prediction_matches_bruteforce():
+    from raylink.ops.graph import link_prediction
+
+    rng = np.random.default_rng(7)
+    n = 50
+    E = sorted(
+        {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.12}
+    )
+    edf = pd.DataFrame(E, columns=["a", "b"]).astype(np.int64)
+    got = (
+        link_prediction(rd.from_arrow(pa.Table.from_pandas(edf)).repartition(4))
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    es = set(E)
+    nbr: dict = {}
+    for a, b in E:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    rows = []
+    for u in sorted(nbr):
+        for v in sorted(nbr):
+            if u < v and (u, v) not in es:
+                cn = len(nbr[u] & nbr[v])
+                if cn:
+                    rows.append((u, v, cn, len(nbr[u]) * len(nbr[v])))
+    exp = pd.DataFrame(rows, columns=["u", "v", "cn", "pa_score"]).astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_link_prediction_max_degree_prunes_hub_centers():
+    from raylink.ops.graph import link_prediction
+
+    # star around node 0 plus one chord: only node 0 is a useful center
+    E = [(0, i) for i in range(1, 8)] + [(1, 2)]
+    edf = pd.DataFrame(sorted(E), columns=["a", "b"]).astype(np.int64)
+    ds = rd.from_arrow(pa.Table.from_pandas(edf))
+    full = link_prediction(ds).to_pandas()
+    # all leaf pairs except the (1,2) edge share center 0
+    assert len(full) == 7 * 6 // 2 - 1
+    pruned = link_prediction(ds, max_degree=3).to_pandas()
+    # center 0 (deg 7) contributes nothing; centers 1 and 2 (deg 2) emit
+    # only wedges that close onto EXISTING edges, so the anti-join leaves
+    # nothing — hub pruning trades exactly these candidates away
+    assert len(pruned) == 0
