@@ -3473,6 +3473,20 @@ def _q_pairwise_f1(sf_dir: str):
     )
 
 
+def _q_ari(sf_dir: str):
+    # Adjusted Rand Index (raylink/evaluate.py adjusted_rand): the
+    # chance-corrected cluster-agreement metric as an exact integer
+    # rational — same one-exchange contingency shape as pairwise_f1,
+    # cleared-denominator ari_num/ari_den in arbitrary-precision driver
+    # int, e6 fixed point with DuckDB's trunc-toward-zero // convention.
+    from raylink.evaluate import adjusted_rand
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    return adjusted_rand(
+        docs, cluster_col="source", truth_col="lang", final_partitions=2
+    )
+
+
 def _q_incremental_cc(sf_dir: str):
     # Incremental connected components (raylink/cluster.py
     # incremental_components): daily-shard ER reclustering — new edges are
@@ -3648,6 +3662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_topk": _q_pmi_topk,
         "bfs_distances": _q_bfs_distances,
         "pairwise_f1": _q_pairwise_f1,
+        "ari": _q_ari,
         "incremental_cc": _q_incremental_cc,
     }
 
@@ -5974,6 +5989,31 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN p + t = 0 THEN 0
                         ELSE 2 * tp * 1000000 // (p + t) END::BIGINT AS f1_e6
             FROM tpv, pv, tv
+        """,
+        "ari": """
+            WITH ct AS (
+                SELECT source AS c, lang AS t, COUNT(*)::BIGINT AS n
+                FROM documents GROUP BY source, lang
+            ),
+            sij AS (SELECT COALESCE(SUM(n*(n-1)//2), 0)::BIGINT AS v FROM ct),
+            ma AS (SELECT COALESCE(SUM(n*(n-1)//2), 0)::BIGINT AS v
+                   FROM (SELECT SUM(n) AS n FROM ct GROUP BY c)),
+            mb AS (SELECT COALESCE(SUM(n*(n-1)//2), 0)::BIGINT AS v
+                   FROM (SELECT SUM(n) AS n FROM ct GROUP BY t)),
+            nn AS (SELECT SUM(n)::BIGINT AS v FROM ct),
+            parts AS (
+                SELECT nn.v AS n_rows, sij.v AS s_ij, ma.v AS s_a, mb.v AS s_b,
+                       (nn.v * (nn.v - 1) // 2) AS total
+                FROM sij, ma, mb, nn
+            )
+            SELECT n_rows, s_ij AS sum_pairs_cells, s_a AS pred_pairs,
+                   s_b AS truth_pairs, total AS total_pairs,
+                   (2 * (total * s_ij - s_a * s_b))::BIGINT AS ari_num,
+                   (total * (s_a + s_b) - 2 * s_a * s_b)::BIGINT AS ari_den,
+                   CAST((1000000::HUGEINT * (2 * (total::HUGEINT * s_ij - s_a::HUGEINT * s_b)))
+                        // (total::HUGEINT * (s_a + s_b) - 2 * s_a::HUGEINT * s_b)
+                        AS BIGINT) AS ari_e6
+            FROM parts
         """,
         "incremental_cc": """
             WITH RECURSIVE asg AS (

@@ -392,3 +392,88 @@ def pairwise_cluster_metrics(
             "f1_e6": [f1],
         }
     )
+
+
+def adjusted_rand(
+    assign: "ray.data.Dataset",
+    cluster_col: str = "cluster_id",
+    truth_col: str = "truth_id",
+    final_partitions: int | None = None,
+) -> "pd.DataFrame":
+    """Adjusted Rand Index between a predicted clustering and truth
+    classes, as EXACT integers (Hubert & Arabie 1985):
+
+    ``ARI = (S_ij - S_a·S_b/T) / ((S_a+S_b)/2 - S_a·S_b/T)``
+
+    with ``S_ij = Σ C(n_ij,2)`` over contingency cells, ``S_a``/``S_b``
+    the marginal pair sums and ``T = C(n,2)``. Cleared of denominators it
+    is the integer rational ``ari_num / ari_den`` with
+
+    * ``ari_num = 2·(T·S_ij − S_a·S_b)``
+    * ``ari_den = T·(S_a+S_b) − 2·S_a·S_b``
+
+    computed in arbitrary-precision Python int on four int64 scalars (the
+    products stay within BIGINT through ~50k rows, so the SQL oracle
+    replays them exactly). ``ari_e6`` is the e6 fixed-point quotient with
+    TRUNCATION toward zero — DuckDB's ``//`` convention, which differs
+    from Python's floor for negative ARIs (independent clusterings can
+    land epsilon-negative).
+
+    Scale shape: identical to :func:`pairwise_cluster_metrics` — ONE data
+    pass of (cluster, truth) value-count partials, one groupby-sum to the
+    cell table, marginals re-aggregated from THAT table; the driver sees
+    four integers. Rows with null in either column are excluded from n
+    (document to callers: drop or impute upstream).
+    """
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from raylink.util import skip_empty
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"c": batch.column(cluster_col), "t": batch.column(truth_col)}
+        ).to_pandas().dropna()
+        g = df.groupby(["c", "t"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    ct = assign.map_batches(skip_empty(_partial), batch_format="pyarrow")
+    if final_partitions is not None:
+        ct = ct.repartition(final_partitions)
+    ct = ct.groupby(["c", "t"]).aggregate(Sum("n", alias_name="n")).materialize()
+
+    def _c2_sum(src) -> int:
+        def _c2(t: pa.Table) -> pa.Table:
+            n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"p": pa.array(n * (n - 1) // 2)})
+
+        return int(src.map_batches(skip_empty(_c2), batch_format="pyarrow").sum("p") or 0)
+
+    s_ij = _c2_sum(ct)
+    s_a = _c2_sum(ct.groupby("c").aggregate(Sum("n", alias_name="n")))
+    s_b = _c2_sum(ct.groupby("t").aggregate(Sum("n", alias_name="n")))
+    n_rows = int(ct.sum("n") or 0)
+    total = n_rows * (n_rows - 1) // 2
+
+    num = 2 * (total * s_ij - s_a * s_b)
+    den = total * (s_a + s_b) - 2 * s_a * s_b
+    if den:
+        q, r = divmod(1_000_000 * num, den)
+        ari_e6 = q + (1 if (r != 0 and q < 0) else 0)  # trunc toward zero
+    else:
+        # both clusterings are all-singletons or one cluster: ARI defined 1
+        ari_e6 = 1_000_000
+        num, den = 1, 1
+    return pd.DataFrame(
+        {
+            "n_rows": [n_rows],
+            "sum_pairs_cells": [s_ij],
+            "pred_pairs": [s_a],
+            "truth_pairs": [s_b],
+            "total_pairs": [total],
+            "ari_num": [num],
+            "ari_den": [den],
+            "ari_e6": [ari_e6],
+        }
+    ).astype(np.int64)

@@ -2329,3 +2329,51 @@ def test_link_prediction_max_degree_prunes_hub_centers():
     # only wedges that close onto EXISTING edges, so the anti-join leaves
     # nothing — hub pruning trades exactly these candidates away
     assert len(pruned) == 0
+
+
+def test_adjusted_rand_matches_formula_and_is_one_on_identity():
+    from raylink.evaluate import adjusted_rand
+
+    rng = np.random.default_rng(11)
+    c = rng.integers(0, 6, 400)
+    t = rng.integers(0, 5, 400)
+    df = pd.DataFrame({"cluster_id": c, "truth_id": t})
+    got = adjusted_rand(rd.from_pandas(df).repartition(4)).iloc[0]
+    # float reference via the standard contingency formula
+    import itertools
+
+    cells: dict = {}
+    for ci, ti in zip(c, t):
+        cells[(ci, ti)] = cells.get((ci, ti), 0) + 1
+    comb2 = lambda x: x * (x - 1) // 2
+    sij = sum(comb2(v) for v in cells.values())
+    sa = sum(comb2(v) for v in pd.Series(c).value_counts())
+    sb = sum(comb2(v) for v in pd.Series(t).value_counts())
+    T = comb2(400)
+    exp = (sij - sa * sb / T) / ((sa + sb) / 2 - sa * sb / T)
+    assert got["sum_pairs_cells"] == sij
+    assert got["pred_pairs"] == sa and got["truth_pairs"] == sb
+    assert abs(got["ari_num"] / got["ari_den"] - exp) < 1e-12
+    # truncation-toward-zero e6 convention (DuckDB //)
+    q = 1_000_000 * int(got["ari_num"])
+    d = int(got["ari_den"])
+    trunc = abs(q) // abs(d) * (1 if (q >= 0) == (d >= 0) else -1)
+    assert got["ari_e6"] == trunc
+
+    ident = adjusted_rand(
+        rd.from_pandas(pd.DataFrame({"cluster_id": t, "truth_id": t}))
+    ).iloc[0]
+    assert ident["ari_e6"] == 1_000_000
+    assert ident["ari_num"] == ident["ari_den"]
+
+
+def test_adjusted_rand_negative_on_anticorrelated():
+    from raylink.evaluate import adjusted_rand
+
+    # two clusters perfectly split across two truth classes -> ARI < 0
+    df = pd.DataFrame(
+        {"cluster_id": [0, 0, 1, 1], "truth_id": [0, 1, 0, 1]}
+    )
+    got = adjusted_rand(rd.from_pandas(df)).iloc[0]
+    assert got["ari_num"] < 0 and got["ari_den"] > 0
+    assert got["ari_e6"] < 0
