@@ -3473,6 +3473,20 @@ def _q_pairwise_f1(sf_dir: str):
     )
 
 
+def _q_meta_blocking(sf_dir: str):
+    # Meta-blocking WEP (raylink/ops/metablocking.py token_blocking_wep):
+    # token blocking -> block purging (cap 50) -> CBS comparison-graph
+    # weights -> weighted-edge pruning by the integer mean inequality
+    # w * n_edges >= sum_w. Two all-to-alls; hottest block bounded by the
+    # purge cap. The ER-literature block-restructuring operator
+    # (Papadakis et al.), absent from the reference's single-key blocking.
+    from raylink.ops.metablocking import token_blocking_wep
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = token_blocking_wep(docs, max_block_size=50).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_ari(sf_dir: str):
     # Adjusted Rand Index (raylink/evaluate.py adjusted_rand): the
     # chance-corrected cluster-agreement metric as an exact integer
@@ -3663,6 +3677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_distances": _q_bfs_distances,
         "pairwise_f1": _q_pairwise_f1,
         "ari": _q_ari,
+        "meta_blocking": _q_meta_blocking,
         "incremental_cc": _q_incremental_cc,
     }
 
@@ -5989,6 +6004,28 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN p + t = 0 THEN 0
                         ELSE 2 * tp * 1000000 // (p + t) END::BIGINT AS f1_e6
             FROM tpv, pv, tv
+        """,
+        "meta_blocking": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id, tk
+                FROM (SELECT doc_id,
+                             unnest(string_split(lower(text), ' ')) AS tk
+                      FROM documents)
+                WHERE tk <> ''
+            ),
+            bl AS (SELECT tk FROM tok GROUP BY tk HAVING COUNT(*) <= 50),
+            p AS (
+                SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*)::BIGINT AS w
+                FROM tok t1
+                JOIN tok t2 ON t1.tk = t2.tk AND t1.doc_id < t2.doc_id
+                JOIN bl ON bl.tk = t1.tk
+                GROUP BY t1.doc_id, t2.doc_id
+            ),
+            s AS (SELECT COUNT(*)::BIGINT AS n_e,
+                         COALESCE(SUM(w), 0)::BIGINT AS s_w FROM p)
+            SELECT a, b, w FROM p, s
+            WHERE w * n_e >= s_w
+            ORDER BY a, b
         """,
         "ari": """
             WITH ct AS (

@@ -2377,3 +2377,57 @@ def test_adjusted_rand_negative_on_anticorrelated():
     got = adjusted_rand(rd.from_pandas(df)).iloc[0]
     assert got["ari_num"] < 0 and got["ari_den"] > 0
     assert got["ari_e6"] < 0
+
+
+def test_token_blocking_wep_matches_bruteforce():
+    from raylink.ops.metablocking import token_blocking_wep
+
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 5), replace=True))
+        for _ in range(40)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "text": texts})
+    got = (
+        token_blocking_wep(
+            rd.from_pandas(df).repartition(3), max_block_size=15
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # brute force
+    toks = [set(t.lower().split()) for t in texts]
+    sizes: dict = {}
+    for ts in toks:
+        for tk in ts:
+            sizes[tk] = sizes.get(tk, 0) + 1
+    kept = {tk for tk, s in sizes.items() if s <= 15}
+    w: dict = {}
+    for i in range(40):
+        for j in range(i + 1, 40):
+            c = len(toks[i] & toks[j] & kept)
+            if c:
+                w[(i, j)] = c
+    n_e, s_w = len(w), sum(w.values())
+    rows = sorted((a, b, c) for (a, b), c in w.items() if c * n_e >= s_w)
+    exp = pd.DataFrame(rows, columns=["a", "b", "w"]).astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_token_blocking_wep_purges_stopword_blocks():
+    from raylink.ops.metablocking import token_blocking_wep
+
+    # 'the' is in every doc; with the cap below corpus size it must not
+    # contribute weight, so docs sharing ONLY 'the' get no edge
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": ["the cat", "the dog", "the cat", "the dog",
+                     "the bird", "the fish"],
+        }
+    )
+    out = token_blocking_wep(rd.from_pandas(df), max_block_size=4).to_pandas()
+    got = set(map(tuple, out[["a", "b"]].to_numpy()))
+    assert got == {(0, 2), (1, 3)}
