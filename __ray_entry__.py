@@ -3473,6 +3473,18 @@ def _q_pairwise_f1(sf_dir: str):
     )
 
 
+def _q_percent_rank(sf_dir: str):
+    # PERCENT_RANK + CUME_DIST per user (raylink/ops/window.py
+    # percent_rank): e6 fixed point by integer //, one hash exchange,
+    # vectorized all-keys kernel — no per-user map_groups.
+    from raylink.ops.window import percent_rank
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = percent_rank(ev, "user_id", ["ts", "event_id"])
+    df = out.to_pandas()[["event_id", "user_id", "rn", "pr_e6", "cd_e6"]]
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_meta_blocking(sf_dir: str):
     # Meta-blocking WEP (raylink/ops/metablocking.py token_blocking_wep):
     # token blocking -> block purging (cap 50) -> CBS comparison-graph
@@ -3678,6 +3690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pairwise_f1": _q_pairwise_f1,
         "ari": _q_ari,
         "meta_blocking": _q_meta_blocking,
+        "percent_rank": _q_percent_rank,
         "incremental_cc": _q_incremental_cc,
     }
 
@@ -6004,6 +6017,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN p + t = 0 THEN 0
                         ELSE 2 * tp * 1000000 // (p + t) END::BIGINT AS f1_e6
             FROM tpv, pv, tv
+        """,
+        "percent_rank": """
+            WITH r AS (
+                SELECT event_id, user_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY user_id) AS n
+                FROM events
+            )
+            SELECT event_id, user_id, rn::BIGINT AS rn,
+                   (CASE WHEN n = 1 THEN 0
+                         ELSE ((rn - 1) * 1000000) // (n - 1) END)::BIGINT AS pr_e6,
+                   ((rn * 1000000) // n)::BIGINT AS cd_e6
+            FROM r ORDER BY event_id
         """,
         "meta_blocking": """
             WITH tok AS (

@@ -278,6 +278,72 @@ def windowed_rank(
     )
 
 
+def percent_rank(
+    events: ray.data.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """``PERCENT_RANK()`` and ``CUME_DIST()`` per key as e6 fixed point
+    with DuckDB's trunc-toward-zero ``//`` convention (both quantities
+    are nonnegative, so trunc == floor here):
+
+    * ``pr_e6 = (rn - 1) * 10^6 // (n - 1)`` (0 when the key has one row)
+    * ``cd_e6 = rn * 10^6 // n``
+
+    Callers must make ``order_cols`` a TOTAL order (unique column last)
+    so ``RANK == ROW_NUMBER`` and the integer replay is exact — the same
+    contract as :func:`windowed_rank`, and the same ONE-exchange shape:
+    hash the key, rank every key of a partition with one vectorized
+    sort + cumcount + transform('size'). Returns
+    ``(key_col, *order_cols, rn, pr_e6, cd_e6)``.
+    """
+    from raylink.util import pa_type, sorted_partition_apply, uniform_pid_bounds
+
+    P = np.uint64(1 << 31)
+    nparts = num_partitions or _default_partitions()
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(keys.dtype, np.integer):
+            pid = (_mix64(keys.astype(np.uint64)) % P).astype(np.int64)
+        else:
+            pid = (pd.util.hash_array(keys.astype(object)) % P).astype(np.int64)
+        cols = {"_pid": pa.array(pid), key_col: batch.column(key_col)}
+        for c in order_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    def _rank(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        df = df.sort_values([key_col, *order_cols], kind="stable")
+        g = df.groupby(key_col, sort=False)
+        rn = g.cumcount().to_numpy().astype(np.int64) + 1
+        n = g[key_col].transform("size").to_numpy().astype(np.int64)
+        pr = np.where(n > 1, ((rn - 1) * 1_000_000) // np.maximum(n - 1, 1), 0)
+        cd = (rn * 1_000_000) // n
+        cols = {key_col: pa.array(df[key_col].to_numpy())}
+        for c in order_cols:
+            cols[c] = pa.array(df[c].to_numpy())
+        cols["rn"] = pa.array(rn)
+        cols["pr_e6"] = pa.array(pr.astype(np.int64))
+        cols["cd_e6"] = pa.array(cd.astype(np.int64))
+        return pa.table(cols)
+
+    eschema = events.schema()
+    etype = dict(zip(eschema.names, (pa_type(t) for t in eschema.types)))
+    out_schema = pa.schema(
+        [(key_col, etype[key_col])]
+        + [(c, etype[c]) for c in order_cols]
+        + [("rn", pa.int64()), ("pr_e6", pa.int64()), ("cd_e6", pa.int64())]
+    )
+    tagged = events.map_batches(_tag, batch_format="pyarrow")
+    return sorted_partition_apply(
+        tagged.repartition(nparts), "_pid", _rank, out_schema,
+        boundaries=uniform_pid_bounds(nparts),
+    )
+
+
 def lead_lag(
     events: ray.data.Dataset,
     key_col: str,

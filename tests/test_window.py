@@ -549,3 +549,41 @@ def test_lead_lag_ntile_matches_duckdb():
         assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
     assert (got["ntile"].to_numpy() == exp["ntile"].to_numpy()).all()
     assert (got["v"].to_numpy() == exp["v"].to_numpy()).all()
+
+
+def test_percent_rank_matches_pandas_windows():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raylink.ops.window import percent_rank
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 7, 200),
+            "ts": rng.integers(0, 10_000, 200),
+            "eid": np.arange(200, dtype=np.int64),
+        }
+    )
+    got = (
+        percent_rank(rd.from_pandas(df).repartition(4), "u", ["ts", "eid"])
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["u", "ts", "eid"]).copy()
+    g = exp.groupby("u", sort=False)
+    exp["rn"] = g.cumcount() + 1
+    n = g["u"].transform("size")
+    exp["pr_e6"] = np.where(n > 1, ((exp["rn"] - 1) * 1_000_000) // (n - 1).clip(lower=1), 0)
+    exp["cd_e6"] = (exp["rn"] * 1_000_000) // n
+    exp = exp.sort_values("eid").reset_index(drop=True)
+    for c in ("rn", "pr_e6", "cd_e6"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+    # singleton key edge: pr defined 0
+    one = percent_rank(
+        rd.from_pandas(pd.DataFrame({"u": [99], "ts": [1], "eid": [0]})),
+        "u", ["ts", "eid"],
+    ).to_pandas()
+    assert one["pr_e6"].iloc[0] == 0 and one["cd_e6"].iloc[0] == 1_000_000
