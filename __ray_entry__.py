@@ -3473,6 +3473,63 @@ def _q_pairwise_f1(sf_dir: str):
     )
 
 
+def _part_band_kernel(sf_dir: str, cross_fn, out_col: str):
+    """Shared harness for the token_sort / trigram kernel gates: pairs =
+    part names within partkey band 50 (dense keys, so partner indices are
+    closed-form), scored by a pair-axis-vectorized features.py kernel
+    against a broadcast name table."""
+    import ray
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    pdf = part.to_pandas().sort_values("p_partkey")
+    names_ref = ray.put(
+        (pdf["p_partkey"].to_numpy(np.int64), [s.lower() for s in pdf["p_name"]])
+    )
+    n_max = int(pdf["p_partkey"].max())
+
+    def _cross(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        keys_all, names_all = _ray.get(names_ref)
+        ka = batch.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        na = [s.lower() for s in batch.column("p_name").to_pylist()]
+        # dense 0..n_max partkeys: partners of k are k+1 .. min(k+50, n_max)
+        cnt = np.minimum(ka + 50, n_max) - ka
+        cnt = np.maximum(cnt, 0)
+        ai = np.repeat(np.arange(len(ka)), cnt)
+        offs = np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        bi = (np.repeat(ka, cnt) + 1 + offs).astype(np.int64)
+        sc = cross_fn(na, names_all, ai, bi)
+        return pa.table(
+            {
+                "ka": pa.array(ka[ai]),
+                "kb": pa.array(keys_all[bi]),
+                out_col: pa.array(np.asarray(sc, dtype=np.int64)),
+            }
+        )
+
+    out = part.map_batches(_cross, batch_format="pyarrow")
+    return out.to_pandas().sort_values(["ka", "kb"]).reset_index(drop=True)
+
+
+def _q_token_sort_kernel(sf_dir: str):
+    # fuzzywuzzy-style token-sort normalized-Levenshtein similarity
+    # (features.token_sort_ratio_cross): canonicalize once per string,
+    # score with the vectorized lev DP, e6 integer normalization.
+    from raylink.features import token_sort_ratio_cross
+
+    return _part_band_kernel(sf_dir, token_sort_ratio_cross, "ts_e6")
+
+
+def _q_trigram_kernel(sf_dir: str):
+    # pg_trgm-style padded-trigram set Jaccard
+    # (features.trigram_similarity_cross): membership-matrix boolean
+    # reductions, e6 integer quotient.
+    from raylink.features import trigram_similarity_cross
+
+    return _part_band_kernel(sf_dir, trigram_similarity_cross, "tg_e6")
+
+
 def _q_percent_rank(sf_dir: str):
     # PERCENT_RANK + CUME_DIST per user (raylink/ops/window.py
     # percent_rank): e6 fixed point by integer //, one hash exchange,
@@ -3691,6 +3748,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ari": _q_ari,
         "meta_blocking": _q_meta_blocking,
         "percent_rank": _q_percent_rank,
+        "token_sort_kernel": _q_token_sort_kernel,
+        "trigram_kernel": _q_trigram_kernel,
         "incremental_cc": _q_incremental_cc,
     }
 
@@ -6017,6 +6076,58 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN p + t = 0 THEN 0
                         ELSE 2 * tp * 1000000 // (p + t) END::BIGINT AS f1_e6
             FROM tpv, pv, tv
+        """,
+        "token_sort_kernel": """
+            WITH t AS (
+                SELECT p_partkey AS k,
+                       array_to_string(
+                           list_sort(string_split(lower(p_name), ' ')), ' '
+                       ) AS t1
+                FROM part
+            )
+            SELECT a.k AS ka, b.k AS kb,
+                   (CASE WHEN GREATEST(length(a.t1), length(b.t1)) = 0
+                         THEN 1000000
+                         ELSE ((GREATEST(length(a.t1), length(b.t1))
+                                - levenshtein(a.t1, b.t1)) * 1000000)
+                              // GREATEST(length(a.t1), length(b.t1))
+                    END)::BIGINT AS ts_e6
+            FROM t a JOIN t b ON b.k > a.k AND b.k - a.k <= 50
+            ORDER BY ka, kb
+        """,
+        "trigram_kernel": """
+            WITH pr AS (
+                SELECT p_partkey AS k, '  ' || lower(p_name) || ' ' AS p
+                FROM part
+            ),
+            tg AS (
+                SELECT DISTINCT k, substr(p, i, 3) AS g
+                FROM (SELECT k, p,
+                             unnest(generate_series(1, length(p) - 2)) AS i
+                      FROM pr)
+            ),
+            sz AS (SELECT k, COUNT(*)::BIGINT AS n FROM tg GROUP BY k),
+            pairs AS (
+                SELECT a.p_partkey AS ka, b.p_partkey AS kb
+                FROM part a JOIN part b
+                  ON b.p_partkey > a.p_partkey
+                 AND b.p_partkey - a.p_partkey <= 50
+            ),
+            inter AS (
+                SELECT p.ka, p.kb, COUNT(*)::BIGINT AS i
+                FROM pairs p
+                JOIN tg g1 ON g1.k = p.ka
+                JOIN tg g2 ON g2.k = p.kb AND g2.g = g1.g
+                GROUP BY p.ka, p.kb
+            )
+            SELECT p.ka, p.kb,
+                   (COALESCE(i.i, 0) * 1000000
+                    // (sa.n + sb.n - COALESCE(i.i, 0)))::BIGINT AS tg_e6
+            FROM pairs p
+            JOIN sz sa ON sa.k = p.ka
+            JOIN sz sb ON sb.k = p.kb
+            LEFT JOIN inter i ON i.ka = p.ka AND i.kb = p.kb
+            ORDER BY p.ka, p.kb
         """,
         "percent_rank": """
             WITH r AS (

@@ -755,3 +755,78 @@ def monge_elkan_sum_e6(
         seg_pair = pair_id[seg]
         np.add.at(sums, seg_pair, mx_e6)
     return sums, na
+
+
+def token_sort_ratio_cross(
+    keys_a: list[str],
+    keys_b: list[str],
+    ai: np.ndarray,
+    bi: np.ndarray,
+) -> np.ndarray:
+    """Token-sort similarity (the fuzzywuzzy ``token_sort_ratio`` device,
+    normalized-Levenshtein variant) for an index-expanded cross product,
+    in e6 integer micro-units:
+
+    each side is canonicalized ONCE per distinct string — split on single
+    spaces, sort tokens (Python ``sorted``; '' sorts first, matching SQL
+    ``list_sort``), rejoin with single spaces — then scored with the
+    pair-axis-vectorized :func:`lev_cross` DP and normalized
+    ``sim_e6 = (max_len - lev) * 10^6 // max_len`` (1e6 when both sides
+    are empty). Word order is thereby ignored: 'doe john' ~ 'john doe'.
+
+    SQL replay: ``array_to_string(list_sort(string_split(lower(x), ' ')),
+    ' ')`` + ``levenshtein`` — the ``token_sort_kernel`` gate.
+    """
+    def _canon(keys: list[str]) -> list[str]:
+        return [" ".join(sorted(s.split(" "))) for s in keys]
+
+    ca, cb = _canon(keys_a), _canon(keys_b)
+    lev = lev_cross(ca, cb, ai, bi).astype(np.int64)
+    la = np.array([len(s) for s in ca], dtype=np.int64)[ai]
+    lb = np.array([len(s) for s in cb], dtype=np.int64)[bi]
+    m = np.maximum(la, lb)
+    return np.where(m > 0, (m - lev) * 1_000_000 // np.maximum(m, 1), 1_000_000)
+
+
+def trigram_similarity_cross(
+    keys_a: list[str],
+    keys_b: list[str],
+    ai: np.ndarray,
+    bi: np.ndarray,
+) -> np.ndarray:
+    """pg_trgm-style trigram-SET Jaccard similarity in e6 integer
+    micro-units for an index-expanded cross product: each string is
+    padded ``'  ' + s + ' '`` (two leading blanks, one trailing — the
+    public pg_trgm convention), its distinct 3-grams become rows of a
+    boolean membership matrix over the union vocabulary (built once per
+    side, like :func:`charset_jaccard_cross`), and pair scores are two
+    boolean reductions + one integer division:
+    ``sim_e6 = |T1 ∩ T2| * 10^6 // |T1 ∪ T2|`` (0 when the union is
+    empty, which only happens for empty inputs).
+    """
+    n = len(ai)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+
+    def _grams(s: str) -> set:
+        p = "  " + s + " "
+        return {p[i : i + 3] for i in range(len(p) - 2)}
+
+    ga = [_grams(s) for s in keys_a]
+    gb = [_grams(s) for s in keys_b]
+    vocab = sorted(set().union(*ga, *gb)) if (ga or gb) else []
+    pos = {g: k for k, g in enumerate(vocab)}
+    K = max(len(vocab), 1)
+
+    def _membership(gs: list) -> np.ndarray:
+        M = np.zeros((len(gs), K), dtype=bool)
+        for r, s in enumerate(gs):
+            for g in s:
+                M[r, pos[g]] = True
+        return M
+
+    SA = _membership(ga)[ai]
+    SB = _membership(gb)[bi]
+    inter = (SA & SB).sum(axis=1).astype(np.int64)
+    union = (SA | SB).sum(axis=1).astype(np.int64)
+    return np.where(union > 0, inter * 1_000_000 // np.maximum(union, 1), 0)

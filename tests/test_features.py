@@ -208,3 +208,35 @@ def test_damerau_cross_matches_scalar_and_duckdb():
         assert got[k] == exp == damerau_distance(a, b), (a, b)
     assert damerau_distance("ca", "abc") == 2
     assert osa_distance("ca", "abc") == 3
+
+
+def test_token_sort_ratio_word_order_invariant():
+    import numpy as np
+
+    from raylink.features import token_sort_ratio_cross
+
+    a = ["john doe", "red small widget", ""]
+    b = ["doe john", "widget small red", ""]
+    ai = np.arange(3)
+    bi = np.arange(3)
+    got = token_sort_ratio_cross(a, b, ai, bi)
+    assert (got == 1_000_000).all()
+    # differing strings score < 1e6 and match the manual formula
+    g2 = token_sort_ratio_cross(["abc def"], ["abd def"], np.array([0]), np.array([0]))
+    # canonical 'abc def' vs 'abd def': lev=1, maxlen=7 -> (7-1)*1e6//7
+    assert g2[0] == 6 * 1_000_000 // 7
+
+
+def test_trigram_similarity_padding_and_identity():
+    import numpy as np
+
+    from raylink.features import trigram_similarity_cross
+
+    same = trigram_similarity_cross(["cat"], ["cat"], np.array([0]), np.array([0]))
+    assert same[0] == 1_000_000
+    # 'cat' padded '  cat ': grams {'  c',' ca','cat','at '}; 'cap' ->
+    # {'  c',' ca','cap','ap '}; inter=2, union=6
+    g = trigram_similarity_cross(["cat"], ["cap"], np.array([0]), np.array([0]))
+    assert g[0] == 2 * 1_000_000 // 6
+    none = trigram_similarity_cross(["cat"], ["dog"], np.array([0]), np.array([0]))
+    assert none[0] < 350_000
