@@ -3473,7 +3473,7 @@ def _q_pairwise_f1(sf_dir: str):
     )
 
 
-def _part_band_kernel(sf_dir: str, cross_fn, out_col: str):
+def _part_band_kernel(sf_dir: str, cross_fn, out_col: str, band: int = 50):
     """Shared harness for the token_sort / trigram kernel gates: pairs =
     part names within partkey band 50 (dense keys, so partner indices are
     closed-form), scored by a pair-axis-vectorized features.py kernel
@@ -3493,8 +3493,8 @@ def _part_band_kernel(sf_dir: str, cross_fn, out_col: str):
         keys_all, names_all = _ray.get(names_ref)
         ka = batch.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
         na = [s.lower() for s in batch.column("p_name").to_pylist()]
-        # dense 0..n_max partkeys: partners of k are k+1 .. min(k+50, n_max)
-        cnt = np.minimum(ka + 50, n_max) - ka
+        # dense 0..n_max partkeys: partners of k are k+1 .. min(k+band, n_max)
+        cnt = np.minimum(ka + band, n_max) - ka
         cnt = np.maximum(cnt, 0)
         ai = np.repeat(np.arange(len(ka)), cnt)
         offs = np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
@@ -3528,6 +3528,17 @@ def _q_trigram_kernel(sf_dir: str):
     from raylink.features import trigram_similarity_cross
 
     return _part_band_kernel(sf_dir, trigram_similarity_cross, "tg_e6")
+
+
+def _q_nw_align(sf_dir: str):
+    # Needleman-Wunsch global alignment score (features.nw_cross,
+    # pair-axis-vectorized maximization DP, match/mismatch/gap = 1/-1/-1)
+    # over part-name pairs in partkey band 5, gated bit-exact against a
+    # cell-stepping recursive-CTE DuckDB oracle that advances every
+    # pair's DP grid one cell per recursion step.
+    from raylink.features import nw_cross
+
+    return _part_band_kernel(sf_dir, nw_cross, "nw_score", band=5)
 
 
 def _q_percent_rank(sf_dir: str):
@@ -3749,6 +3760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "meta_blocking": _q_meta_blocking,
         "percent_rank": _q_percent_rank,
         "token_sort_kernel": _q_token_sort_kernel,
+        "nw_align": _q_nw_align,
         "trigram_kernel": _q_trigram_kernel,
         "incremental_cc": _q_incremental_cc,
     }
@@ -6076,6 +6088,41 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN p + t = 0 THEN 0
                         ELSE 2 * tp * 1000000 // (p + t) END::BIGINT AS f1_e6
             FROM tpv, pv, tv
+        """,
+        "nw_align": """
+            WITH RECURSIVE base AS (
+                SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+                       lower(a.p_name) AS sa, lower(b.p_name) AS sb,
+                       length(a.p_name) AS la, length(b.p_name) AS lb
+                FROM part a JOIN part b
+                  ON b.p_partkey > a.p_partkey AND b.p_partkey - a.p_partkey <= 5
+            ),
+            nw AS (
+                -- one DP cell per pair per recursion step: state carries
+                -- the previous row and the partial current row as lists
+                SELECT ka, kb, sa, sb, la, lb, 1 AS i, 1 AS j,
+                       list_transform(generate_series(0, lb), x -> -x) AS prev,
+                       [-1] AS cur
+                FROM base
+                UNION ALL
+                SELECT ka, kb, sa, sb, la, lb,
+                       CASE WHEN j = lb THEN i + 1 ELSE i END AS i,
+                       CASE WHEN j = lb THEN 1 ELSE j + 1 END AS j,
+                       CASE WHEN j = lb THEN list_append(cur, v) ELSE prev END AS prev,
+                       CASE WHEN j = lb THEN [-(i + 1)] ELSE list_append(cur, v) END AS cur
+                FROM (
+                    SELECT *, GREATEST(
+                        list_extract(prev, j)
+                          + CASE WHEN substr(sa, i, 1) = substr(sb, j, 1)
+                                 THEN 1 ELSE -1 END,
+                        list_extract(prev, j + 1) - 1,
+                        list_extract(cur, j) - 1) AS v
+                    FROM nw WHERE i <= la
+                )
+            )
+            SELECT ka, kb, list_extract(prev, lb + 1)::BIGINT AS nw_score
+            FROM nw WHERE i = la + 1
+            ORDER BY ka, kb
         """,
         "token_sort_kernel": """
             WITH t AS (

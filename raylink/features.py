@@ -830,3 +830,85 @@ def trigram_similarity_cross(
     inter = (SA & SB).sum(axis=1).astype(np.int64)
     union = (SA | SB).sum(axis=1).astype(np.int64)
     return np.where(union > 0, inter * 1_000_000 // np.maximum(union, 1), 0)
+
+
+def nw_score(a: str, b: str, match: int = 1, mismatch: int = -1, gap: int = -1) -> int:
+    """Needleman-Wunsch GLOBAL alignment score (scalar reference kernel;
+    the vectorized cross form is :func:`nw_cross`). Linear gap penalty;
+    all-integer, so the recursive-CTE SQL oracle replays it exactly."""
+    la, lb = len(a), len(b)
+    prev = [j * gap for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        cur = [i * gap] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            sub = match if ca == b[j - 1] else mismatch
+            cur[j] = max(prev[j - 1] + sub, prev[j] + gap, cur[j - 1] + gap)
+        prev = cur
+    return prev[lb]
+
+
+def nw_cross(
+    keys_a: list[str],
+    keys_b: list[str],
+    ai: np.ndarray,
+    bi: np.ndarray,
+    match: int = 1,
+    mismatch: int = -1,
+    gap: int = -1,
+) -> np.ndarray:
+    """Needleman-Wunsch global alignment score for an index-expanded
+    cross product, vectorized over the PAIR axis with the same pair-last
+    DP layout as :func:`lev_cross` (every inner-loop operand a contiguous
+    n-vector). Maximization DP with linear gap penalty:
+
+    ``S[i][j] = max(S[i-1][j-1] + s(a_i, b_j), S[i-1][j] + gap,
+    S[i][j-1] + gap)``, ``S[i][0] = i*gap``, ``S[0][j] = j*gap``.
+
+    Integers throughout — gated bit-exact against a cell-stepping
+    recursive-CTE DuckDB oracle (``nw_align``).
+    """
+    n = len(ai)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    EA, la_s, ok_a = _encode_strings(keys_a, _JW_CAP)
+    EB, lb_s, ok_b = _encode_strings(keys_b, _JW_CAP)
+    A = EA[ai]
+    B = EB[bi]
+    la, lb = la_s[ai], lb_s[bi]
+    ok = ok_a[ai] & ok_b[bi]
+    out = np.zeros(n, dtype=np.int64)
+    if not ok.all():
+        for idx in np.nonzero(~ok)[0]:
+            out[idx] = nw_score(
+                keys_a[ai[idx]], keys_b[bi[idx]], match, mismatch, gap
+            )
+    if not ok.any():
+        return out
+    la_max = int(la[ok].max())
+    lb_max = int(lb[ok].max())
+    out[ok & (la == 0)] = lb[ok & (la == 0)] * gap
+    if la_max == 0 or lb_max == 0:
+        out[ok & (lb == 0)] = la[ok & (lb == 0)] * gap
+        return out
+    D = np.repeat(
+        (np.arange(lb_max + 1, dtype=np.int32) * gap)[:, None], n, axis=1
+    )  # (lb_max+1, n): row 0 of the DP grid
+    AT = np.ascontiguousarray(A[:, :la_max].T)
+    BT = np.ascontiguousarray(B[:, :lb_max].T)
+    idx = np.arange(n)
+    for i in range(1, la_max + 1):
+        cur = np.empty_like(D)
+        cur[0] = i * gap
+        ca = AT[i - 1]
+        for j in range(1, lb_max + 1):
+            sub = np.where(ca == BT[j - 1], np.int32(match), np.int32(mismatch))
+            v = D[j - 1] + sub
+            np.maximum(v, D[j] + gap, out=v)
+            np.maximum(v, cur[j - 1] + gap, out=v)
+            cur[j] = v
+        D = cur
+        done = ok & (la == i)
+        if done.any():
+            out[done] = D[lb[done], idx[done]]
+    return out

@@ -240,3 +240,24 @@ def test_trigram_similarity_padding_and_identity():
     assert g[0] == 2 * 1_000_000 // 6
     none = trigram_similarity_cross(["cat"], ["dog"], np.array([0]), np.array([0]))
     assert none[0] < 350_000
+
+
+def test_nw_cross_matches_scalar_and_classic_example():
+    import numpy as np
+
+    from raylink.features import nw_cross, nw_score
+
+    assert nw_score("gattaca", "gcatgcu") == 0  # the textbook instance
+    rng = np.random.default_rng(9)
+    import string
+
+    pool = string.ascii_lowercase[:6]
+    A = ["".join(rng.choice(list(pool), rng.integers(0, 9))) for _ in range(30)]
+    B = ["".join(rng.choice(list(pool), rng.integers(0, 9))) for _ in range(30)]
+    ai = np.repeat(np.arange(30), 30)
+    bi = np.tile(np.arange(30), 30)
+    got = nw_cross(A, B, ai, bi, match=2, mismatch=-3, gap=-2)
+    exp = np.array(
+        [nw_score(A[i], B[j], 2, -3, -2) for i, j in zip(ai, bi)], dtype=np.int64
+    )
+    assert (got == exp).all()
