@@ -1760,6 +1760,8 @@ def sniff_format(data: bytes) -> str | None:
         return "jpeg"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:4] == b"qoif":
+        return "qoi"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
@@ -1771,3 +1773,122 @@ def sniff_format(data: bytes) -> str | None:
     if data.startswith(b"YUV4MPEG2 "):
         return "y4m"
     return None
+
+
+# --------------------------------------------------------------------------
+# QOI (Quite OK Image format, qoiformat.org — public single-page spec):
+# byte-oriented lossless RGB(A) with a 64-slot running hash index,
+# delta/luma ops and run-length packing. Small enough to implement exactly
+# and fast enough to be a realistic lossless interchange format for the
+# multimodal decode stage.
+
+_QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def encode_qoi(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB image as QOI (channels=3,
+    colorspace=0). Sequential per-pixel loop — encode is test-fixture
+    machinery, decode is the operator-side kernel."""
+    import struct
+
+    h, w, _ = img.shape
+    out = bytearray()
+    out += _QOI_MAGIC + struct.pack(">IIBB", w, h, 3, 0)
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa_ = 0, 0, 0, 255
+    run = 0
+    flat = img.reshape(-1, 3)
+    for r, g, b in flat:
+        r, g, b = int(r), int(g), int(b)
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+        else:
+            if run:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            k = (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+            if index[k] == (r, g, b, 255):
+                out.append(k)
+            else:
+                index[k] = (r, g, b, 255)
+                dr = (r - pr + 128) % 256 - 128
+                dg = (g - pg + 128) % 256 - 128
+                db = (b - pb + 128) % 256 - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+                else:
+                    dr_dg = dr - dg
+                    db_dg = db - dg
+                    if -32 <= dg <= 31 and -8 <= dr_dg <= 7 and -8 <= db_dg <= 7:
+                        out.append(0x80 | (dg + 32))
+                        out.append(((dr_dg + 8) << 4) | (db_dg + 8))
+                    else:
+                        out += bytes((0xFE, r, g, b))
+            pr, pg, pb = r, g, b
+        # index slot is also refreshed on RUN start in the spec only when
+        # the pixel was emitted; runs repeat the previous pixel whose slot
+        # is already current
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
+def decode_qoi(data: bytes) -> np.ndarray:
+    """Decode QOI to (h, w, 3) uint8 RGB (alpha dropped if channels=4).
+    Full spec: RGB/RGBA literals, INDEX, DIFF, LUMA, RUN, 64-slot hash
+    index, 8-byte end marker."""
+    import struct
+
+    if data[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI stream")
+    w, h, channels, _cs = struct.unpack(">IIBB", data[4:14])
+    n_px = w * h
+    out = np.empty((n_px, 4), dtype=np.uint8)
+    index = np.zeros((64, 4), dtype=np.uint8)
+    r, g, b, a = 0, 0, 0, 255
+    pos = 14
+    i = 0
+    mv = data
+    while i < n_px:
+        byte = mv[pos]
+        pos += 1
+        if byte == 0xFE:  # RGB
+            r, g, b = mv[pos], mv[pos + 1], mv[pos + 2]
+            pos += 3
+        elif byte == 0xFF:  # RGBA
+            r, g, b, a = mv[pos], mv[pos + 1], mv[pos + 2], mv[pos + 3]
+            pos += 4
+        else:
+            tag = byte >> 6
+            if tag == 0:  # INDEX
+                r, g, b, a = index[byte]
+            elif tag == 1:  # DIFF
+                r = (r + ((byte >> 4) & 3) - 2) % 256
+                g = (g + ((byte >> 2) & 3) - 2) % 256
+                b = (b + (byte & 3) - 2) % 256
+            elif tag == 2:  # LUMA
+                dg = (byte & 0x3F) - 32
+                nxt = mv[pos]
+                pos += 1
+                r = (r + dg + ((nxt >> 4) & 0x0F) - 8) % 256
+                g = (g + dg) % 256
+                b = (b + dg + (nxt & 0x0F) - 8) % 256
+            else:  # RUN
+                run = (byte & 0x3F) + 1
+                out[i : i + run] = (r, g, b, a)
+                i += run
+                continue
+        index[(int(r) * 3 + int(g) * 5 + int(b) * 7 + int(a) * 11) % 64] = (r, g, b, a)
+        out[i] = (r, g, b, a)
+        i += 1
+    if data[pos : pos + 8] != _QOI_END:
+        raise ValueError("QOI stream missing end marker")
+    rgb = out[:, :3].reshape(h, w, 4 - 1) if channels in (3, 4) else None
+    if rgb is None:
+        raise ValueError(f"unsupported QOI channels={channels}")
+    return rgb

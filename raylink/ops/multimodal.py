@@ -27,6 +27,8 @@ import ray.data
 
 from raylink.util import actor_pool_size
 from raylink.ops.imagecodec import (
+    decode_qoi,
+    encode_qoi,
     decode_bmp,
     decode_gif,
     decode_jpeg,
@@ -66,6 +68,7 @@ _IMG_DECODERS = {
     "jpeg": decode_jpeg,
     "gif": decode_gif,
     "webp": decode_webp,
+    "qoi": decode_qoi,
 }
 
 
@@ -101,12 +104,13 @@ def fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
     decode."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
-    img_fmts = ["png", "bmp", "ppm", "jpeg", "gif", "webp"]
+    img_fmts = ["png", "bmp", "ppm", "jpeg", "gif", "webp", "qoi"]
     img_encoders = {
         "png": encode_png,
         "bmp": encode_bmp,
         "ppm": encode_ppm,
         "gif": encode_gif,
+        "qoi": encode_qoi,
     }
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     n_img = 0

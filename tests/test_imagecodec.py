@@ -574,3 +574,32 @@ def test_ima_adpcm_nibble_semantics():
 
     out = _ima_decode_nibbles(np.array([1, 8, 15], dtype=np.uint8), 0, 0)
     assert out.tolist() == [1, 1, -10]
+
+
+def test_qoi_roundtrip_all_ops():
+    import numpy as np
+
+    from raylink.ops.imagecodec import decode_qoi, encode_qoi, sniff_format
+
+    rng = np.random.default_rng(21)
+    # gradient (LUMA/DIFF ops) + noise (RGB literals + INDEX hits) + flat
+    # rows (RUN, incl. >62-px runs)
+    img = np.clip(
+        np.linspace(0, 255, 48 * 70 * 3).reshape(48, 70, 3).astype(np.int64)
+        + rng.integers(-9, 9, (48, 70, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    img[:3] = 128
+    enc = encode_qoi(img)
+    assert sniff_format(enc) == "qoi"
+    dec = decode_qoi(enc)
+    assert dec.dtype == np.uint8 and (dec == img).all()
+
+
+def test_qoi_rejects_garbage():
+    import pytest as _pytest
+
+    from raylink.ops.imagecodec import decode_qoi
+
+    with _pytest.raises(ValueError):
+        decode_qoi(b"nope" + b"\x00" * 20)
