@@ -3623,6 +3623,20 @@ def _q_incremental_cc(sf_dir: str):
     return out.to_pandas().sort_values("node").reset_index(drop=True)
 
 
+def _q_power_iteration(sf_dir: str):
+    # Dominant eigenvector of the embedding Gram matrix (raylink/ops/
+    # spectral.py power_iteration): 3 rounds of exact-integer power
+    # iteration — each round is ONE map-only pass (two int64 mat-vecs per
+    # batch, truncating rescale) plus a d-row aggregate; the driver holds
+    # d integers and normalizes in arbitrary-precision Python int. The
+    # oracle unrolls the same rounds as CTE chains with HUGEINT
+    # normalization and DuckDB's trunc-toward-zero //.
+    from raylink.ops.spectral import power_iteration
+
+    emb = _read(sf_dir, "embeddings", columns=["embedding"])
+    return power_iteration(emb, iters=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked (operator inventory: aggregation, maps, joins, sorts)
@@ -3763,6 +3777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nw_align": _q_nw_align,
         "trigram_kernel": _q_trigram_kernel,
         "incremental_cc": _q_incremental_cc,
+        "power_iteration": _q_power_iteration,
     }
 
 
@@ -3978,6 +3993,12 @@ _QUALITY_E6_SQL = r"""
                 FROM documents
             )
 """
+
+
+def _power_iteration_sql() -> str:
+    from raylink.ops.spectral import power_iteration_sql
+
+    return power_iteration_sql(table="embeddings", iters=3)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6262,4 +6283,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT node::BIGINT AS node, MIN(r)::BIGINT AS comp
             FROM reach GROUP BY node ORDER BY node
         """,
+        "power_iteration": _power_iteration_sql(),
     }
