@@ -3623,6 +3623,36 @@ def _q_incremental_cc(sf_dir: str):
     return out.to_pandas().sort_values("node").reset_index(drop=True)
 
 
+def _q_weighted_sample(sf_dir: str):
+    # Priority sampling (ops/sample.py weighted_priority_sample): weighted
+    # sample without replacement via the integer priority key
+    # (w·2³²) // (id_hash+1) — per-batch lossless top-k prune, one
+    # k·batches-sized collapse, ties by id; DuckDB replays the same key
+    # with // and ORDER BY ... LIMIT.
+    from raylink.ops.sample import weighted_priority_sample
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t.column("o_orderkey").cast(pa.int64()),
+                "w_cents": pa.array(
+                    np.round(
+                        t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                        * 100
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    out = weighted_priority_sample(
+        orders.map_batches(_prep, batch_format="pyarrow"),
+        "id", "w_cents", k=100,
+    )
+    return out.to_pandas().sort_values("id").reset_index(drop=True)
+
+
 def _q_power_iteration(sf_dir: str):
     # Dominant eigenvector of the embedding Gram matrix (raylink/ops/
     # spectral.py power_iteration): 3 rounds of exact-integer power
@@ -3778,6 +3808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_kernel": _q_trigram_kernel,
         "incremental_cc": _q_incremental_cc,
         "power_iteration": _q_power_iteration,
+        "weighted_sample": _q_weighted_sample,
     }
 
 
@@ -6284,4 +6315,23 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY node ORDER BY node
         """,
         "power_iteration": _power_iteration_sql(),
+        "weighted_sample": """
+            WITH w AS (
+                SELECT o_orderkey::BIGINT AS id,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS w_cents
+                FROM orders
+            ),
+            h AS (
+                SELECT id, w_cents,
+                       CAST(xor((id::HUGEINT * 2654435761) % 4294967296,
+                                ((id::HUGEINT * 2654435761) % 4294967296) >> 16)
+                            AS BIGINT) + 1 AS u
+                FROM w
+            )
+            SELECT id, w_cents,
+                   ((w_cents * 4294967296) // u)::BIGINT AS priority
+            FROM h
+            ORDER BY priority DESC, id
+            LIMIT 100
+        """,
     }

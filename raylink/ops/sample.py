@@ -819,3 +819,70 @@ def pareto_front(
     return local.repartition(1).map_batches(
         skip_empty(_local), batch_format="pyarrow", batch_size=None
     )
+
+
+def weighted_priority_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> ray.data.Dataset:
+    """Weighted sample WITHOUT replacement by priority sampling (Duffield,
+    Lund & Thorup 2007): each row gets priority ``q_i = w_i / u_i`` with
+    ``u_i`` uniform on (0,1], and the k highest-priority rows are the
+    sample — inclusion probability ≈ proportional to weight, and the
+    scheme supports unbiased subset-sum estimation via the (k+1)-st
+    priority as the threshold.
+
+    Exactness device: ``u_i`` is the deterministic 32-bit ``id_hash`` plus
+    one (never zero), and the priority is the INTEGER key
+    ``q_i = (w_i · 2³²) // u_i`` — truncating division, identical in
+    numpy and DuckDB (``//``), with ties broken by id ascending; the
+    sample is a pure function of the data (resumable, partitioning-free)
+    and the SQL replay is bit-exact. Weights must be positive int64
+    < 2³¹ (quantize currency/score floats to integer units first — the
+    repo-wide convention); violations raise, never truncate silently.
+
+    Scale shape: per-batch vectorized local top-k (a row outside its
+    batch's top k can never be in the global top k), then the k-per-batch
+    survivors collapse to one final top-k task — the exchange is
+    O(k · batches), never data-sized. Same lossless-local-prune argument
+    as :func:`pareto_front`; the heavy lifting (hash, divide, argpartition)
+    is map-only.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    SHIFT = np.int64(1) << np.int64(32)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(w.dtype, np.integer):
+            raise TypeError(
+                f"weighted_priority_sample needs integer weights "
+                f"(got {w.dtype}); quantize to integer units first"
+            )
+        w = w.astype(np.int64)
+        if len(w) and (w.min() <= 0 or w.max() >= (1 << 31)):
+            raise ValueError("weights must be in [1, 2^31) — exact-key contract")
+        u = id_hash(ids).astype(np.int64) + 1  # (0, 2^32]: never zero
+        q = (w * SHIFT) // u  # both operands positive: trunc == floor == SQL //
+        if len(q) > k:
+            # argpartition on the composite (q desc, id asc) order
+            order = np.lexsort((ids, -q))[:k]
+            batch, q = batch.take(pa.array(order)), q[order]
+        return batch.append_column("priority", pa.array(q, type=pa.int64()))
+
+    from raylink.util import skip_empty
+
+    local = ds.map_batches(skip_empty(_local), batch_format="pyarrow")
+
+    def _final(batch: pa.Table) -> pa.Table:
+        q = batch.column("priority").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -q))[:k]
+        return batch.take(pa.array(order))
+
+    return local.repartition(1).map_batches(
+        skip_empty(_final), batch_format="pyarrow", batch_size=None
+    )
