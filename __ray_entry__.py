@@ -3623,6 +3623,36 @@ def _q_incremental_cc(sf_dir: str):
     return out.to_pandas().sort_values("node").reset_index(drop=True)
 
 
+def _q_clk_dice(sf_dir: str):
+    # CLK privacy-preserving linkage (ops/pprl.py, Schnell et al. 2009):
+    # one-word Bloom encodings of part-name bigrams (md5-replay bit
+    # positions), Dice in e6 by truncating //; pairs = partkey band 50;
+    # oracle rebuilds every bitset with bit_or(1 << pos) and bit_count.
+    from raylink.ops.pprl import clk_dice_pairs, clk_encode
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    clks = clk_encode(part, "p_name", "p_partkey", m=63, k=2, q=2)
+    n_max = int(part.max("p_partkey"))
+    band = 50
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        ka = batch.column("p_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cnt = np.maximum(np.minimum(ka + band, n_max) - ka, 0)
+        offs = np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        return pa.table(
+            {
+                "ka": pa.array(np.repeat(ka, cnt)),
+                "kb": pa.array((np.repeat(ka, cnt) + 1 + offs).astype(np.int64)),
+            }
+        )
+
+    pairs = part.map_batches(_pairs, batch_format="pyarrow")
+    out = clk_dice_pairs(pairs, clks, id_col="p_partkey")
+    return out.to_pandas().sort_values(["ka", "kb"]).reset_index(drop=True)
+
+
 def _q_weighted_sample(sf_dir: str):
     # Priority sampling (ops/sample.py weighted_priority_sample): weighted
     # sample without replacement via the integer priority key
@@ -3809,6 +3839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_cc": _q_incremental_cc,
         "power_iteration": _q_power_iteration,
         "weighted_sample": _q_weighted_sample,
+        "clk_dice": _q_clk_dice,
     }
 
 
@@ -6333,5 +6364,40 @@ def oracle_sql() -> dict[str, str]:
             FROM h
             ORDER BY priority DESC, id
             LIMIT 100
+        """,
+        "clk_dice": """
+            WITH pr AS (
+                SELECT p_partkey AS k, lower(p_name) AS p FROM part
+            ),
+            gr AS (
+                SELECT DISTINCT k, substr(p, i, 2) AS g
+                FROM (SELECT k, p,
+                             unnest(generate_series(1, length(p) - 1)) AS i
+                      FROM pr)
+            ),
+            pos AS (SELECT k, g, unnest([0, 1]) AS j FROM gr),
+            bits AS (
+                SELECT k,
+                       bit_or(1::BIGINT <<
+                           CAST((md5_number_lower(CAST(j AS VARCHAR) || '|' || g)
+                                 & 9223372036854775807) % 63 AS INTEGER)) AS clk
+                FROM pos GROUP BY k
+            ),
+            sz AS (SELECT k, clk, bit_count(clk)::BIGINT AS n FROM bits),
+            pairs AS (
+                SELECT a.p_partkey AS ka, b.p_partkey AS kb
+                FROM part a JOIN part b
+                  ON b.p_partkey > a.p_partkey
+                 AND b.p_partkey - a.p_partkey <= 50
+            )
+            SELECT p.ka, p.kb,
+                   CASE WHEN sa.n + sb.n > 0
+                        THEN (2 * bit_count(sa.clk & sb.clk)::BIGINT * 1000000)
+                             // (sa.n + sb.n)
+                        ELSE 0 END AS dice_e6
+            FROM pairs p
+            JOIN sz sa ON sa.k = p.ka
+            JOIN sz sb ON sb.k = p.kb
+            ORDER BY p.ka, p.kb
         """,
     }
