@@ -3623,6 +3623,19 @@ def _q_incremental_cc(sf_dir: str):
     return out.to_pandas().sort_values("node").reset_index(drop=True)
 
 
+def _q_edit_join(sf_dir: str):
+    # Complete edit-distance self-join (ops/editjoin.py, Pass-Join
+    # pigeonhole): segment/window int64 poly-hash signatures -> ONE _pid
+    # all-to-all candidate stage -> exact vectorized lev verify. Oracle is
+    # the quadratic levenshtein predicate join (length-delta prefiltered),
+    # so the gate checks COMPLETENESS, not just precision.
+    from raylink.ops.editjoin import edit_distance_self_join
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    out = edit_distance_self_join(part, "p_name", "p_partkey", d=2)
+    return out.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_clk_dice(sf_dir: str):
     # CLK privacy-preserving linkage (ops/pprl.py, Schnell et al. 2009):
     # one-word Bloom encodings of part-name bigrams (md5-replay bit
@@ -3840,6 +3853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "power_iteration": _q_power_iteration,
         "weighted_sample": _q_weighted_sample,
         "clk_dice": _q_clk_dice,
+        "edit_join": _q_edit_join,
     }
 
 
@@ -6399,5 +6413,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.k = p.ka
             JOIN sz sb ON sb.k = p.kb
             ORDER BY p.ka, p.kb
+        """,
+        "edit_join": """
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   levenshtein(lower(a.p_name), lower(b.p_name))::BIGINT AS lev
+            FROM part a JOIN part b
+              ON b.p_partkey > a.p_partkey
+             AND abs(length(a.p_name) - length(b.p_name)) <= 2
+            WHERE levenshtein(lower(a.p_name), lower(b.p_name)) <= 2
+            ORDER BY id_a, id_b
         """,
     }
