@@ -749,7 +749,19 @@ def uniform_sample_k(
             mask |= np.isin(ids, tie_ids)
         return batch.filter(pa.array(mask)).drop_columns(["_h"])
 
-    return hds.map_batches(skip_empty(_keep), batch_format="pyarrow")
+    # terminal typed anchor (the _hash_dedup idiom): tasks whose whole
+    # block misses the sample emit nothing under skip_empty, and a bare
+    # consumer (count/take) would see schema-less bundles — the executor
+    # warning class this file's r5 fold removed from the tie pass
+    from raylink.util import pa_type
+
+    schema = ds.schema()
+    out_schema = pa.schema(
+        [(n, pa_type(t)) for n, t in zip(schema.names, schema.types)]
+    )
+    return hds.map_batches(skip_empty(_keep), batch_format="pyarrow").union(
+        ray.data.from_arrow(out_schema.empty_table())
+    )
 
 
 def _skyline_2d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
